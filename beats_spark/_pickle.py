@@ -1,0 +1,33 @@
+"""UDF portability: make beats_spark closures self-contained.
+
+Pandas-UDF closures reference classes from this package (e.g.
+dissect.Tokenizer). cloudpickle serializes importable classes *by
+reference*, so Python workers that don't have beats_spark on their
+PYTHONPATH (driver script run from elsewhere, no --py-files) fail with
+ModuleNotFoundError. Registering the modules for by-value pickling
+embeds the code in the closure — a few KB per UDF, and the library
+works however it is deployed. On a real cluster --py-files still
+applies and this is merely redundant.
+"""
+
+from __future__ import annotations
+
+_registered = False
+
+
+def ensure_udf_portable() -> None:
+    global _registered
+    if _registered:
+        return
+    try:
+        from pyspark import cloudpickle  # vendored copy pyspark actually uses
+    except ImportError:  # pragma: no cover - layout differences across versions
+        import cloudpickle  # type: ignore[no-redef]
+    import beats_spark.dissect as _dissect
+
+    for mod in (_dissect,):
+        try:
+            cloudpickle.register_pickle_by_value(mod)
+        except Exception:  # pragma: no cover
+            pass
+    _registered = True

@@ -1,0 +1,228 @@
+"""Condition compiler: Beats condition config → Spark Column predicate.
+
+Reference: libbeat/conditions/ (dispatch conditions.go:30-99).
+Semantics preserved exactly (see SURVEY.md §2.7):
+
+- missing field ⇒ condition is **false**, not NULL
+  (equals.go:97-100, range.go:112-115). A field can be "missing" two
+  ways here: absent from the schema (compile-time ⇒ lit(False)) or
+  NULL at run time (⇒ coalesce(expr, false)).
+- type mismatch ⇒ false (equals.go:33-37 warn+false). `equals` is
+  strict per type family (extractors.go:64-89): an int literal only
+  matches integer-typed values (a double 3.0 does NOT equal literal 3),
+  a string literal only string values, a bool literal only bools.
+- `range` coerces via ExtractFloat (extractors.go:27-62): any numeric
+  *or numeric string* compares as float64; non-numeric ⇒ false.
+- `contains` requires string values (matcher via ExtractString).
+- and/or/not compose after the false-coercion, so Go boolean logic
+  (not SQL ternary logic) applies throughout.
+
+Config shape mirrors the YAML:
+    {"equals": {"level": "error"}}
+    {"range": {"n_tok.gte": 100, "n_tok.lt": 200}}
+    {"and": [c1, c2]}, {"or": [...]}, {"not": c}
+    {"has_fields": ["team"]}
+    {"contains": {"msg": "substr"}}, {"regexp": {"msg": "^x.*"}}
+    {"network": {"ip": "10.0.0.0/8"}}  (IPv4 CIDR + named ranges)
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from beats_spark.fields import field_col, field_type
+
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
+
+# named network ranges (libbeat/conditions/network.go)
+_NAMED_NETWORKS: dict[str, list[str]] = {
+    "loopback": ["127.0.0.0/8", "::1/128"],
+    "unicast": ["0.0.0.0/0", "::/0"],
+    "multicast": ["224.0.0.0/4", "ff00::/8"],
+    "unspecified": ["0.0.0.0/32", "::/128"],
+    "link_local_unicast": ["169.254.0.0/16", "fe80::/10"],
+    "link_local_multicast": ["224.0.0.0/24", "ff02::/16"],
+    "private": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16", "fc00::/7"],
+    "public": [],  # handled as NOT(private|loopback|link_local|multicast|unspecified)
+}
+
+
+def _false() -> Column:
+    return F.lit(False)
+
+
+def _bool(col: Column) -> Column:
+    """Coerce SQL ternary NULL to Go false (equals.go:97-100)."""
+    return F.coalesce(col, F.lit(False))
+
+
+def _equals_one(df: DataFrame, path: str, value: Any) -> Column:
+    col = field_col(df, path)
+    ftype = field_type(df.schema, path)
+    if col is None or ftype is None:
+        return _false()
+    if isinstance(value, bool):  # bool first: bool is an int subclass in py
+        if isinstance(ftype, T.BooleanType):
+            return _bool(col == F.lit(value))
+        return _false()
+    if isinstance(value, int):
+        if isinstance(ftype, _INT_TYPES):
+            return _bool(col.cast("long") == F.lit(int(value)))
+        return _false()  # float/string event value vs int literal ⇒ false
+    if isinstance(value, str):
+        if isinstance(ftype, T.StringType):
+            return _bool(col == F.lit(value))
+        return _false()
+    raise ValueError(f"equals: unsupported literal type {type(value)} for {path}")
+
+
+def _range_one(df: DataFrame, path: str, ops: dict[str, float]) -> Column:
+    col = field_col(df, path)
+    ftype = field_type(df.schema, path)
+    if col is None or ftype is None:
+        return _false()
+    if isinstance(ftype, _INT_TYPES + _FLOAT_TYPES):
+        fval = col.cast("double")
+    elif isinstance(ftype, T.StringType):
+        fval = col.try_cast("double")  # ParseFloat analog; non-numeric → NULL → false
+    else:
+        return _false()
+    pred = F.lit(True)
+    for op, raw in ops.items():
+        v = F.lit(float(raw))
+        if op == "gte":
+            pred = pred & (fval >= v)
+        elif op == "gt":
+            pred = pred & (fval > v)
+        elif op == "lte":
+            pred = pred & (fval <= v)
+        elif op == "lt":
+            pred = pred & (fval < v)
+        else:
+            raise ValueError(f"range: unexpected operator {op}")
+    return _bool(pred)
+
+
+def _string_match(df: DataFrame, fields: dict[str, str], kind: str) -> Column:
+    pred = F.lit(True)
+    for path, pattern in fields.items():
+        col = field_col(df, path)
+        ftype = field_type(df.schema, path)
+        if col is None or not isinstance(ftype, T.StringType):
+            return _false()  # ExtractString: non-string ⇒ false
+        if kind == "contains":
+            pred = pred & col.contains(pattern)
+        else:
+            pred = pred & col.rlike(pattern)
+    return _bool(pred)
+
+
+def _ipv4_to_long(col: Column) -> Column:
+    """Dotted-quad string → int64 (NULL for non-IPv4)."""
+    valid = col.rlike(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+    parts = F.split(col, r"\.")
+    octets_ok = F.forall(parts, lambda o: o.try_cast("int") <= 255)
+    num = (
+        parts.getItem(0).try_cast("long") * F.lit(16777216)
+        + parts.getItem(1).try_cast("long") * F.lit(65536)
+        + parts.getItem(2).try_cast("long") * F.lit(256)
+        + parts.getItem(3).try_cast("long")
+    )
+    return F.when(valid & octets_ok, num)
+
+
+def _network_one(df: DataFrame, path: str, networks: Any) -> Column:
+    """IP-in-CIDR via pure integer arithmetic (IPv4 native; IPv6 rows ⇒
+    false in this build — noted divergence, reference supports both)."""
+    col = field_col(df, path)
+    ftype = field_type(df.schema, path)
+    if col is None or not isinstance(ftype, T.StringType):
+        return _false()
+    if isinstance(networks, str):
+        networks = [networks]
+    cidrs: list[str] = []
+    negate_public = False
+    for n in networks:
+        if n in _NAMED_NETWORKS:
+            if n == "public":
+                negate_public = True
+                for k in ("private", "loopback", "link_local_unicast",
+                          "link_local_multicast", "multicast", "unspecified"):
+                    cidrs.extend(_NAMED_NETWORKS[k])
+            else:
+                cidrs.extend(_NAMED_NETWORKS[n])
+        else:
+            cidrs.append(n)
+    ip_long = _ipv4_to_long(col)
+    pred = _false()
+    for c in cidrs:
+        try:
+            net = ipaddress.ip_network(c, strict=False)
+        except ValueError as e:
+            raise ValueError(f"network: bad CIDR {c}") from e
+        if net.version != 4:
+            continue  # IPv6 matching not implemented natively
+        lo, hi = int(net.network_address), int(net.broadcast_address)
+        pred = pred | _bool((ip_long >= F.lit(lo)) & (ip_long <= F.lit(hi)))
+    if negate_public:
+        pred = _bool(ip_long.isNotNull()) & ~pred
+    return _bool(pred)
+
+
+def compile_condition(df: DataFrame, cond: dict[str, Any]) -> Column:
+    """Compile one condition dict to a boolean Column (never NULL)."""
+    if not isinstance(cond, dict) or len(cond) != 1:
+        raise ValueError(f"condition must be a single-key dict, got {cond!r}")
+    kind, body = next(iter(cond.items()))
+
+    if kind == "equals":
+        pred = F.lit(True)
+        for path, value in body.items():
+            pred = pred & _equals_one(df, path, value)
+        return _bool(pred)
+    if kind == "contains" or kind == "regexp":
+        return _string_match(df, body, kind)
+    if kind == "range":
+        grouped: dict[str, dict[str, float]] = {}
+        for key, value in body.items():
+            m = re.match(r"^(.*)\.(gte|gt|lte|lt)$", key)
+            if not m:
+                raise ValueError(f"range: key must end in .gt/.gte/.lt/.lte: {key}")
+            grouped.setdefault(m.group(1), {})[m.group(2)] = float(value)
+        pred = F.lit(True)
+        for path, ops in grouped.items():
+            pred = pred & _range_one(df, path, ops)
+        return _bool(pred)
+    if kind == "has_fields":
+        fields = [body] if isinstance(body, str) else list(body)
+        pred = F.lit(True)
+        for path in fields:
+            col = field_col(df, path)
+            pred = pred & (_false() if col is None else col.isNotNull())
+        return _bool(pred)
+    if kind == "network":
+        pred = F.lit(True)
+        for path, networks in body.items():
+            pred = pred & _network_one(df, path, networks)
+        return _bool(pred)
+    if kind == "and":
+        pred = F.lit(True)
+        for sub in body:
+            pred = pred & compile_condition(df, sub)
+        return pred
+    if kind == "or":
+        pred = F.lit(False)
+        for sub in body:
+            pred = pred | compile_condition(df, sub)
+        return pred
+    if kind == "not":
+        sub = body[0] if isinstance(body, list) else body
+        return ~compile_condition(df, sub)
+    raise ValueError(f"unknown condition kind: {kind}")

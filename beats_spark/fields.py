@@ -1,0 +1,132 @@
+"""Dot-notation field access over a fixed-schema DataFrame.
+
+The reference event model is a schemaless nested map addressed with
+dot-notation (`libbeat/beat/event.go:84-104` GetValue/PutValue,
+mapstr.M). Our events are rows with a static schema; dotted paths
+navigate struct columns instead. Beats' "missing key" maps to either
+(a) the path not existing in the schema — decided at *compile* time —
+or (b) a NULL at run time (e.g. an enrich miss). Both must behave as
+"missing" for conditions (missing ⇒ false, see conditions.py).
+
+Reserved namespaces (`event.go:67-82`): `@timestamp` is a plain
+timestamp column; `@metadata.*` lives in the `_meta` struct column and
+is dropped before any sink write (sinks/writer.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_COL = "_meta"  # @metadata analog: routing-only, never emitted
+ERROR_COL = "_error"  # error.message analog (event.go:303-316)
+FLAGS_COL = "_flags"  # log.flags analog (beat.FlagField), array<string>
+
+
+def _navigate(dtype: T.DataType, parts: list[str]) -> T.DataType | None:
+    """Walk a dotted path through nested structs; None if absent."""
+    cur = dtype
+    for p in parts:
+        if not isinstance(cur, T.StructType):
+            return None
+        try:
+            cur = cur[p].dataType
+        except KeyError:
+            return None
+    return cur
+
+
+def field_type(schema: T.StructType, path: str) -> T.DataType | None:
+    """Data type at `path`, or None when the schema lacks it."""
+    if path.startswith("@metadata."):
+        path = META_COL + path[len("@metadata") :]
+    if path == "@timestamp":
+        path = "@timestamp"
+    parts = path.split(".")
+    # longest-prefix match on top-level names that contain dots
+    for cut in range(len(parts), 0, -1):
+        top = ".".join(parts[:cut])
+        if top in schema.fieldNames():
+            return _navigate(schema[top].dataType, parts[cut:])
+    return None
+
+
+def has_field(schema: T.StructType, path: str) -> bool:
+    return field_type(schema, path) is not None
+
+
+def field_col(df: DataFrame, path: str) -> Column | None:
+    """Column for a dotted path, or None when absent from the schema."""
+    if path.startswith("@metadata."):
+        path = META_COL + path[len("@metadata") :]
+    parts = path.split(".")
+    for cut in range(len(parts), 0, -1):
+        top = ".".join(parts[:cut])
+        if top in df.columns:
+            if field_type(df.schema, path) is None:
+                return None
+            col = F.col(f"`{top}`")
+            for p in parts[cut:]:
+                col = col.getField(p)
+            return col
+    return None
+
+
+def put_field(df: DataFrame, path: str, value: Column) -> DataFrame:
+    """PutValue analog (`event.go:240-253`): create or overwrite.
+
+    Top-level paths become/replace columns; `a.b` paths use
+    Column.withField on the struct column `a` (created as a new struct
+    when absent).
+    """
+    if path.startswith("@metadata."):
+        path = META_COL + path[len("@metadata") :]
+    parts = path.split(".")
+    if len(parts) == 1 or ".".join(parts) in df.columns:
+        return df.withColumn(path, value)
+    top = parts[0]
+    if top in df.columns and isinstance(df.schema[top].dataType, T.StructType):
+        col = F.col(f"`{top}`").withField(".".join(parts[1:]).replace(".", "`.`"), value)
+        return df.withColumn(top, col)
+    if top not in df.columns:
+        # build nested struct bottom-up
+        inner: Column = value
+        for p in reversed(parts[1:]):
+            inner = F.struct(inner.alias(p))
+        return df.withColumn(top, inner)
+    # top exists but is not a struct: Beats would error TryToExpandObject;
+    # we overwrite with a struct (documented divergence)
+    inner = value
+    for p in reversed(parts[1:]):
+        inner = F.struct(inner.alias(p))
+    return df.withColumn(top, inner)
+
+
+def drop_field(df: DataFrame, path: str) -> DataFrame:
+    """Delete analog (`event.go:268-276`); no-op when absent."""
+    if not has_field(df.schema, path):
+        return df
+    parts = path.split(".")
+    if path in df.columns or len(parts) == 1:
+        return df.drop(path)
+    top = parts[0]
+    if top in df.columns and isinstance(df.schema[top].dataType, T.StructType):
+        col = F.col(f"`{top}`").dropFields("`" + "`.`".join(parts[1:]) + "`")
+        return df.withColumn(top, col)
+    return df
+
+
+def ensure_flags(df: DataFrame) -> DataFrame:
+    """Make sure the log.flags analog column exists (array<string>)."""
+    if FLAGS_COL not in df.columns:
+        return df.withColumn(FLAGS_COL, F.lit(None).cast(T.ArrayType(T.StringType())))
+    return df
+
+
+def add_flag(df: DataFrame, flag: str, cond: Column | None = None) -> DataFrame:
+    """AddTagsWithKey analog (mapstr, dedup'd append) gated on `cond`."""
+    df = ensure_flags(df)
+    appended = F.array_union(F.coalesce(F.col(FLAGS_COL), F.array()), F.array(F.lit(flag)))
+    new = appended if cond is None else F.when(cond, appended).otherwise(F.col(FLAGS_COL))
+    return df.withColumn(FLAGS_COL, new)

@@ -1,0 +1,130 @@
+"""Dissect kernel vs the reference golden corpus
+(libbeat/processors/dissect/testdata/dissect_tests.json, loaded from the
+read-only reference checkout at test time), plus native-regex path
+equivalence on Spark."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.dissect import Tokenizer, TokenizerError, make_dissect_udf, make_trimmer
+
+CORPUS = "/root/reference/libbeat/processors/dissect/testdata/dissect_tests.json"
+
+
+def load_cases():
+    if not os.path.exists(CORPUS):
+        return []
+    with open(CORPUS) as f:
+        return [c for c in json.load(f) if not c.get("skip")]
+
+
+CASES = load_cases()
+
+
+@pytest.mark.parametrize("case", CASES, ids=[c["name"][:60] for c in CASES])
+def test_golden_corpus_python_kernel(case):
+    tok = Tokenizer(case["tok"])
+    out = tok.dissect(case["msg"])
+    if case.get("fail"):
+        assert out is None, f"expected failure, got {out}"
+    else:
+        assert out == case["expected"]
+
+
+def test_append_ordinal():
+    tok = Tokenizer("%{+key/2} %{+key/1}")
+    assert tok.dissect("hello world") == {"key": "world hello"}
+
+
+def test_append_join_uses_previous_delimiter():
+    tok = Tokenizer("%{+key}-%{+key}")
+    assert tok.dissect("hello-world") == {"key": "hello-world"}
+
+
+def test_named_skip_and_indirect():
+    tok = Tokenizer("%{?key} %{&key}")
+    assert tok.dissect("hello world") == {"hello": "world"}
+
+
+def test_pointer_and_indirect():
+    tok = Tokenizer("%{*key} %{&key}")
+    assert tok.dissect("hello world") == {"hello": "world"}
+
+
+def test_greedy_padding():
+    tok = Tokenizer("%{a->} %{b}")
+    assert tok.dissect("x      y") == {"a": "x", "b": "y"}
+
+
+def test_fixed_length():
+    tok = Tokenizer("%{a#4}%{b}")
+    assert tok.dissect("abcdrest") == {"a": "abcd", "b": "rest"}
+
+
+def test_empty_string_fails():
+    tok = Tokenizer("%{a} %{b}")
+    assert tok.dissect("") is None
+
+
+def test_trailing_junk_ignored():
+    tok = Tokenizer("%{a} END")
+    assert tok.dissect("x ENDzzz") == {"a": "x"}
+
+
+def test_trim_all():
+    tok = Tokenizer("%{a},%{b}", trimmer=make_trimmer("all"))
+    assert tok.dissect("  x  ,  y  ") == {"a": "x", "b": "y"}
+
+
+def test_convert_types():
+    tok = Tokenizer("%{n|long} %{f|double} %{b|boolean} %{x|integer}")
+    out = tok.dissect_converted("42 1.5 true 0x1F")
+    assert out == {"n": 42, "f": 1.5, "b": True, "x": 31}
+
+
+def test_convert_failure_keeps_raw():
+    tok = Tokenizer("%{n|long}")
+    assert tok.dissect_converted("notanum") == {"n": "notanum"}
+
+
+def test_missing_indirect_reference_rejected():
+    with pytest.raises(TokenizerError):
+        Tokenizer("%{&key}")
+
+
+# ---- Spark native path ≡ Python kernel -------------------------------------
+
+
+NATIVE_CASES = [c for c in CASES if Tokenizer(c["tok"]).native_compilable]
+
+
+@pytest.mark.parametrize(
+    "case", NATIVE_CASES, ids=[c["name"][:60] for c in NATIVE_CASES]
+)
+def test_native_regex_matches_kernel(spark, case):
+    tok = Tokenizer(case["tok"])
+    df = spark.createDataFrame([(case["msg"],)], "msg string")
+    matched, values = tok.native_exprs(F.col("msg"), convert=False)
+    row = df.select(
+        matched.alias("_m"), *[v.alias(f"k{i}") for i, v in enumerate(values.values())]
+    ).first()
+    expected = tok.dissect(case["msg"])
+    if case.get("fail"):
+        assert not row["_m"]
+    else:
+        assert row["_m"], f"native regex failed to match: {tok.regex()}"
+        got = {k: row[f"k{i}"] for i, k in enumerate(values.keys())}
+        assert got == expected == case["expected"]
+
+
+def test_fallback_udf_matches_kernel(spark):
+    tok = Tokenizer("%{*key} %{&key} %{rest#4}%{tail}")
+    assert not tok.native_compilable
+    udf = make_dissect_udf(tok)
+    df = spark.createDataFrame([("hello world abcdtail",), ("nope",)], "msg string")
+    rows = df.select(udf(F.col("msg")).alias("m")).collect()
+    assert rows[0]["m"] == tok.dissect("hello world abcdtail")
+    assert rows[1]["m"] is None
