@@ -73,34 +73,48 @@ def field_col(df: DataFrame, path: str) -> Column | None:
     return None
 
 
-def put_field(df: DataFrame, path: str, value: Column) -> DataFrame:
-    """PutValue analog (`event.go:240-253`): create or overwrite.
+def _put_nested(
+    col: Column | None, dtype: T.DataType | None, parts: list[str], value: Column
+) -> Column:
+    """Set `parts` under struct `col` (None = absent), creating missing
+    intermediate structs (withField can't create them itself)."""
+    p = parts[0]
+    is_struct = isinstance(dtype, T.StructType)
+    if len(parts) == 1:
+        inner = value
+    else:
+        sub_dt = (
+            dtype[p].dataType if is_struct and p in dtype.fieldNames() else None
+        )
+        sub_col = (
+            col.getField(p)
+            if col is not None and is_struct and p in dtype.fieldNames()
+            else None
+        )
+        if not isinstance(sub_dt, T.StructType):
+            sub_col, sub_dt = None, None  # overwrite non-struct intermediary
+        inner = _put_nested(sub_col, sub_dt, parts[1:], value)
+    if col is None or not is_struct:
+        return F.struct(inner.alias(p))
+    return col.withField(f"`{p}`", inner)
 
-    Top-level paths become/replace columns; `a.b` paths use
-    Column.withField on the struct column `a` (created as a new struct
-    when absent).
-    """
+
+def put_field(df: DataFrame, path: str, value: Column) -> DataFrame:
+    """PutValue analog (`event.go:240-253`): create or overwrite; nested
+    paths go through struct columns, creating intermediates as needed.
+    A non-struct intermediary is overwritten with a struct (Beats would
+    error TryToExpandObject — documented divergence)."""
     if path.startswith("@metadata."):
         path = META_COL + path[len("@metadata") :]
     parts = path.split(".")
     if len(parts) == 1 or ".".join(parts) in df.columns:
         return df.withColumn(path, value)
     top = parts[0]
-    if top in df.columns and isinstance(df.schema[top].dataType, T.StructType):
-        col = F.col(f"`{top}`").withField(".".join(parts[1:]).replace(".", "`.`"), value)
-        return df.withColumn(top, col)
-    if top not in df.columns:
-        # build nested struct bottom-up
-        inner: Column = value
-        for p in reversed(parts[1:]):
-            inner = F.struct(inner.alias(p))
-        return df.withColumn(top, inner)
-    # top exists but is not a struct: Beats would error TryToExpandObject;
-    # we overwrite with a struct (documented divergence)
-    inner = value
-    for p in reversed(parts[1:]):
-        inner = F.struct(inner.alias(p))
-    return df.withColumn(top, inner)
+    if top in df.columns:
+        dt = df.schema[top].dataType
+        col = F.col(f"`{top}`") if isinstance(dt, T.StructType) else None
+        return df.withColumn(top, _put_nested(col, dt, parts[1:], value))
+    return df.withColumn(top, _put_nested(None, None, parts[1:], value))
 
 
 def drop_field(df: DataFrame, path: str) -> DataFrame:

@@ -1,0 +1,52 @@
+"""Pipeline assembly: config → one lazily-optimized DataFrame DAG.
+
+The Beats lifecycle (SURVEY.md §3.1: input → harvester → queue →
+publisher → output) collapses into
+    read → include_lines filter → processor chain → routing → fan-out
+with Spark task retry + atomic per-chunk commits replacing the
+queue/ACK machinery. Config mirrors filebeat.yml:
+
+    {
+      "include_lines": ["^level="],          # pre-parse regex keep
+      "exclude_lines": ["^DBG"],             # pre-parse regex drop
+      "processors": [ {name: {...}}, ... ],  # ordered chain
+      "routing": {"rules": [...], "default": ..., "dead_letter": ...},
+      "payload_field": "payload",
+    }
+
+include/exclude_lines run BEFORE any parse (harvester.go:496-519) so
+Catalyst pushes the rlike as close to the scan as it can.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.fields import field_col
+from beats_spark.processors import compile_chain
+from beats_spark.routing import with_sink
+from beats_spark.sinks import SINK_COL
+
+
+class Pipeline:
+    def __init__(self, config: dict[str, Any]):
+        self.config = config
+        self.chain = compile_chain(config.get("processors") or [])
+
+    def transform(self, df: DataFrame) -> DataFrame:
+        """Everything up to (and including) the sink column."""
+        payload = self.config.get("payload_field", "payload")
+        pcol = field_col(df, payload)
+        if pcol is not None:
+            for pat in self.config.get("include_lines") or []:
+                df = df.filter(pcol.rlike(pat))
+            for pat in self.config.get("exclude_lines") or []:
+                df = df.filter(~F.coalesce(pcol.rlike(pat), F.lit(False)))
+        df = self.chain(df)
+        routing = self.config.get("routing")
+        if routing:
+            df = with_sink(df, routing, SINK_COL)
+        return df

@@ -1,0 +1,416 @@
+"""Driver-facing query catalog: each entry pairs a Spark implementation
+(an operator from SURVEY.md §2 exercised end-to-end) with a DuckDB
+oracle SQL string over the same testdata tables.
+
+Column names are aliased identically on both sides (the driver's
+compare hashes values after sorting columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beats_spark import flagship
+from beats_spark.datagen import token_events_sql
+from beats_spark.pipeline import Pipeline
+from beats_spark.processors import compile_chain
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.datagen import load_token_events
+
+    return load_token_events(spark, sf_dir)
+
+
+# --- q03: dissect only (native regex path) ----------------------------------
+
+
+def q_dissect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chain = compile_chain(
+        [
+            {
+                "dissect": {
+                    "tokenizer": flagship.FLAGSHIP_TOKENIZER,
+                    "field": "payload",
+                    "target_prefix": "",
+                    "ignore_failure": True,
+                }
+            }
+        ]
+    )
+    out = chain(_tokens(spark, sf_dir))
+    return (
+        out.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("seq").alias("sum_seq"),
+            F.count("caller").alias("n_caller"),
+        )
+        .orderBy("level")
+    )
+
+
+def q_dissect_oracle() -> str:
+    pat = flagship._ORACLE_PAT
+    return f"""
+WITH events AS ({token_events_sql('duckdb')})
+SELECT CASE WHEN regexp_matches(payload, {pat})
+            THEN regexp_extract(payload, {pat}, 1) END AS level,
+       count(*) AS n,
+       sum(CASE WHEN regexp_matches(payload, {pat})
+                THEN TRY_CAST(regexp_extract(payload, {pat}, 6) AS BIGINT) END) AS sum_seq,
+       count(CASE WHEN regexp_matches(payload, {pat})
+                  THEN regexp_extract(payload, {pat}, 3) END) AS n_caller
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+# --- q04: broadcast enrich hit/miss -----------------------------------------
+
+
+def q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.datagen import lookup_rows
+
+    chain = compile_chain(
+        [{"lookup": {"rows": lookup_rows(), "key_field": "source", "target": ""}}]
+    )
+    out = chain(_tokens(spark, sf_dir))
+    return (
+        out.groupBy(F.coalesce("team", F.lit("MISS")).alias("team"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("sum_n_tok"))
+        .orderBy("team")
+    )
+
+
+def q_enrich_oracle() -> str:
+    from beats_spark.datagen import lookup_sql
+
+    return f"""
+WITH events AS ({token_events_sql('duckdb')})
+SELECT coalesce(lookup_source.team, 'MISS') AS team,
+       count(*) AS n, sum(n_tok) AS sum_n_tok
+FROM events LEFT JOIN {lookup_sql('duckdb')}
+  ON events.source = lookup_source.source
+GROUP BY 1 ORDER BY 1"""
+
+
+# --- q05: condition language (missing-field ⇒ false, type coercion) ---------
+
+
+def q_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.conditions import compile_condition
+
+    df = _events(spark, sf_dir)
+    c_range = compile_condition(
+        df, {"range": {"value.gte": 10, "value.lt": 100}}
+    )
+    c_mixed = compile_condition(
+        df,
+        {
+            "and": [
+                {"contains": {"event_type": "c"}},
+                {"not": {"equals": {"event_type": "click"}}},
+            ]
+        },
+    )
+    c_missing = compile_condition(df, {"equals": {"no_such_field": "x"}})
+    c_regex = compile_condition(df, {"regexp": {"event_type": "^(view|error)$"}})
+    return df.agg(
+        F.sum(c_range.cast("long")).alias("n_range"),
+        F.sum(c_mixed.cast("long")).alias("n_mixed"),
+        F.sum(c_missing.cast("long")).alias("n_missing"),
+        F.sum(c_regex.cast("long")).alias("n_regex"),
+    )
+
+
+def q_conditions_oracle() -> str:
+    return """
+SELECT sum(CASE WHEN value >= 10 AND value < 100 THEN 1 ELSE 0 END) AS n_range,
+       sum(CASE WHEN event_type LIKE '%c%' AND event_type <> 'click' THEN 1 ELSE 0 END) AS n_mixed,
+       0 AS n_missing,
+       sum(CASE WHEN regexp_matches(event_type, '^(view|error)$') THEN 1 ELSE 0 END) AS n_regex
+FROM events"""
+
+
+# --- q06: rate_limit (token bucket, batch analog) ----------------------------
+
+
+def q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chain = compile_chain(
+        [
+            {
+                "rate_limit": {
+                    "limit": "3/m",
+                    "fields": ["user_id"],
+                    "order_by": ["ts", "event_id"],
+                }
+            }
+        ]
+    )
+    out = chain(_events(spark, sf_dir))
+    return out.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("sum_ids"),
+    )
+
+
+def q_rate_limit_oracle() -> str:
+    return """
+WITH ranked AS (
+  SELECT event_id,
+         row_number() OVER (
+           PARTITION BY user_id, CAST(floor(epoch(ts) / 60) AS BIGINT)
+           ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT count(*) AS n_kept, sum(event_id) AS sum_ids FROM ranked WHERE rn <= 3"""
+
+
+# --- q07: cache processor (put→get cross-event state, batch) ----------------
+
+
+def q_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir).withColumn("@timestamp", F.col("ts"))
+    chain = compile_chain(
+        [
+            {
+                "cache": {
+                    "key_field": "user_id",
+                    "value_field": "value",
+                    "put_when": {"equals": {"event_type": "purchase"}},
+                    "target_field": "last_purchase_value",
+                    "order_by": "event_id",
+                }
+            }
+        ]
+    )
+    out = chain(df)
+    # sum cents as integers: float-summation order differs across
+    # engines, integer sums cannot
+    cents = F.round(F.col("last_purchase_value") * 100).cast("long")
+    return out.agg(
+        F.count("last_purchase_value").alias("n_hits"),
+        F.sum(cents).alias("sum_cached_cents"),
+    )
+
+
+def q_cache_oracle() -> str:
+    return """
+WITH c AS (
+  SELECT last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cached
+  FROM events)
+SELECT count(cached) AS n_hits,
+       sum(CAST(round(cached * 100) AS BIGINT)) AS sum_cached_cents FROM c"""
+
+
+# --- q08: fingerprint (|k|v| byte layout, sha256/hex) ------------------------
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chain = compile_chain(
+        [
+            {
+                "fingerprint": {
+                    "fields": ["doc_id", "lang"],
+                    "method": "sha256",
+                    "target_field": "fp",
+                }
+            }
+        ]
+    )
+    out = chain(_documents(spark, sf_dir))
+    return out.select("doc_id", "fp").orderBy("doc_id").limit(100)
+
+
+def q_fingerprint_oracle() -> str:
+    return """
+SELECT doc_id,
+       sha256(concat('|doc_id|', CAST(doc_id AS VARCHAR), '|lang|', lang, '|')) AS fp
+FROM documents ORDER BY doc_id LIMIT 100"""
+
+
+# --- q09: shaping battery (truncate/replace/extract/case) --------------------
+
+
+def q_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chain = compile_chain(
+        [
+            {
+                "truncate_fields": {
+                    "fields": ["text"],
+                    "max_characters": 60,
+                }
+            },
+            {
+                "replace": {
+                    "fields": [
+                        {"field": "text", "pattern": "table", "replacement": "TBL"}
+                    ]
+                }
+            },
+            {
+                "extract_field": {
+                    "field": "text",
+                    "separator": " ",
+                    "index": 0,
+                    "target": "first_word",
+                }
+            },
+            {"uppercase": {"values": ["lang"]}},
+        ]
+    )
+    out = chain(_documents(spark, sf_dir))
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("sum_len"),
+            F.count_distinct("first_word").alias("n_first"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_shape_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT upper(lang) AS lang,
+         replace(CASE WHEN length(text) > 60 THEN substr(text, 1, 60) ELSE text END,
+                 'table', 'TBL') AS text
+  FROM documents)
+SELECT lang, count(*) AS n, sum(length(text)) AS sum_len,
+       count(DISTINCT split_part(text, ' ', 1)) AS n_first
+FROM t GROUP BY lang ORDER BY lang"""
+
+
+# --- q10: decode_json_fields over events.props -------------------------------
+
+
+def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chain = compile_chain(
+        [
+            {
+                "decode_json_fields": {
+                    "fields": ["props"],
+                    "target": "props_obj",
+                    "schemas": {"props": "struct<k:bigint>"},
+                }
+            }
+        ]
+    )
+    out = chain(_events(spark, sf_dir))
+    return out.agg(
+        F.sum(F.col("props_obj.k")).alias("sum_k"),
+        F.count("props_obj.k").alias("n_k"),
+    )
+
+
+def q_decode_json_oracle() -> str:
+    return """
+SELECT sum(TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS sum_k,
+       count(CASE WHEN regexp_matches(props, '"k": (-?\\d+)') THEN 1 END) AS n_k
+FROM events"""
+
+
+# --- rows-only queries (non-SQL-expressible; exactness is pytest-checked
+# against pure-Python oracles in tests/test_training.py) ----------------------
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.training import dedup
+
+    docs = _documents(spark, sf_dir)
+    return dedup.minhash_lsh_candidates(docs, num_perm=64, bands=16).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.training import dedup
+
+    docs = _documents(spark, sf_dir)
+    both = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    return dedup.simhash_dup_groups(both).orderBy("keep_id")
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beats_spark.training import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = embs.filter(F.col("vec_id") < 3)
+    return similarity.lsh_topk(embs, queries_df, dim=64, k=5, n_planes=4, n_tables=16)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payloads synthesized from documents
+    text, sniffed + feature-extracted via mapInPandas."""
+    from beats_spark.training.multimodal import extract_features
+
+    docs = _documents(spark, sf_dir).limit(50)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.concat(F.lit("\x89PNG\r\n\x1a\n"), F.col("text")).cast("binary").alias("media"),
+    )
+    return extract_features(media).orderBy("key")
+
+
+# --- catalog -----------------------------------------------------------------
+
+
+def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from beats_spark import queries_training
+
+    extra = {
+        "q16_minhash_lsh": q_minhash_lsh,
+        "q17_simhash": q_simhash,
+        "q18_lsh_topk": q_lsh_topk,
+        "q19_media_features": q_media_features,
+    }
+    return {**_base_catalog(), **queries_training.catalog(), **extra}
+
+
+def _base_catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q01_route_counts": flagship.route_counts,
+        "q02_token_integrity": flagship.token_checksums,
+        "q03_dissect": q_dissect,
+        "q04_enrich_lookup": q_enrich,
+        "q05_conditions": q_conditions,
+        "q06_rate_limit": q_rate_limit,
+        "q07_cache": q_cache,
+        "q08_fingerprint": q_fingerprint,
+        "q09_shape": q_shape,
+        "q10_decode_json": q_decode_json,
+    }
+
+
+def oracles() -> dict[str, str]:
+    from beats_spark import queries_training
+
+    return {**_base_oracles(), **queries_training.oracles()}
+
+
+def _base_oracles() -> dict[str, str]:
+    return {
+        "q01_route_counts": flagship.oracle_route_counts_sql(),
+        "q02_token_integrity": flagship.oracle_token_checksums_sql(),
+        "q03_dissect": q_dissect_oracle(),
+        "q04_enrich_lookup": q_enrich_oracle(),
+        "q05_conditions": q_conditions_oracle(),
+        "q06_rate_limit": q_rate_limit_oracle(),
+        "q07_cache": q_cache_oracle(),
+        "q08_fingerprint": q_fingerprint_oracle(),
+        "q09_shape": q_shape_oracle(),
+        "q10_decode_json": q_decode_json_oracle(),
+    }

@@ -1,0 +1,240 @@
+"""Oracle-checked queries for the training-data ops + multiline reader.
+
+Same contract as queries.py: Spark implementation + DuckDB oracle over
+the testdata views, identical column names/rounding on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from beats_spark.training import dedup, similarity, text
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- q11: exact dedup (hash-groupBy) -----------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    both = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
+    kept = dedup.exact_dedup(both)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_keep_ids"),
+    )
+
+
+def q_dedup_exact_oracle() -> str:
+    return """
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents),
+kept AS (SELECT min(doc_id) AS keep_id FROM unioned GROUP BY text)
+SELECT count(*) AS n_kept, sum(keep_id) AS sum_keep_ids FROM kept"""
+
+
+# --- q12: text stats + language id -------------------------------------------
+
+_SW_SQL = {
+    lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in text.STOPWORDS.items()
+}
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.with_text_stats(_docs(spark, sf_dir))
+    return (
+        out.groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_words").alias("sum_words"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("n_tokens_bpe").alias("sum_bpe"),
+            F.sum(F.round(F.col("stopword_ratio") * 1e6).cast("long")).alias(
+                "sum_swr_ppm"
+            ),
+        )
+        .orderBy("lang_pred")
+    )
+
+
+def q_text_stats_oracle() -> str:
+    hits = {
+        lang: (
+            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"w -> w IN ({sql})))"
+        )
+        for lang, sql in _SW_SQL.items()
+    }
+    g = f"greatest({hits['de']}, {hits['en']}, {hits['es']}, {hits['fr']})"
+    lang_pred = (
+        f"CASE WHEN {g} = 0 THEN 'und' "
+        f"WHEN {hits['de']} = {g} THEN 'de' "
+        f"WHEN {hits['en']} = {g} THEN 'en' "
+        f"WHEN {hits['es']} = {g} THEN 'es' ELSE 'fr' END"
+    )
+    bpe = (
+        "len(regexp_extract_all(text, "
+        "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))"
+    )
+    return f"""
+WITH t AS (
+  SELECT {lang_pred} AS lang_pred,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         length(text) AS n_chars,
+         {bpe} AS n_bpe,
+         {hits['en']} AS en_sw
+  FROM documents)
+SELECT lang_pred, count(*) AS n, sum(n_words) AS sum_words,
+       sum(n_chars) AS sum_chars, sum(n_bpe) AS sum_bpe,
+       sum(CAST(round(en_sw * 1e6 / greatest(n_words, 1)) AS BIGINT)) AS sum_swr_ppm
+FROM t GROUP BY lang_pred ORDER BY lang_pred"""
+
+
+# --- q13: brute-force cosine top-k -------------------------------------------
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(embs, queries, k=5)
+    return out.select("query_id", "neighbor_id", "rank", "cos_sim").orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_cosine_topk_oracle() -> str:
+    return """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, e.embedding), 6) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+# --- q14: n-gram Jaccard pairs ----------------------------------------------
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.05).select(
+        "id_a", "id_b", "n_common", "jaccard"
+    ).orderBy("id_a", "id_b")
+
+
+def q_jaccard_pairs_oracle() -> str:
+    sh = (
+        "list_distinct(list_transform(range(1, greatest(len(ws) - 2, 0) + 1), "
+        "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))"
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  FROM documents WHERE doc_id < 40),
+sh AS (SELECT doc_id, {sh} AS s FROM w),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.s, b.s)) AS n_common,
+         len(a.s) AS n_a, len(b.s) AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.05
+ORDER BY id_a, id_b"""
+
+
+# --- q15: multiline sessionization ------------------------------------------
+
+
+def q_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a deterministic line stream from orders (each order
+    emits 1 header + N '  at ' continuation lines; unique offsets so
+    the window order is total), merge, aggregate — sessionization with
+    an exact SQL twin."""
+    from beats_spark.readers.multiline import merge_lines
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lines = orders.select(
+        (F.col("o_orderkey") % 8).alias("source"),
+        F.col("o_orderkey").alias("ok"),
+        F.explode(F.sequence(F.lit(1), F.col("o_orderkey") % 5 + 1)).alias("i"),
+    ).select(
+        "source",
+        (F.col("ok") * 10 + F.col("i")).alias("offset"),
+        F.when(F.col("i") == 1, F.concat(F.lit("Error in order "), F.col("ok")))
+        .otherwise(F.concat(F.lit("  at line "), F.col("i")))
+        .alias("message"),
+    )
+    merged = merge_lines(
+        lines,
+        {"type": "pattern", "pattern": r"^\s+at ", "match": "after"},
+        group_col="source",
+        order_col="offset",
+    )
+    return merged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_lines").alias("n_lines_total"),
+        F.sum(F.length("message")).alias("sum_msg_len"),
+    ).orderBy("source")
+
+
+def q_multiline_oracle() -> str:
+    return """
+WITH lines AS (
+  SELECT o_orderkey % 8 AS source,
+         o_orderkey * 10 + i AS offset,
+         CASE WHEN i = 1
+              THEN concat('Error in order ', o_orderkey)
+              ELSE concat('  at line ', i) END AS message
+  FROM orders, unnest(range(1, o_orderkey % 5 + 2)) AS t(i)),
+marked AS (
+  SELECT *,
+         CASE WHEN NOT regexp_matches(message, '^\\s+at ')
+                   OR row_number() OVER (PARTITION BY source ORDER BY "offset") = 1
+              THEN 1 ELSE 0 END AS start
+  FROM lines),
+grouped AS (
+  SELECT *, sum(start) OVER (
+    PARTITION BY source ORDER BY "offset"
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS evt
+  FROM marked),
+merged AS (
+  SELECT source, evt,
+         string_agg(message, chr(10) ORDER BY "offset") AS message,
+         count(*) AS n_lines
+  FROM grouped GROUP BY source, evt)
+SELECT source, count(*) AS n_events, sum(n_lines) AS n_lines_total,
+       sum(length(message)) AS sum_msg_len
+FROM merged GROUP BY source ORDER BY source"""
+
+
+def catalog():
+    return {
+        "q11_dedup_exact": q_dedup_exact,
+        "q12_text_stats": q_text_stats,
+        "q13_cosine_topk": q_cosine_topk,
+        "q14_jaccard_pairs": q_jaccard_pairs,
+        "q15_multiline": q_multiline,
+    }
+
+
+def oracles():
+    return {
+        "q11_dedup_exact": q_dedup_exact_oracle(),
+        "q12_text_stats": q_text_stats_oracle(),
+        "q13_cosine_topk": q_cosine_topk_oracle(),
+        "q14_jaccard_pairs": q_jaccard_pairs_oracle(),
+        "q15_multiline": q_multiline_oracle(),
+    }

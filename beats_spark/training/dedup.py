@@ -1,0 +1,243 @@
+"""Deduplication for training-data pipelines.
+
+Five strategies, all shuffle-architected for 100 TB:
+
+- exact: hash-groupBy on a content hash — one shuffle on the 64-bit
+  hash (never on the text itself); keep min(doc_id).
+- n-gram Jaccard: shingle → explode → self-join on shingle →
+  |A∩B| per pair / inclusion-exclusion. The join key is a shingle
+  *hash*, and frequency-capped shingles avoid the quadratic blowup of
+  boilerplate shingles.
+- MinHash + LSH: per-doc signature (k permutations via (a*h+b) mod p),
+  banded into r-row bands; candidate pairs = docs sharing a band
+  bucket. Shuffle volume: docs × bands rows, NOT pairs.
+- SimHash: 64-bit weighted-majority hash; near-dups = equal hash or
+  small hamming distance within blocks.
+- embedding cosine: see similarity.py (cosine_pairs).
+
+Everything is native Column expressions; signatures use
+F.transform/F.aggregate over shingle arrays (JVM-side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.training.text import words
+
+# Mersenne prime 2^31-1: (h mod P) * a stays < 2^62 — no int64 overflow
+_P = (1 << 31) - 1
+
+
+# --- exact ------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact content hash.
+    Shuffles 16-byte hashes, not documents."""
+    h = F.xxhash64(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), h.alias("__h__"))
+        .groupBy("__h__")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__h__")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(content hash → n_docs, representative) for duplicate groups."""
+    h = F.xxhash64(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# --- shingles ----------------------------------------------------------------
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), as 64-bit hashes."""
+    ws = words(col)
+    n = F.size(ws)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, k))),
+    )
+    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with Jaccard(shingles) >= threshold.
+
+    explode → (shingle, doc) → self-join grouped count → inclusion-
+    exclusion. `max_shingle_freq` drops ubiquitous shingles (boilerplate)
+    before the join — the standard guard against quadratic hot keys.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    if max_shingle_freq is not None:
+        freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
+        exploded = exploded.join(
+            freq.filter(F.col("f") <= max_shingle_freq).select("s"), "s", "left_semi"
+        )
+    a = exploded.select(
+        F.col("s"), F.col("id").alias("id_a"), F.col("n_sh").alias("n_a")
+    )
+    b = exploded.select(
+        F.col("s"), F.col("id").alias("id_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h'(x) = (a*x + b) mod P."""
+    params = []
+    state = seed
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        params.append((a, b))
+    return params
+
+
+def minhash_signature(col: Column, num_perm: int = 64, k: int = 3, seed: int = 42) -> Column:
+    """array<long> MinHash signature over word k-gram shingles.
+
+    One pass: for each permutation i, min over shingles of
+    (a_i * h + b_i) mod P — F.transform over the permutation index with
+    an inner F.array_min(F.transform(shingles)). All JVM expressions;
+    cost O(shingles × num_perm) per row, embarrassingly parallel.
+    """
+    sh = shingles(col, k)
+
+    def perm(a: int, b: int):
+        # factory: pyspark HOFs count lambda params, so no default-arg
+        # closures
+        return lambda h: F.pmod(
+            F.pmod(h, F.lit(_P)) * F.lit(a) % F.lit(_P) + F.lit(b), F.lit(_P)
+        )
+
+    mins = [
+        F.array_min(F.transform(sh, perm(a, b)))
+        for (a, b) in _perm_params(num_perm, seed)
+    ]
+    return F.when(F.size(sh) > 0, F.array(*mins))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+
+    signature → `bands` band-hashes → explode → groupBy bucket →
+    pairs within bucket. Shuffle rows = docs × bands. Output:
+    (id_a, id_b, est_jaccard) with est = matching-minhash fraction.
+    """
+    rows = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), num_perm, k).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(bi), F.concat_ws(",", F.transform(
+                F.slice("sig", bi * rows + 1, rows), lambda x: x.cast("string")
+            )))
+            for bi in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "id", "sig", F.explode(band_hashes).alias("bucket")
+    )
+    a = buckets.select(F.col("bucket"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = buckets.select(F.col("bucket"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.size("sig_a")
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(est, 6).alias("est_jaccard")
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(col: Column, k: int = 3) -> Column:
+    """64-bit SimHash over shingle hashes: bit i of the result = sign of
+    sum over shingles of (+1 if bit i set else -1). Native bit ops."""
+    sh = shingles(col, k)
+
+    def bit_vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    # 63 bits: bit 63 would overflow the signed long literal
+    bit_sums = [F.aggregate(sh, F.lit(0), bit_vote(i)) for i in range(63)]
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        out = out + F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return F.when(F.size(sh) > 0, out)
+
+
+def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Docs sharing an identical simhash (hamming distance 0 groups)."""
+    return (
+        df.select(F.col(id_col), simhash(F.col(text_col), k).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,126 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All native Column expressions (split/filter/aggregate) — no Python in
+the hot path; a 100 TB documents scan stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword heuristic
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "de", "des", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+}
+
+_WORD_SEP = r"\s+"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered (split on a
+    leading/trailing separator yields empties)."""
+    return F.filter(F.split(F.trim(col), _WORD_SEP), lambda w: w != "")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+# BPE-ish subword pre-tokenizer: GPT-2-style contractions + word/number/
+# punct classes (a regex analog of the tiktoken pattern)
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish pre-tokens (regexp_extract_all, JVM-side)."""
+    return F.size(F.regexp_extract_all(col, F.lit(f"({_BPE_RE})"), 1))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    sw = STOPWORDS[lang]
+    return F.size(F.filter(words(F.lower(col)), lambda w: w.isin(*sw)))
+
+
+def language_id(col: Column, default: str = "und") -> Column:
+    """Stopword-hit argmax over the supported languages; ties broken by
+    language-code order (deterministic). Documents with zero hits in
+    every language → `default`."""
+    langs = sorted(STOPWORDS)
+    hits = {lang: stopword_hits(col, lang) for lang in langs}
+    best: Column = F.lit(default)
+    best_hits: Column = F.lit(0)
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        h = hits[lang]
+        better = h >= best_hits
+        best = F.when(h > 0, F.when(better, F.lit(lang)).otherwise(best)).otherwise(best)
+        best_hits = F.when(better & (h > 0), h).otherwise(best_hits)
+    return best
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    """Length/punctuation/stopword ratio features (the classic quality
+    filters of C4/Gopher-style pipelines), each a native expression."""
+    n_chars = F.length(col)
+    ws = words(col)
+    n_words = F.size(ws)
+    mean_word_len = F.when(
+        n_words > 0,
+        (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"),
+    )
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"([\.,;:!\?])"), 1))
+    n_digits = F.size(F.regexp_extract_all(col, F.lit(r"([0-9])"), 1))
+    en_sw = F.size(F.filter(F.transform(ws, F.lower), lambda w: w.isin(*STOPWORDS["en"])))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_word_len, 6),
+        "punct_ratio": F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "digit_ratio": F.round(n_digits.cast("double") / F.greatest(n_chars, F.lit(1)), 6),
+        "stopword_ratio": F.round(
+            en_sw.cast("double") / F.greatest(n_words, F.lit(1)), 6
+        ),
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality score: penalize too-short docs, extreme
+    punctuation/digit density, no stopwords. Deterministic arithmetic."""
+    f = quality_features(col)
+    length_ok = F.least(f["n_words"].cast("double") / F.lit(20.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - f["digit_ratio"] * 5)
+    sw_ok = F.least(f["stopword_ratio"] * 4, F.lit(1.0))
+    return F.round((length_ok + punct_pen + digit_pen + sw_ok) / 4, 6)
+
+
+def doc_fingerprint(col: Column, mod: int = (1 << 31) - 1, base: int = 257) -> Column:
+    """Rolling polynomial hash over the document's words — a stable
+    64-bit content fingerprint (same value ⇒ near-certain duplicate).
+    fold(acc*base + xxhash(word)) mod p, all JVM-side."""
+    return F.aggregate(
+        words(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(
+            acc * F.lit(base) + F.pmod(F.xxhash64(w), F.lit(mod)), F.lit(mod)
+        ),
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    out = df
+    for name, expr in quality_features(c).items():
+        out = out.withColumn(name, expr)
+    return (
+        out.withColumn("n_tokens_ws", token_count(c))
+        .withColumn("n_tokens_bpe", bpe_token_count(c))
+        .withColumn("lang_pred", language_id(c))
+        .withColumn("quality", quality_score(c))
+        .withColumn("fingerprint", doc_fingerprint(c))
+    )

@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "pipeline": {...}}
+
+The pipeline block is the BASELINE metric proper: end-to-end
+parse→enrich→route→fan-out-write throughput in sequences/sec over the
+deterministic generated token table.
+
+--scaling: run the identical pipeline job at local[8] and local[32]
+on the same input and report both throughputs + efficiency (the
+sandbox stand-in for N vs 4N executors; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _mk_spark(cpus: str, shuffle: int):
+    from beats_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"beats_spark_bench_{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle,
+    )
+
+
+def run_pipeline_bench(spark, n_rows: int) -> dict:
+    """Generated token table → full flagship pipeline → fan-out write."""
+    from beats_spark.datagen import generate_token_events
+    from beats_spark.flagship import flagship_config
+    from beats_spark.pipeline import Pipeline
+    from beats_spark.sinks import write_fanout
+
+    out_dir = tempfile.mkdtemp(prefix="beats_spark_bench_")
+    try:
+        df = generate_token_events(spark, n_rows)
+        routed = Pipeline(flagship_config()).transform(df)
+        t0 = time.perf_counter()
+        obs = write_fanout(routed, out_dir, mode="overwrite")
+        elapsed = time.perf_counter() - t0
+        published = obs.get["events_published"]
+        return {
+            "rows_in": n_rows,
+            "rows_published": int(published),
+            "elapsed_sec": round(elapsed, 3),
+            "sequences_per_sec": round(n_rows / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from beats_spark.queries import catalog
+
+    times: dict[str, float] = {}
+    for name, fn in catalog().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    bench_rows = int(os.environ.get("BENCH_ROWS", "2000000"))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for c in ("8", "32"):
+            spark = _mk_spark(c, int(c))
+            # warm (JIT/codegen) then measure
+            run_pipeline_bench(spark, max(bench_rows // 10, 10000))
+            results[c] = run_pipeline_bench(spark, bench_rows)
+            spark.stop()
+        t8 = results["8"]["sequences_per_sec"]
+        t32 = results["32"]["sequences_per_sec"]
+        eff = (t32 / t8) / 4.0
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency local[8]→local[32]",
+                    "throughput_8": t8,
+                    "throughput_32": t32,
+                    "efficiency": round(eff, 3),
+                    "rows": bench_rows,
+                }
+            )
+        )
+        return
+
+    spark = _mk_spark(cpus, int(cpus) if cpus.isdigit() else 32)
+    t_all0 = time.perf_counter()
+    qtimes = run_queries(spark, sf_dir)
+    pipe = run_pipeline_bench(spark, bench_rows)
+    total = round(time.perf_counter() - t_all0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "parse→enrich→route pipeline + operator catalog",
+                "value": total,
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": sf_dir,
+                "pipeline": pipe,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

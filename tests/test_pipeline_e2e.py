@@ -1,0 +1,145 @@
+"""End-to-end: routing fan-out, per-sink counts vs a pure-Python oracle,
+token-array row equality, checkpoint resume (test_registrar.py:454
+restart-continue analog)."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from beats_spark.checkpoint import CheckpointedRunner
+from beats_spark.datagen import load_token_events
+from beats_spark.flagship import flagship_config, routed_frame
+from beats_spark.pipeline import Pipeline
+from beats_spark.sinks import sink_counts, write_fanout
+
+SF = "/root/testdata/sf0.001"
+
+
+def _python_oracle_counts(spark):
+    """Dict-based reimplementation of the Go semantics (SURVEY.md §5)."""
+    from beats_spark.datagen import lookup_rows
+
+    lk = {r["source"]: r["team"] for r in lookup_rows()}
+    rows = spark.read.parquet(f"{SF}/orders.parquet").select("o_orderkey").collect()
+    import re
+
+    counts: dict[tuple[str, str], int] = {}
+    pat = re.compile(
+        r'^level=(.*?) ts=(.*?) caller=(.*?) msg="(.*)" ip=(.*?) seq=(.*)$', re.S
+    )
+    for r in rows:
+        k = r.o_orderkey
+        source = f"src-{0 if k % 10 < 4 else k % 10}"
+        lvl_i = k % 20
+        level = (
+            "debug" if lvl_i < 8 else "info" if lvl_i < 16 else "warn" if lvl_i < 19 else "error"
+        )
+        n_tok = k % 97 + 3
+        corrupt = k % 101 == 0
+        if corrupt:
+            sink = "dlq"
+        else:
+            if level == "debug":
+                continue
+            team = lk.get(source)
+            if level == "error":
+                sink = "errors"
+            elif level == "warn" and n_tok >= 50:
+                sink = "warns"
+            elif team is not None:
+                sink = f"team-{team}"
+            elif source in ("src-4", "src-5"):
+                sink = "bulk"
+            else:
+                sink = "catchall"
+        counts[(source, sink)] = counts.get((source, sink), 0) + 1
+    return counts
+
+
+def test_fanout_counts_match_python_oracle(spark, tmp_path):
+    out_dir = str(tmp_path / "fanout")
+    routed = routed_frame(spark, SF)
+    obs = write_fanout(routed, out_dir)
+    got = {
+        (r.source, r.sink): r.events for r in sink_counts(spark, out_dir).collect()
+    }
+    expected = _python_oracle_counts(spark)
+    assert got == expected
+    assert obs.get["events_published"] == sum(expected.values())
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_routed_rows_preserve_tokens(spark, tmp_path):
+    """Per-row invariant (BASELINE input_hint): every routed row's
+    tokens array equals the input row's exactly."""
+    out_dir = str(tmp_path / "tok")
+    write_fanout(routed_frame(spark, SF), out_dir)
+    routed = spark.read.parquet(out_dir)
+    src = load_token_events(spark, SF).select("doc_id", F.col("tokens").alias("tokens_in"))
+    joined = routed.join(src, "doc_id", "inner")
+    mismatches = joined.filter(F.col("tokens") != F.col("tokens_in")).count()
+    assert mismatches == 0
+    assert joined.count() == routed.count()
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_meta_never_reaches_sink(spark, tmp_path):
+    out_dir = str(tmp_path / "meta")
+    df = load_token_events(spark, SF)
+    cfg = flagship_config()
+    cfg["processors"].append(
+        {"add_formatted_index": {"index": "forced-%{[source]}"}}
+    )
+    routed = Pipeline(cfg).transform(df)
+    write_fanout(routed, out_dir)
+    written = spark.read.parquet(out_dir)
+    assert "_meta" not in written.columns
+    assert not [c for c in written.columns if c.startswith("__")]
+    # raw_index override took effect (index_support.go:157-203)
+    sinks = {r.sink for r in written.select("sink").distinct().collect()}
+    assert any(s.startswith("forced-src-") for s in sinks)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Crash after 3 of 8 chunks → rerun → identical counts to a clean
+    run; manifest carries per-chunk lineage + metrics."""
+    df = load_token_events(spark, SF)
+    pipe = Pipeline(flagship_config())
+
+    clean_dir = str(tmp_path / "clean")
+    runner0 = CheckpointedRunner(spark, clean_dir, n_chunks=8)
+    runner0.run(df, pipe.transform)
+    clean = {
+        (r.source, r.sink): r.events
+        for r in runner0.result()
+        .groupBy("source", "sink")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .collect()
+    }
+
+    resume_dir = str(tmp_path / "resume")
+    runner1 = CheckpointedRunner(spark, resume_dir, n_chunks=8)
+    first = runner1.run(df, pipe.transform, fail_after=3)
+    assert len(first) == 3
+    assert runner1.committed_chunks() == set(first)
+    second = runner1.run(df, pipe.transform)
+    assert len(second) == 5
+    assert set(first) | set(second) == set(range(8))
+    resumed = {
+        (r.source, r.sink): r.events
+        for r in runner1.result()
+        .groupBy("source", "sink")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .collect()
+    }
+    assert resumed == clean
+    # re-run again: nothing left to do (idempotent)
+    assert runner1.run(df, pipe.transform) == []
+    m = runner1.manifest()
+    assert m.count() == 8
+    row = m.orderBy("chunk_id").collect()[0]
+    assert row.row_count > 0 and row.min_doc_id <= row.max_doc_id
+    assert row.metrics["events.published"] == row.row_count

@@ -1,0 +1,287 @@
+"""Processor-chain semantics vs the reference's system tests
+(filebeat/tests/system/test_processors.py patterns) on tiny frames."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.processors import compile_chain, compile_one
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_drop_fields_and_include_fields(spark):
+    df = _df(spark, [("a", 1, "x")], "f1 string, f2 int, f3 string")
+    out = compile_one({"drop_fields": {"fields": ["f2"]}})(df)
+    assert out.columns == ["f1", "f3"]
+    out2 = compile_one({"include_fields": {"fields": ["f3"]}})(df)
+    assert out2.columns == ["f3"]
+
+
+def test_drop_event_when(spark):
+    df = _df(spark, [("debug", 1), ("info", 2)], "level string, n int")
+    out = compile_one({"drop_event": {"when": {"equals": {"level": "debug"}}}})(df)
+    assert [r.level for r in out.collect()] == ["info"]
+    # missing-field condition ⇒ false ⇒ nothing dropped
+    out2 = compile_one({"drop_event": {"when": {"equals": {"nope": "x"}}}})(df)
+    assert out2.count() == 2
+
+
+def test_when_gated_column_processor(spark):
+    df = _df(spark, [("a", 1), ("b", 2)], "k string, n int")
+    out = compile_one(
+        {
+            "add_fields": {
+                "target": "",
+                "fields": {"tagged": "yes"},
+                "when": {"equals": {"k": "a"}},
+            }
+        }
+    )(df)
+    rows = {r.k: r.tagged for r in out.collect()}
+    assert rows == {"a": "yes", "b": None}
+
+
+def test_if_then_else(spark):
+    df = _df(spark, [("a",), ("b",)], "k string")
+    out = compile_one(
+        {
+            "if": {
+                "condition": {"equals": {"k": "a"}},
+                "then": [{"add_fields": {"target": "", "fields": {"route": "A"}}}],
+                "else": [{"add_fields": {"target": "", "fields": {"route": "B"}}}],
+            }
+        }
+    )(df)
+    rows = {r.k: r.route for r in out.collect()}
+    assert rows == {"a": "A", "b": "B"}
+
+
+def test_rename_copy_truncate_replace(spark):
+    df = _df(spark, [("hello world", "v")], "msg string, other string")
+    chain = compile_chain(
+        [
+            {"copy_fields": {"fields": [{"from": "msg", "to": "msg2"}]}},
+            {"rename": {"fields": [{"from": "other", "to": "renamed"}]}},
+            {"truncate_fields": {"fields": ["msg"], "max_characters": 5}},
+            {"replace": {"fields": [{"field": "msg2", "pattern": "world", "replacement": "there"}]}},
+        ]
+    )
+    r = chain(df).collect()[0]
+    assert r.msg == "hello"
+    assert r.msg2 == "hello there"
+    assert r.renamed == "v"
+    assert "other" not in chain(df).columns
+    assert "truncated" in (r._flags or [])
+
+
+def test_truncate_bytes(spark):
+    df = _df(spark, [("héllo wörld",)], "msg string")
+    out = compile_one({"truncate_fields": {"fields": ["msg"], "max_bytes": 6}})(df)
+    r = out.collect()[0]
+    assert len(r.msg.encode("utf-8", "replace")) <= 6
+
+
+def test_add_tags_and_append(spark):
+    df = _df(spark, [(["x"],), (None,)], "tags array<string>")
+    out = compile_one({"add_tags": {"tags": ["t1", "x"]}})(df)
+    got = [sorted(r.tags) for r in out.collect()]
+    assert got == [["t1", "x"], ["t1", "x"]]
+
+
+def test_extract_field_and_array(spark):
+    df = _df(spark, [("a-b-c", [10, 20, 30])], "s string, arr array<int>")
+    chain = compile_chain(
+        [
+            {"extract_field": {"field": "s", "separator": "-", "index": 1, "target": "mid"}},
+            {"extract_array": {"field": "arr", "mappings": {"first": 0, "last": 2}}},
+        ]
+    )
+    r = chain(df).collect()[0]
+    assert (r.mid, r.first, r.last) == ("b", 10, 30)
+
+
+def test_convert(spark):
+    df = _df(spark, [("42", "bad", "1.5")], "a string, b string, c string")
+    out = compile_one(
+        {
+            "convert": {
+                "fields": [
+                    {"from": "a", "to": "a_int", "type": "integer"},
+                    {"from": "b", "to": "b_int", "type": "integer"},
+                    {"from": "c", "type": "double"},
+                ],
+                "ignore_missing": True,
+            }
+        }
+    )(df)
+    r = out.collect()[0]
+    assert r.a_int == 42 and r.b_int is None and r.c == 1.5
+    assert r._error is not None  # b failed with fail_on_error default true
+
+
+def test_case_processors(spark):
+    df = _df(spark, [("AbC",)], "Field string")
+    out = compile_one({"lowercase": {"fields": ["Field"], "values": ["field"]}})(df)
+    assert out.columns == ["field"]
+    assert out.collect()[0].field == "abc"
+
+
+def test_decode_base64_and_urldecode(spark):
+    import base64
+
+    enc = base64.b64encode(b"hi there").decode()
+    df = _df(spark, [(enc, "a%20b%2Fc")], "b64 string, url string")
+    chain = compile_chain(
+        [
+            {"decode_base64_field": {"field": {"from": "b64", "to": "plain"}}},
+            {"urldecode": {"fields": [{"from": "url", "to": "decoded"}]}},
+        ]
+    )
+    r = chain(df).collect()[0]
+    assert r.plain == "hi there" and r.decoded == "a b/c"
+
+
+def test_decode_duration(spark):
+    df = _df(spark, [("1h2m3s",), ("150ms",), ("junk",)], "d string")
+    out = compile_one({"decode_duration": {"field": "d", "format": "seconds"}})(df)
+    vals = [r.d for r in out.collect()]
+    assert vals[0] == pytest.approx(3723.0)
+    assert vals[1] == pytest.approx(0.15)
+    assert vals[2] is None
+
+
+def test_decode_csv(spark):
+    df = _df(spark, [('a,"b,c",d',)], "line string")
+    out = compile_one({"decode_csv_fields": {"fields": {"line": "cols"}}})(df)
+    assert out.collect()[0].cols == ["a", "b,c", "d"]
+
+
+def test_syslog_rfc3164(spark):
+    df = _df(
+        spark,
+        [("<34>Oct 11 22:14:15 mymachine su[230]: 'su root' failed",)],
+        "message string",
+    )
+    out = compile_one({"syslog": {}})(df)
+    r = out.collect()[0]
+    assert r["log"]["syslog"]["severity"]["code"] == 2
+    assert r["log"]["syslog"]["facility"]["code"] == 4
+    assert r["log"]["syslog"]["hostname"] == "mymachine"
+    assert r["log"]["syslog"]["appname"] == "su"
+    assert r.message == "'su root' failed"
+
+
+def test_syslog_rfc5424(spark):
+    line = (
+        "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog "
+        '- ID47 [exampleSDID@32473 iut="3"] An application event'
+    )
+    df = _df(spark, [(line,)], "message string")
+    out = compile_one({"syslog": {}})(df)
+    r = out.collect()[0]
+    assert r["log"]["syslog"]["severity"]["code"] == 5
+    assert r["log"]["syslog"]["facility"]["code"] == 20
+    assert r["log"]["syslog"]["appname"] == "evntslog"
+    assert r["log"]["syslog"]["msgid"] == "ID47"
+    assert r.message == "An application event"
+
+
+def test_fingerprint_known_value(spark):
+    import hashlib
+
+    df = _df(spark, [("v1", "v2")], "b string, a string")
+    out = compile_one({"fingerprint": {"fields": ["b", "a"], "target_field": "fp"}})(df)
+    expected = hashlib.sha256(b"|a|v2|b|v1|").hexdigest()
+    assert out.collect()[0].fp == expected
+
+
+def test_community_id_known_value(spark):
+    # reference vector from the community-id spec test data
+    df = _df(
+        spark,
+        [("1.2.3.4", "5.6.7.8", 1122, 3344, "tcp")],
+        "sip string, dip string, sp int, dp int, proto string",
+    )
+    out = compile_one(
+        {
+            "community_id": {
+                "source_ip": "sip",
+                "destination_ip": "dip",
+                "source_port": "sp",
+                "destination_port": "dp",
+                "transport": "proto",
+                "target": "cid",
+            }
+        }
+    )(df)
+    import base64
+    import hashlib
+    import socket
+    import struct
+
+    msg = (
+        struct.pack("!H", 0)
+        + socket.inet_aton("1.2.3.4")
+        + socket.inet_aton("5.6.7.8")
+        + struct.pack("!BBHH", 6, 0, 1122, 3344)
+    )
+    expected = "1:" + base64.b64encode(hashlib.sha1(msg).digest()).decode()
+    assert out.collect()[0].cid == expected
+
+
+def test_registered_domain(spark):
+    df = _df(spark, [("www.google.co.uk",), ("deep.sub.example.com",), ("com",)], "host string")
+    out = compile_one({"registered_domain": {"field": "host", "target_field": "rd"}})(df)
+    vals = [r.rd for r in out.collect()]
+    assert vals == ["google.co.uk", "example.com", None]
+
+
+def test_network_direction(spark):
+    df = _df(
+        spark,
+        [("10.0.0.1", "10.0.0.2"), ("10.0.0.1", "8.8.8.8"), ("8.8.8.8", "10.0.0.1")],
+        "src string, dst string",
+    )
+    out = compile_one(
+        {"add_network_direction": {"source": "src", "destination": "dst", "target": "dir"}}
+    )(df)
+    assert [r.dir for r in out.collect()] == ["internal", "outbound", "inbound"]
+
+
+def test_detect_mime_type(spark):
+    df = _df(spark, [("%PDF-1.4 blah",), ('{"a":1}',), ("plain text",)], "content string")
+    out = compile_one({"detect_mime_type": {"field": "content", "target": "mime"}})(df)
+    assert [r.mime for r in out.collect()] == [
+        "application/pdf",
+        "application/json",
+        "text/plain; charset=utf-8",
+    ]
+
+
+def test_timestamp_layout_fallback(spark):
+    df = _df(spark, [("2024-03-01 10:00:00",), ("2024/03/01",)], "t string")
+    out = compile_one(
+        {
+            "timestamp": {
+                "field": "t",
+                "layouts": ["2006-01-02 15:04:05", "yyyy/MM/dd"],
+                "target_field": "@timestamp",
+                "ignore_failure": True,
+            }
+        }
+    )(df)
+    vals = [r["@timestamp"] for r in out.collect()]
+    assert vals[0] is not None and vals[1] is not None
+
+
+def test_gzip_roundtrip(spark):
+    import gzip
+
+    blob = gzip.compress(b"payload text")
+    df = spark.createDataFrame([(bytearray(blob),)], "gz binary")
+    out = compile_one({"decompress_gzip_field": {"field": {"from": "gz", "to": "txt"}}})(df)
+    assert out.collect()[0].txt == "payload text"

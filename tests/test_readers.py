@@ -1,0 +1,110 @@
+"""Reader-chain tests: multiline sessionization (multiline_test.go
+patterns), ndjson, container."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beats_spark.readers.multiline import merge_lines
+from beats_spark.readers.ndjson import parse_container, parse_ndjson
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(
+        [(f, i, s) for (f, i, s) in rows], "source string, offset long, message string"
+    )
+
+
+JAVA_TRACE = [
+    ("f1", 0, "Exception in thread \"main\" java.lang.NullPointerException"),
+    ("f1", 1, "        at com.example.myproject.Book.getTitle(Book.java:16)"),
+    ("f1", 2, "        at com.example.myproject.Author.getBookTitles(Author.java:25)"),
+    ("f1", 3, "normal line"),
+    ("f1", 4, "Exception two"),
+    ("f1", 5, "        at com.example.x(X.java:1)"),
+    ("f2", 0, "solo line"),
+]
+
+
+def test_multiline_pattern_after_negate(spark):
+    """Classic java stack trace: pattern '^[[:space:]]+at' lines are
+    continuations (negate=false, match=after)."""
+    df = _lines(spark, JAVA_TRACE)
+    out = merge_lines(
+        df, {"type": "pattern", "pattern": r"^\s+at ", "match": "after"}
+    )
+    msgs = sorted(
+        (r.source, r.message) for r in out.collect()
+    )
+    f1 = [m for s, m in msgs if s == "f1"]
+    assert len(f1) == 3
+    assert f1[0].startswith("Exception in thread")
+    assert f1[0].count("\n") == 2
+    assert f1[1] == "Exception two\n        at com.example.x(X.java:1)"
+    assert f1[2] == "normal line"
+    assert [m for s, m in msgs if s == "f2"] == ["solo line"]
+
+
+def test_multiline_count(spark):
+    rows = [("f", i, f"l{i}") for i in range(7)]
+    out = merge_lines(_lines(spark, rows), {"type": "count", "count": 3})
+    msgs = sorted(r.message for r in out.collect())
+    assert msgs == ["l0\nl1\nl2", "l3\nl4\nl5", "l6"]
+
+
+def test_multiline_while_pattern(spark):
+    rows = [
+        ("f", 0, "{x"),
+        ("f", 1, "{y"),
+        ("f", 2, "plain"),
+        ("f", 3, "{z"),
+    ]
+    out = merge_lines(
+        _lines(spark, rows), {"type": "while_pattern", "pattern": r"^\{"}
+    )
+    msgs = sorted(r.message for r in out.collect())
+    assert msgs == ["plain", "{x\n{y", "{z"]
+
+
+def test_multiline_max_lines(spark):
+    rows = [("f", 0, "start")] + [("f", i, f"  at {i}") for i in range(1, 6)]
+    out = merge_lines(
+        _lines(spark, rows),
+        {"type": "pattern", "pattern": r"^\s+at", "match": "after", "max_lines": 3},
+    )
+    assert out.count() == 2  # 6 lines split into 3+3
+
+
+def test_ndjson(spark):
+    df = spark.createDataFrame(
+        [('{"level": "err", "n": 3}',), ("not json",)], "message string"
+    )
+    out = parse_ndjson(df, "struct<level:string, n:int>", cfg={"keep_original": True})
+    rows = out.orderBy(F.col("level").asc_nulls_last()).collect()
+    assert (rows[0].level, rows[0].n) == ("err", 3)
+    assert rows[1].level is None and rows[1]._error is not None
+
+
+def test_container_docker_and_cri(spark):
+    df = spark.createDataFrame(
+        [
+            ('{"log":"docker line\\n","stream":"stdout","time":"2024-01-01T00:00:00Z"}',),
+            ("2024-01-01T00:00:01Z stderr F cri line",),
+        ],
+        "message string",
+    )
+    out = parse_container(df).orderBy("message").collect()
+    assert (out[1].message, out[1].stream) == ("docker line", "stdout")
+    assert (out[0].message, out[0].stream) == ("cri line", "stderr")
+    assert out[0]["@timestamp"] is not None
+
+
+def test_container_stream_filter(spark):
+    df = spark.createDataFrame(
+        [
+            ('{"log":"a\\n","stream":"stdout","time":"2024-01-01T00:00:00Z"}',),
+            ('{"log":"b\\n","stream":"stderr","time":"2024-01-01T00:00:00Z"}',),
+        ],
+        "message string",
+    )
+    assert parse_container(df, stream="stderr").count() == 1
