@@ -45,6 +45,7 @@ _MANIFEST_SCHEMA = T.StructType(
         T.StructField("row_count", T.LongType()),
         T.StructField("min_doc_id", T.StringType()),
         T.StructField("max_doc_id", T.StringType()),
+        T.StructField("source_snapshot", T.StringType()),
         T.StructField("metrics", T.MapType(T.StringType(), T.LongType())),
         T.StructField("committed_at", T.DoubleType()),
     ]
@@ -58,13 +59,23 @@ def with_chunk(df: DataFrame, n_chunks: int) -> DataFrame:
 
 
 class CheckpointedRunner:
-    def __init__(self, spark: SparkSession, out_dir: str, n_chunks: int = 8, run_id: str = "run-0"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        n_chunks: int = 8,
+        run_id: str = "run-0",
+        source_snapshot: str = "",
+    ):
         self.spark = spark
         self.out_dir = out_dir.rstrip("/")
         self.data_dir = f"{self.out_dir}/data"
         self.manifest_dir = f"{self.out_dir}/manifest"
         self.n_chunks = n_chunks
         self.run_id = run_id
+        # lineage: input snapshot identity (Iceberg snapshot id /
+        # input path digest) — the State.Source/FileStateOS analog
+        self.source_snapshot = source_snapshot
 
     def committed_chunks(self) -> set[int]:
         try:
@@ -122,6 +133,7 @@ class CheckpointedRunner:
                     stats.n,
                     stats.lo,
                     stats.hi,
+                    self.source_snapshot,
                     {
                         "events.published": stats.n,
                         "events.dead_letter": stats.dead or 0,

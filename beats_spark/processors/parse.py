@@ -228,6 +228,56 @@ class DecompressGzipField(Processor):
 
 
 @register
+class DecodeXml(Processor):
+    """decode_xml/decode_xml.go:62,88 — XML string → struct. Spark 4
+    has native from_xml; `schema` (DDL) given in config or inferred
+    from one sampled row via schema_of_xml."""
+
+    name = "decode_xml"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        field = self.cfg.get("field", "message")
+        col = field_col(df, field)
+        if col is None:
+            return df
+        ddl = self.cfg.get("schema")
+        if ddl is None:
+            sample = (
+                df.select(col.alias("v")).filter(F.col("v").isNotNull()).limit(1).collect()
+            )
+            if not sample:
+                return df
+            ddl = (
+                df.sparkSession.range(1)
+                .select(F.schema_of_xml(F.lit(sample[0].v)).alias("s"))
+                .collect()[0]
+                .s
+            )
+        parsed = F.from_xml(col, ddl)
+        target = self.cfg.get("target_field", field)
+        df = put_field(df, target, parsed)
+        if not self.cfg.get("ignore_failure", False):
+            # PERMISSIVE mode yields an all-null struct on bad input;
+            # flag when nothing parsed out of a non-null source
+            # (approximation: a valid doc matching zero schema fields
+            # also flags — documented divergence)
+            ptype = df.schema[target.split(".")[0]].dataType
+            tcol = field_col(df, target)
+            if isinstance(ptype, T.StructType) and tcol is not None:
+                import pyspark.sql.types as _T
+
+                inner = field_type(df.schema, target)
+                if isinstance(inner, _T.StructType):
+                    all_null = F.lit(True)
+                    for fname in inner.fieldNames():
+                        all_null = all_null & tcol.getField(fname).isNull()
+                    df = _set_error(
+                        df, col.isNotNull() & all_null, "decode_xml: parse error"
+                    )
+        return df
+
+
+@register
 class UrlDecode(Processor):
     """urldecode/urldecode.go:51 — percent-decode from→to."""
 

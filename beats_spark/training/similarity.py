@@ -190,11 +190,13 @@ def cosine_dup_pairs(
         )
         for t, planes in enumerate(tables)
     ]
+    # persist: both sides of the pair self-join read this — without it
+    # the hyperplane projections compute twice
     buckets = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         F.explode(F.array(*cols)).alias("bucket"),
-    )
+    ).persist()
     a = buckets.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
     b = buckets.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
     pairs = (

@@ -285,3 +285,13 @@ def test_gzip_roundtrip(spark):
     df = spark.createDataFrame([(bytearray(blob),)], "gz binary")
     out = compile_one({"decompress_gzip_field": {"field": {"from": "gz", "to": "txt"}}})(df)
     assert out.collect()[0].txt == "payload text"
+
+
+def test_decode_xml(spark):
+    df = spark.createDataFrame([("<a><b>1</b><c>x</c></a>",), ("notxml",)], "message string")
+    out = compile_one({"decode_xml": {"field": "message", "target_field": "doc"}})(df)
+    rows = out.collect()
+    ok = [r for r in rows if r.message.startswith("<")][0]
+    bad = [r for r in rows if r.message == "notxml"][0]
+    assert ok.doc.b == 1 and ok.doc.c == "x"
+    assert bad._error is not None
