@@ -323,6 +323,73 @@ SELECT sum(TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS sum
 FROM events"""
 
 
+# --- q20: network condition + direction classification ----------------------
+
+
+def q_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CIDR conditions (conditions.py network) + add_network_direction
+    over deterministic synthetic IPs derived from orders."""
+    from beats_spark.conditions import compile_condition
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    src_ip = F.when(
+        k % 4 == 0, F.concat(F.lit("203.0.113."), (k % 250).cast("string"))
+    ).otherwise(
+        F.concat(F.lit("10."), (k % 3).cast("string"), F.lit(".0."), (k % 200).cast("string"))
+    )
+    dst_ip = F.when(
+        k % 3 == 0, F.concat(F.lit("8.8.8."), (k % 9).cast("string"))
+    ).otherwise(F.concat(F.lit("192.168.1."), (k % 100).cast("string")))
+    df = o.select(k.alias("k"), src_ip.alias("sip"), dst_ip.alias("dip"))
+    chain = compile_chain(
+        [
+            {
+                "add_network_direction": {
+                    "source": "sip",
+                    "destination": "dip",
+                    "internal_networks": ["private"],
+                    "target": "direction",
+                }
+            }
+        ]
+    )
+    out = chain(df)
+    in_private = compile_condition(out, {"network": {"sip": "private"}})
+    in_testnet = compile_condition(out, {"network": {"sip": "203.0.113.0/24"}})
+    return (
+        out.groupBy("direction")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(in_private.cast("long")).alias("n_private_src"),
+            F.sum(in_testnet.cast("long")).alias("n_testnet_src"),
+        )
+        .orderBy("direction")
+    )
+
+
+def q_network_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         o_orderkey % 4 = 0 AS src_pub,
+         o_orderkey % 3 = 0 AS dst_pub
+  FROM orders),
+d AS (
+  SELECT k, src_pub,
+    CASE
+      WHEN NOT src_pub AND NOT dst_pub THEN 'internal'
+      WHEN NOT src_pub THEN 'outbound'
+      WHEN NOT dst_pub THEN 'inbound'
+      ELSE 'external'
+    END AS direction
+  FROM t)
+SELECT direction, count(*) AS n,
+       sum(CASE WHEN NOT src_pub THEN 1 ELSE 0 END) AS n_private_src,
+       sum(CASE WHEN src_pub THEN 1 ELSE 0 END) AS n_testnet_src
+FROM d GROUP BY direction ORDER BY direction"""
+
+
 # --- rows-only queries (non-SQL-expressible; exactness is pytest-checked
 # against pure-Python oracles in tests/test_training.py) ----------------------
 
@@ -372,6 +439,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from beats_spark import queries_training
 
     extra = {
+        "q20_network": q_network,
         "q16_minhash_lsh": q_minhash_lsh,
         "q17_simhash": q_simhash,
         "q18_lsh_topk": q_lsh_topk,
@@ -413,4 +481,5 @@ def _base_oracles() -> dict[str, str]:
         "q08_fingerprint": q_fingerprint_oracle(),
         "q09_shape": q_shape_oracle(),
         "q10_decode_json": q_decode_json_oracle(),
+        "q20_network": q_network_oracle(),
     }

@@ -100,9 +100,11 @@ FROM t GROUP BY lang_pred ORDER BY lang_pred"""
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rank + compare at 4 decimals: Spark (double accumulate) and
+    # DuckDB list_cosine_similarity disagree by 1 ulp at the 6th
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = embs.filter(F.col("vec_id") < 3)
-    out = similarity.brute_force_topk(embs, queries, k=5)
+    out = similarity.brute_force_topk(embs, queries, k=5, round_to=4)
     return out.select("query_id", "neighbor_id", "rank", "cos_sim").orderBy(
         "query_id", "rank"
     )
@@ -113,7 +115,7 @@ def q_cosine_topk_oracle() -> str:
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.qv, e.embedding), 6) AS cos_sim
+         round(list_cosine_similarity(q.qv, e.embedding), 4) AS cos_sim
   FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
 ranked AS (
   SELECT *, row_number() OVER (

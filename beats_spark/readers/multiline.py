@@ -90,6 +90,12 @@ def merge_lines(
         df2 = df.withColumn("__evt__", F.sum(start.cast("long")).over(w))
     else:
         start = _start_marker(line, cfg)
+        # flush_pattern (pattern.go:98-108): a line matching it closes
+        # the current bundle — the FOLLOWING line starts a new event
+        # regardless of its continuation status
+        if cfg.get("flush_pattern"):
+            prev_flush = F.lag(line.rlike(cfg["flush_pattern"]), 1, False).over(w)
+            start = start | F.coalesce(prev_flush, F.lit(False))
         # the very first line of a group always starts an event
         rn = F.row_number().over(w)
         start = start | (rn == 1)

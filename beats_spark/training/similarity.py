@@ -49,6 +49,7 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k neighbors for every query vector.
 
@@ -73,7 +74,7 @@ def brute_force_topk(
         scored.select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(sim, 6).alias("cos_sim"),
+            F.round(sim, round_to).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -8,7 +8,9 @@ import pytest
 import __spark_entry__ as entry_mod
 from tests.harness import compare
 
-SF = "/root/testdata/sf0.001"
+import os
+
+SF = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()

@@ -108,3 +108,24 @@ def test_container_stream_filter(spark):
         "message string",
     )
     assert parse_container(df, stream="stderr").count() == 1
+
+
+def test_multiline_flush_pattern(spark):
+    rows = [
+        ("f", 0, "start A"),
+        ("f", 1, "  at one"),
+        ("f", 2, "  at END"),
+        ("f", 3, "  at two"),
+        ("f", 4, "  at three"),
+    ]
+    out = merge_lines(
+        _lines(spark, rows),
+        {
+            "type": "pattern",
+            "pattern": r"^\s+at",
+            "match": "after",
+            "flush_pattern": r"END$",
+        },
+    )
+    msgs = sorted(r.message for r in out.collect())
+    assert msgs == ["  at two\n  at three", "start A\n  at one\n  at END"]
