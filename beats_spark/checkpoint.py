@@ -13,6 +13,12 @@ Design (batch analog of files ⇒ chunks):
 - each chunk is processed and written partitioned by
   (__chunk__, sink) with dynamic partition overwrite: rerunning a chunk
   REPLACES exactly its own partitions (idempotent replay).
+- replay safety rests on determinism: a crashed chunk's partial
+  partitions are necessarily a SUBSET of the partitions its rerun
+  produces (same rows, same routing), so dynamic overwrite replaces
+  every partial file. Non-deterministic processors (add_id/now) only
+  affect row contents, never the (chunk, sink) partition set, because
+  routing reads deterministic fields.
 - after a chunk's write succeeds, a manifest row is appended:
   (run_id, chunk_id, row_count, doc_id range, per-chunk metrics,
   committed_at) — the State/registry analog with lineage + metrics.
@@ -148,6 +154,25 @@ class CheckpointedRunner:
             if fail_after is not None and len(committed) >= fail_after:
                 break
         return committed
+
+    def cleanup(self, keep_run_ids: set[str]) -> int:
+        """Registry GC (registrar clean_inactive / states.cleanup
+        analog): drop manifest rows for runs not in `keep_run_ids`.
+        Returns rows removed. Data partitions are left to the next
+        overwrite (they are replaced per-chunk on rerun)."""
+        try:
+            m = self.manifest()
+        except Exception:
+            return 0
+        before = m.count()
+        kept = m.filter(F.col("run_id").isin(*keep_run_ids))
+        kept_rows = kept.collect()
+        removed = before - len(kept_rows)
+        if removed:
+            self.spark.createDataFrame(
+                kept_rows, _MANIFEST_SCHEMA
+            ).coalesce(1).write.mode("overwrite").parquet(self.manifest_dir)
+        return removed
 
     def result(self) -> DataFrame:
         return self.spark.read.parquet(self.data_dir)

@@ -476,6 +476,15 @@ def syslog_columns(src: Column) -> dict[str, Column]:
         "log.syslog.msgid": g5(7),
         "log.syslog.version": g5(2).try_cast("int"),
         "log.syslog.sd_raw": F.when(is5424 & (g5(8) != "-"), g5(8)),
+        # structured-data params as map<string,string> (rfc5424 SD-PARAM;
+        # first element's params, matching the reference's flattening)
+        "log.syslog.sd": F.when(
+            is5424 & (g5(8) != "-"),
+            F.map_from_arrays(
+                F.regexp_extract_all(g5(8), F.lit(r'(\w+)="'), 1),
+                F.regexp_extract_all(g5(8), F.lit(r'\w+="([^"]*)"'), 1),
+            ),
+        ),
         "timestamp_raw": F.coalesce(g5(3), g3(2)),
         "message": F.coalesce(g5(9), g3(6)),
         "_syslog_matched": (is5424 | is3164),

@@ -390,6 +390,129 @@ SELECT direction, count(*) AS n,
 FROM d GROUP BY direction ORDER BY direction"""
 
 
+# --- q21: syslog parse battery ----------------------------------------------
+
+
+def q_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC3164/5424 parse over deterministic synthetic lines; severity/
+    facility arithmetic cross-checked against the priority number."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    k = F.col("o_orderkey")
+    pri = (k % 191).cast("string")
+    line3164 = F.concat(
+        F.lit("<"), pri, F.lit(">Oct 11 22:14:15 host-"), (k % 5).cast("string"),
+        F.lit(" app-"), (k % 3).cast("string"), F.lit("["), (k % 900 + 100).cast("string"),
+        F.lit("]: event number "), k.cast("string"),
+    )
+    line5424 = F.concat(
+        F.lit("<"), pri, F.lit(">1 2024-01-01T00:00:00Z host-"), (k % 5).cast("string"),
+        F.lit(" app-"), (k % 3).cast("string"), F.lit(" 77 MSG"), (k % 7).cast("string"),
+        F.lit(" - event number "), k.cast("string"),
+    )
+    df = o.select(
+        k.alias("k"),
+        F.when(k % 2 == 0, line3164).otherwise(line5424).alias("message"),
+    )
+    out = compile_chain([{"syslog": {}}])(df)
+    sev = F.col("log.syslog.severity.code")
+    fac = F.col("log.syslog.facility.code")
+    return (
+        out.groupBy(F.col("log.syslog.appname").alias("appname"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(sev).alias("sum_sev"),
+            F.sum(fac).alias("sum_fac"),
+            F.count(F.col("log.syslog.msgid")).alias("n_msgid"),
+            F.count_distinct(F.col("log.syslog.hostname")).alias("n_hosts"),
+        )
+        .orderBy("appname")
+    )
+
+
+def q_syslog_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT o_orderkey AS k, o_orderkey % 191 AS pri FROM orders)
+SELECT concat('app-', CAST(k % 3 AS VARCHAR)) AS appname,
+       count(*) AS n,
+       sum(pri % 8) AS sum_sev,
+       sum(pri // 8) AS sum_fac,
+       sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_msgid,
+       5 AS n_hosts
+FROM t GROUP BY 1 ORDER BY 1"""
+
+
+# --- q22: include/exclude_lines + pipeline counters --------------------------
+
+
+def q_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-parse include/exclude regex filtering (harvester.go:496-519)
+    + the events.total/filtered/published counter arithmetic."""
+    from beats_spark.pipeline import Pipeline
+
+    df = _tokens(spark, sf_dir)
+    total = df.count()
+    cfg = {
+        "payload_field": "payload",
+        "include_lines": ["^level="],
+        "exclude_lines": ["level=debug"],
+        "processors": [],
+    }
+    kept = Pipeline(cfg).transform(df)
+    published = kept.count()
+    return spark.createDataFrame(
+        [(total, published, total - published)],
+        "events_total long, events_published long, events_filtered long",
+    )
+
+
+def q_line_filters_oracle() -> str:
+    return f"""
+WITH events AS ({token_events_sql('duckdb')})
+SELECT count(*) AS events_total,
+       sum(CASE WHEN regexp_matches(payload, '^level=')
+                 AND NOT regexp_matches(payload, 'level=debug')
+            THEN 1 ELSE 0 END) AS events_published,
+       count(*) - sum(CASE WHEN regexp_matches(payload, '^level=')
+                            AND NOT regexp_matches(payload, 'level=debug')
+                       THEN 1 ELSE 0 END) AS events_filtered
+FROM events"""
+
+
+# --- q23: embedding near-duplicate pairs (exact) -----------------------------
+
+
+def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dups above a threshold — the
+    verification stage of embedding dedup (the LSH candidate generator
+    is q18/cosine_dup_pairs; exactness of the scorer is oracle-checked
+    here)."""
+    from beats_spark.training.similarity import cosine
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 400
+    )
+    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        pairs.select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.42)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_cosine_pairs_oracle() -> str:
+    return """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 400)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.42
+ORDER BY id_a, id_b"""
+
+
 # --- rows-only queries (non-SQL-expressible; exactness is pytest-checked
 # against pure-Python oracles in tests/test_training.py) ----------------------
 
@@ -440,6 +563,9 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     extra = {
         "q20_network": q_network,
+        "q21_syslog": q_syslog,
+        "q22_line_filters": q_line_filters,
+        "q23_cosine_pairs": q_cosine_pairs,
         "q16_minhash_lsh": q_minhash_lsh,
         "q17_simhash": q_simhash,
         "q18_lsh_topk": q_lsh_topk,
@@ -482,4 +608,7 @@ def _base_oracles() -> dict[str, str]:
         "q09_shape": q_shape_oracle(),
         "q10_decode_json": q_decode_json_oracle(),
         "q20_network": q_network_oracle(),
+        "q21_syslog": q_syslog_oracle(),
+        "q22_line_filters": q_line_filters_oracle(),
+        "q23_cosine_pairs": q_cosine_pairs_oracle(),
     }

@@ -88,3 +88,25 @@ def pipeline_metrics(
         "events.failed": 0,
         "events.dropped": 0,
     }
+
+
+def write_metrics_table(
+    spark: SparkSession,
+    out_dir: str,
+    counters: dict[str, int],
+    per_sink: DataFrame | None = None,
+    run_id: str = "run-0",
+) -> None:
+    """The monitoring endpoint analog: one parquet table holding the
+    pipeline counters (monitoring.go:80-116) and, when given, the
+    per-(source, sink) acked counts (outputs/metrics.go:93-110) under
+    counter names `output.<source>.<sink>.events.acked`."""
+    rows = [(run_id, k, int(v)) for k, v in counters.items()]
+    if per_sink is not None:
+        for r in per_sink.collect():
+            rows.append(
+                (run_id, f"output.{r['source']}.{r[SINK_COL]}.events.acked", int(r["events"]))
+            )
+    spark.createDataFrame(
+        rows, "run_id string, counter string, value long"
+    ).coalesce(1).write.mode("append").parquet(out_dir)

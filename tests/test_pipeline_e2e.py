@@ -143,3 +143,88 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     row = m.orderBy("chunk_id").collect()[0]
     assert row.row_count > 0 and row.min_doc_id <= row.max_doc_id
     assert row.metrics["events.published"] == row.row_count
+
+
+def test_checkpoint_mid_chunk_crash_replay(spark, tmp_path):
+    """A chunk that died MID-WRITE leaves partial partitions on disk
+    with no manifest row; the rerun's dynamic partition overwrite
+    replaces them exactly (idempotent replay, not duplication)."""
+    df = load_token_events(spark, SF)
+    pipe = Pipeline(flagship_config())
+    out = str(tmp_path / "crash")
+    runner = CheckpointedRunner(spark, out, n_chunks=4)
+    runner.run(df, pipe.transform, fail_after=2)
+
+    # simulate a crash mid-chunk-2: write garbage rows into chunk 2's
+    # partition dirs WITHOUT committing a manifest row
+    from beats_spark.checkpoint import CHUNK_COL, with_chunk
+    from beats_spark.sinks import SINK_COL
+
+    partial = (
+        with_chunk(df, 4)
+        .filter(F.col(CHUNK_COL) == 2)
+        .limit(7)
+    )
+    garbage = pipe.transform(partial)
+    from beats_spark.sinks import strip_internal
+    from beats_spark.fields import ERROR_COL
+
+    strip_internal(garbage, keep=(ERROR_COL, CHUNK_COL)).write.partitionBy(
+        CHUNK_COL, SINK_COL
+    ).mode("append").parquet(runner.data_dir)
+
+    # resume: chunks 2 and 3 run; chunk 2's partial partitions replaced
+    runner.run(df, pipe.transform)
+    resumed = {
+        (r.source, r.sink): r.events
+        for r in runner.result()
+        .groupBy("source", "sink")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .collect()
+    }
+    clean_dir = str(tmp_path / "clean2")
+    clean_runner = CheckpointedRunner(spark, clean_dir, n_chunks=4)
+    clean_runner.run(df, pipe.transform)
+    clean = {
+        (r.source, r.sink): r.events
+        for r in clean_runner.result()
+        .groupBy("source", "sink")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .collect()
+    }
+    assert resumed == clean
+
+
+def test_checkpoint_cleanup(spark, tmp_path):
+    df = load_token_events(spark, SF)
+    pipe = Pipeline(flagship_config())
+    out = str(tmp_path / "gc")
+    r1 = CheckpointedRunner(spark, out, n_chunks=2, run_id="run-a")
+    r1.run(df, pipe.transform)
+    r2 = CheckpointedRunner(spark, out, n_chunks=2, run_id="run-b")
+    r2.run(df, pipe.transform)
+    assert r2.manifest().count() == 4
+    removed = r2.cleanup({"run-b"})
+    assert removed == 2
+    assert {r.run_id for r in r2.manifest().collect()} == {"run-b"}
+
+
+def test_metrics_table(spark, tmp_path):
+    from beats_spark.sinks import pipeline_metrics, write_metrics_table
+
+    out_dir = str(tmp_path / "m_out")
+    metrics_dir = str(tmp_path / "m_tbl")
+    routed = routed_frame(spark, SF)
+    obs = write_fanout(routed, out_dir)
+    published = int(obs.get["events_published"])
+    total = load_token_events(spark, SF).count()
+    counters = pipeline_metrics(total, published)
+    write_metrics_table(
+        spark, metrics_dir, counters, per_sink=sink_counts(spark, out_dir)
+    )
+    m = {r.counter: r.value for r in spark.read.parquet(metrics_dir).collect()}
+    assert m["events.total"] == total
+    assert m["events.published"] == published
+    assert m["events.filtered"] == total - published
+    acked = [k for k in m if k.endswith(".events.acked")]
+    assert sum(m[k] for k in acked) == published

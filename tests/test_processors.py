@@ -295,3 +295,15 @@ def test_decode_xml(spark):
     bad = [r for r in rows if r.message == "notxml"][0]
     assert ok.doc.b == 1 and ok.doc.c == "x"
     assert bad._error is not None
+
+
+def test_syslog_structured_data(spark):
+    line = (
+        "<165>1 2003-10-11T22:14:15.003Z host app - ID47 "
+        '[x@1 iut="3" eventSource="Application"] hello'
+    )
+    df = _df(spark, [(line,)], "message string")
+    out = compile_one({"syslog": {}})(df)
+    r = out.collect()[0]
+    sd = r["log"]["syslog"]["sd"]
+    assert sd["iut"] == "3" and sd["eventSource"] == "Application"
