@@ -213,11 +213,10 @@ def minhash_lsh_candidates(
         .filter(F.col("sig").isNotNull())
         .persist()
     )
+    # xxhash64 hashes array columns directly — no string round-trip
     band_hashes = F.array(
         *[
-            F.xxhash64(F.lit(bi), F.concat_ws(",", F.transform(
-                F.slice("sig", bi * rows + 1, rows), lambda x: x.cast("string")
-            )))
+            F.xxhash64(F.lit(bi), F.slice("sig", bi * rows + 1, rows))
             for bi in range(bands)
         ]
     )

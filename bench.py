@@ -102,6 +102,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         df = fn(spark, sf_dir)
         df.collect()
         times[name] = round(time.perf_counter() - t0, 3)
+        # LSH queries persist signature tables; drop them so later
+        # timings don't pay their memory/GC pressure
+        spark.catalog.clearCache()
     return times
 
 
