@@ -59,6 +59,54 @@ def run_stream(
     return writer.start()
 
 
+# --- stateful cache (put→get KV across micro-batches) ------------------------
+
+_CACHE_OUT = "key string, event_id long, cached string"
+_CACHE_STATE = "value string"
+
+
+def streaming_cache(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    put_flag_col: str,
+):
+    """cache/cache.go continuous form: rows where `put_flag_col` is true
+    store `value_col` under the key; every row is emitted with the most
+    recent prior stored value (`cached`). State carried across
+    micro-batches via applyInPandasWithState — the batch engine's
+    window-based Cache (enrich.py) with real cross-batch memory."""
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        current = state.get[0] if state.exists else None
+        ids, cached = [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(id_col)
+            for _, row in pdf.iterrows():
+                ids.append(int(row[id_col]))
+                cached.append(current)
+                if bool(row[put_flag_col]):
+                    current = (
+                        None if row[value_col] is None else str(row[value_col])
+                    )
+        state.update((current,))
+        yield pd.DataFrame(
+            {"key": [key[0]] * len(ids), "event_id": ids, "cached": cached}
+        )
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update, _CACHE_OUT, _CACHE_STATE, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 # --- stateful rate limit (token bucket across micro-batches) -----------------
 
 _RL_OUT = "key string, ts timestamp, passed long, dropped long"

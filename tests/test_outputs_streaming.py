@@ -143,3 +143,39 @@ def test_streaming_rate_limit_state(spark, tmp_path):
     assert total_passed + total_dropped == 20
     # burst 5 + ~0.1s of refill at 5/s ⇒ passed well under 20
     assert 5 <= total_passed <= 7
+
+
+def test_streaming_cache_state(spark, tmp_path):
+    """put→get KV across micro-batches (cache.go continuous analog)."""
+    import pandas as pd
+
+    from beats_spark.streaming import streaming_cache
+
+    src = str(tmp_path / "c_src")
+    ckpt = str(tmp_path / "c_ckpt")
+    os.makedirs(src)
+    rows = [
+        {"k": "u1", "event_id": 1, "v": "a", "put": True},
+        {"k": "u1", "event_id": 2, "v": None, "put": False},
+        {"k": "u1", "event_id": 3, "v": "b", "put": True},
+        {"k": "u1", "event_id": 4, "v": None, "put": False},
+        {"k": "u2", "event_id": 5, "v": None, "put": False},
+    ]
+    pd.DataFrame(rows).to_json(f"{src}/b1.json", orient="records", lines=True)
+    stream = (
+        spark.readStream.format("json")
+        .schema("k string, event_id long, v string, put boolean")
+        .load(src)
+    )
+    out_rows = []
+    q = (
+        streaming_cache(stream, "k", "event_id", "v", "put")
+        .writeStream.foreachBatch(lambda df, _: out_rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id: r.cached for r in out_rows}
+    assert got == {1: None, 2: "a", 3: "a", 4: "b", 5: None}
