@@ -20,3 +20,34 @@ Reference semantics are cited per module as /root/reference file:line.
 __version__ = "0.1.0"
 
 from beats_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name: str):
+    """Lazy top-level API (keeps `import beats_spark` light enough for
+    executor-side unpickling): Pipeline, compile_chain,
+    compile_condition, route, write_fanout, CheckpointedRunner."""
+    if name == "Pipeline":
+        from beats_spark.pipeline import Pipeline
+
+        return Pipeline
+    if name == "compile_chain":
+        from beats_spark.processors import compile_chain
+
+        return compile_chain
+    if name == "compile_condition":
+        from beats_spark.conditions import compile_condition
+
+        return compile_condition
+    if name == "route":
+        from beats_spark.sinks import route
+
+        return route
+    if name == "write_fanout":
+        from beats_spark.sinks import write_fanout
+
+        return write_fanout
+    if name == "CheckpointedRunner":
+        from beats_spark.checkpoint import CheckpointedRunner
+
+        return CheckpointedRunner
+    raise AttributeError(name)
