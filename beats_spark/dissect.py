@@ -370,9 +370,17 @@ class Tokenizer:
     def native_compilable(self) -> bool:
         if self.has_dynamic_keys or any(f.kind == "pointer" for f in self.fields):
             return False
-        if any(f.fixed for f in self.fields):
-            return False
+        n = len(self.fields)
         for i, f in enumerate(self.fields):
+            if f.fixed:
+                # only the FINAL fixed field maps exactly to a regex
+                # ((.{n})$ — dissect.go:166-171's length==remaining
+                # check); a middle fixed field's delimiter skip is
+                # unverified in Go and tolerates string-end overrun,
+                # which a literal pattern can't express — kernel path
+                last = i == n - 1 and i + 1 >= len(self.delimiters)
+                if not last or f.greedy:
+                    return False
             if f.greedy and f.kind in ("normal", "append"):
                 nxt = self.delimiters[i + 1] if i + 1 < len(self.delimiters) else ""
                 if len(nxt) != 1:
@@ -382,16 +390,30 @@ class Tokenizer:
     # -- native regex compilation -------------------------------------------
 
     def regex(self) -> str:
-        """One anchored Java regex; capture group i+1 = field i."""
+        """One anchored Java regex; capture group i+1 = field i.
+
+        Fixed-length fields (`%{k#n}`) compile to `(.{n})` — the Go
+        algorithm takes exactly n units then requires the next delimiter
+        at that position (dissect.go:116-123), which is what the literal
+        delimiter after the bounded group enforces; a final fixed field
+        must end the string exactly (`(.{n})$`, dissect.go:166-171).
+        (Unit = char here vs Go's bytes — divergence only on multi-byte
+        input, shared with the Python kernel.)"""
         assert self.native_compilable
         parts = ["(?s)^", _java_quote(self.delimiters[0])]
         n = len(self.fields)
+
+        def group(f: DissectField, last: bool) -> str:
+            if f.fixed:
+                return "(.{%d})%s" % (f.length, "$" if last else "")
+            return "(.*)$" if last else "(.*?)"
+
         for i, f in enumerate(self.fields):
             has_trailing = i + 1 < len(self.delimiters)
             if i == n - 1 and not has_trailing:
-                parts.append("(.*)$")
+                parts.append(group(f, last=True))
             else:
-                parts.append("(.*?)")
+                parts.append(group(f, last=False))
                 nxt = self.delimiters[i + 1]
                 if f.greedy and f.kind in ("normal", "append") and len(nxt) == 1:
                     parts.append("(?:" + _java_quote(nxt) + ")+")

@@ -128,3 +128,35 @@ def test_fallback_udf_matches_kernel(spark):
     rows = df.select(udf(F.col("msg")).alias("m")).collect()
     assert rows[0]["m"] == tok.dissect("hello world abcdtail")
     assert rows[1]["m"] is None
+
+
+def test_fixed_length_final_field_native(spark):
+    """%{a} %{b#4} — final fixed field compiles natively and requires
+    exact remaining length (dissect.go:166-171)."""
+    from pyspark.sql import functions as F
+
+    tok = Tokenizer("%{a} %{b#4}")
+    assert tok.native_compilable
+    df = spark.createDataFrame(
+        [("go 1234",), ("go 12345",), ("go 123",)], "payload string"
+    )
+    matched, vals = tok.native_exprs(F.col("payload"), convert=False)
+    rows = df.select(
+        F.when(matched, vals["b"]).alias("b"), matched.alias("ok")
+    ).collect()
+    assert (rows[0].b, rows[0].ok) == ("1234", True)
+    assert rows[1].ok is False  # extra char ⇒ no fit
+    assert rows[2].ok is False  # too short
+    # kernel agrees
+    assert tok.dissect("go 1234") == {"a": "go", "b": "1234"}
+    assert tok.dissect("go 12345") is None
+    assert tok.dissect("go 123") is None
+
+
+def test_fixed_length_middle_field_kernel_path():
+    """Middle fixed field stays on the kernel path (unverified skip)."""
+    tok = Tokenizer("%{a#2}-%{b}")
+    assert not tok.native_compilable
+    assert tok.dissect("xy-rest") == {"a": "xy", "b": "rest"}
+    # Go does not verify the delimiter after a fixed field: it skips
+    assert tok.dissect("xyZrest") == {"a": "xy", "b": "rest"}
