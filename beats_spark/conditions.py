@@ -138,9 +138,40 @@ def _ipv4_to_long(col: Column) -> Column:
     return F.when(valid & octets_ok, num)
 
 
+def _ipv6_match_udf(cidrs: tuple[str, ...]):
+    """Arrow-vectorized IPv6 membership test (no native 128-bit ints);
+    used only when the config actually names v6 CIDRs."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    def _match(s):
+        import ipaddress as _ip
+
+        nets = [_ip.ip_network(c, strict=False) for c in cidrs]
+
+        def one(v):
+            if v is None or ":" not in v:
+                return False
+            try:
+                addr = _ip.ip_address(v)
+            except ValueError:
+                return False
+            return addr.version == 6 and any(addr in n for n in nets)
+
+        return s.map(one)
+
+    _match.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_match, "boolean")
+
+
 def _network_one(df: DataFrame, path: str, networks: Any) -> Column:
-    """IP-in-CIDR via pure integer arithmetic (IPv4 native; IPv6 rows ⇒
-    false in this build — noted divergence, reference supports both)."""
+    """IP-in-CIDR. IPv4 via pure integer arithmetic (JVM-side); IPv6
+    CIDRs, when configured, via an Arrow-vectorized membership UDF
+    (network.go supports both families)."""
     col = field_col(df, path)
     ftype = field_type(df.schema, path)
     if col is None or not isinstance(ftype, T.StringType):
@@ -162,18 +193,31 @@ def _network_one(df: DataFrame, path: str, networks: Any) -> Column:
             cidrs.append(n)
     ip_long = _ipv4_to_long(col)
     pred = _false()
+    v6: list[str] = []
     for c in cidrs:
         try:
             net = ipaddress.ip_network(c, strict=False)
         except ValueError as e:
             raise ValueError(f"network: bad CIDR {c}") from e
         if net.version != 4:
-            continue  # IPv6 matching not implemented natively
+            v6.append(c)
+            continue
         lo, hi = int(net.network_address), int(net.broadcast_address)
         pred = pred | _bool((ip_long >= F.lit(lo)) & (ip_long <= F.lit(hi)))
+    if v6:
+        pred = pred | F.coalesce(_ipv6_match_udf(tuple(v6))(col), F.lit(False))
     if negate_public:
-        pred = _bool(ip_long.isNotNull()) & ~pred
+        is_ip = _bool(ip_long.isNotNull())
+        if any(":" in c for c in _flatten_named_v6()):
+            is_ip = is_ip | F.coalesce(
+                _ipv6_match_udf(("::/0",))(col), F.lit(False)
+            )
+        pred = is_ip & ~pred
     return _bool(pred)
+
+
+def _flatten_named_v6() -> list[str]:
+    return [c for v in _NAMED_NETWORKS.values() for c in v if ":" in c]
 
 
 def compile_condition(df: DataFrame, cond: dict[str, Any]) -> Column:

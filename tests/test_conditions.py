@@ -106,3 +106,19 @@ def test_condition_never_null(df):
     c = compile_condition(df, {"equals": {"level": "error"}})
     n_null = df.select(c.alias("c")).filter(F.col("c").isNull()).count()
     assert n_null == 0
+
+
+def test_network_ipv6(spark):
+    from beats_spark.conditions import compile_condition
+
+    df = spark.createDataFrame(
+        [("fe80::1",), ("2001:db8::5",), ("10.0.0.1",), ("garbage",)],
+        "ip string",
+    )
+    c6 = compile_condition(df, {"network": {"ip": "2001:db8::/32"}})
+    got = [r[0] for r in df.select(c6).collect()]
+    assert got == [False, True, False, False]
+    # named range with both families: private includes fc00::/7
+    df2 = spark.createDataFrame([("fc00::1",), ("10.1.2.3",), ("8.8.8.8",)], "ip string")
+    cp = compile_condition(df2, {"network": {"ip": "private"}})
+    assert [r[0] for r in df2.select(cp).collect()] == [True, True, False]
