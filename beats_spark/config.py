@@ -1,0 +1,120 @@
+"""filebeat.yml-style config loader → Pipeline.
+
+Accepts the reference's YAML shapes (a filebeat user can bring their
+config) and normalizes them into the engine's pipeline dict:
+
+    filebeat.inputs:
+      - type: log
+        include_lines: ['^ERR']
+        exclude_lines: ['^DBG']
+    processors:
+      - dissect:
+          tokenizer: "%{key1} %{key2}"
+          field: message
+      - drop_event:
+          when:
+            equals: { level: debug }
+    output.elasticsearch:
+      index: "logs-default"
+      indices:
+        - index: "errors"
+          when: { equals: { level: error } }
+        - index: "team-%{[team]}"
+          when: { has_fields: ["team"] }
+          mappings: { a: b }
+
+`output.elasticsearch.indices` / `output.kafka.topics` rules map to the
+routing selector (same fields: index|topic, when, mappings, default).
+Unsupported output types raise with the supported list.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from beats_spark.pipeline import Pipeline
+
+
+def _routing_from_output(cfg: dict[str, Any]) -> dict[str, Any] | None:
+    out = cfg.get("output") or {}
+    # also accept flattened "output.elasticsearch" style keys
+    for k in list(cfg):
+        if isinstance(k, str) and k.startswith("output."):
+            out[k[len("output.") :]] = cfg[k]
+    if not out:
+        return None
+    if len(out) != 1:
+        raise ValueError(
+            "exactly one output may be configured (libbeat/beat/beat.go:144)"
+        )
+    kind, body = next(iter(out.items()))
+    body = body or {}
+    if kind in ("elasticsearch", "es"):
+        rule_key, default_key = "index", "index"
+        rules_key = "indices"
+    elif kind == "kafka":
+        rule_key, default_key = "topic", "topic"
+        rules_key = "topics"
+    elif kind in ("file", "console", "discard"):
+        rule_key, default_key = "sink", "sink"
+        rules_key = "sinks"
+    else:
+        raise ValueError(
+            f"unsupported output type {kind!r} (supported: elasticsearch, "
+            "kafka, file, console, discard)"
+        )
+    rules = []
+    for r in body.get(rules_key) or []:
+        rules.append(
+            {
+                "sink": r.get(rule_key) or r.get("sink"),
+                "when": r.get("when"),
+                "mappings": r.get("mappings"),
+            }
+        )
+    routing: dict[str, Any] = {
+        "rules": rules,
+        "default": body.get(default_key) or body.get("default"),
+        "lowercase": True,
+    }
+    if body.get("non_indexable_policy", {}).get("dead_letter_index"):
+        routing["dead_letter"] = body["non_indexable_policy"][
+            "dead_letter_index"
+        ].get("index", "dlq")
+    elif body.get("dead_letter"):
+        routing["dead_letter"] = body["dead_letter"]
+    return routing
+
+
+def pipeline_config_from_dict(cfg: dict[str, Any]) -> dict[str, Any]:
+    inputs = cfg.get("filebeat", {}).get("inputs") or cfg.get(
+        "filebeat.inputs"
+    ) or cfg.get("inputs") or []
+    include, exclude = [], []
+    for inp in inputs:
+        include.extend(inp.get("include_lines") or [])
+        exclude.extend(inp.get("exclude_lines") or [])
+    out: dict[str, Any] = {
+        "payload_field": cfg.get("payload_field", "message"),
+        "include_lines": include,
+        "exclude_lines": exclude,
+        "processors": cfg.get("processors") or [],
+    }
+    routing = _routing_from_output(cfg)
+    if routing:
+        out["routing"] = routing
+    return out
+
+
+def load_yaml(path_or_text: str) -> Pipeline:
+    """Build a Pipeline from a filebeat-style YAML file or YAML text."""
+    import os
+
+    import yaml
+
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as f:
+            raw = yaml.safe_load(f)
+    else:
+        raw = yaml.safe_load(path_or_text)
+    return Pipeline(pipeline_config_from_dict(raw or {}))

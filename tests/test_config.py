@@ -1,0 +1,73 @@
+"""filebeat.yml-style config loading → Pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beats_spark.config import load_yaml
+
+YML = """
+filebeat:
+  inputs:
+    - type: log
+      exclude_lines: ['CORRUPT']
+processors:
+  - dissect:
+      tokenizer: 'level=%{level} ts=%{ts} caller=%{caller} msg="%{msg}" ip=%{ip} seq=%{seq|long}'
+      field: payload
+      target_prefix: ""
+  - drop_event:
+      when:
+        equals: { level: debug }
+  - add_fields:
+      target: ""
+      fields: { env: prod }
+output:
+  elasticsearch:
+    index: "catchall"
+    indices:
+      - index: "errors"
+        when: { equals: { level: error } }
+      - index: "big-%{[level]}"
+        when: { range: { "seq.gte": 90 } }
+"""
+
+
+def test_yaml_pipeline_end_to_end(spark):
+    from beats_spark.datagen import load_token_events
+
+    pipe = load_yaml(YML)
+    df = load_token_events(spark, "/root/testdata/sf0.001")
+    pipe.config["payload_field"] = "payload"
+    out = pipe.transform(df)
+    sinks = {r.sink for r in out.select("sink").distinct().collect()}
+    assert "errors" in sinks and "catchall" in sinks
+    assert any(s.startswith("big-") for s in sinks)
+    # exclude_lines removed corrupt rows BEFORE parse
+    assert out.filter(F.col("payload").startswith("CORRUPT")).count() == 0
+    assert out.filter(F.col("level") == "debug").count() == 0
+    assert out.select("env").distinct().collect()[0].env == "prod"
+
+
+def test_yaml_kafka_topics(spark):
+    yml = """
+processors: []
+output:
+  kafka:
+    topic: "default-topic"
+    topics:
+      - topic: "t-%{[source]}"
+        when: { contains: { source: "src-4" } }
+"""
+    pipe = load_yaml(yml)
+    df = spark.createDataFrame([("src-4",), ("src-9",)], "source string")
+    out = pipe.transform(df)
+    got = {r.source: r.sink for r in out.collect()}
+    assert got == {"src-4": "t-src-4", "src-9": "default-topic"}
+
+
+def test_unsupported_output_raises(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported output"):
+        load_yaml("output:\n  logstash:\n    hosts: ['x']\n")
