@@ -222,6 +222,46 @@ SELECT source, count(*) AS n_events, sum(n_lines) AS n_lines_total,
 FROM merged GROUP BY source ORDER BY source"""
 
 
+# --- q24: token-window (exact substring) dedup over the token table ---------
+
+
+def q_token_window_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup over the BASELINE token arrays: k-token
+    windows shared across documents. The token generator reuses values
+    modulo the per-doc PRNG, so repeated windows across docs exist by
+    construction."""
+    from beats_spark.datagen import load_token_events
+    from beats_spark.training.dedup import token_window_dup_groups
+
+    df = load_token_events(spark, sf_dir)
+    groups = token_window_dup_groups(df, k=8, min_docs=2)
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_docs").alias("sum_docs"),
+        F.sum(F.pmod(F.col("wh"), F.lit(1000003))).alias("hash_check"),
+    )
+
+
+def q_token_window_dups_oracle() -> str:
+    from beats_spark.datagen import token_events_sql
+
+    return f"""
+WITH events AS ({token_events_sql('duckdb')}),
+wins AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(0, len(tokens) - 8 + 1),
+           i -> list_reduce(
+                  list_prepend(CAST(0 AS BIGINT), tokens[i + 1 : i + 8]),
+                  (acc, x) -> (acc * 31 + x) % 2147483647)))) AS wh
+  FROM events WHERE len(tokens) >= 8),
+grouped AS (
+  SELECT wh, count(DISTINCT doc_id) AS n_docs
+  FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2)
+SELECT count(*) AS n_windows, sum(n_docs) AS sum_docs,
+       sum(wh % 1000003) AS hash_check
+FROM grouped"""
+
+
 def catalog():
     return {
         "q11_dedup_exact": q_dedup_exact,
@@ -229,6 +269,7 @@ def catalog():
         "q13_cosine_topk": q_cosine_topk,
         "q14_jaccard_pairs": q_jaccard_pairs,
         "q15_multiline": q_multiline,
+        "q24_token_window_dups": q_token_window_dups,
     }
 
 
@@ -239,4 +280,5 @@ def oracles():
         "q13_cosine_topk": q_cosine_topk_oracle(),
         "q14_jaccard_pairs": q_jaccard_pairs_oracle(),
         "q15_multiline": q_multiline_oracle(),
+        "q24_token_window_dups": q_token_window_dups_oracle(),
     }

@@ -245,6 +245,55 @@ def minhash_lsh_candidates(
     )
 
 
+# --- token-window (exact substring) dedup ------------------------------------
+
+_TW_BASE = 31
+
+
+def token_window_hashes(tokens: Column, k: int) -> Column:
+    """Polynomial hashes of every k-token window of an int-token array
+    (the exact-substring dedup primitive for tokenized training
+    sequences). Pure arithmetic — mod 2^31-1, base 31 — so an external
+    oracle can recompute identical values. Rows shorter than k yield
+    an empty array."""
+    n = F.size(tokens)
+
+    def win_hash(i: Column) -> Column:
+        return F.aggregate(
+            F.slice(tokens, i + 1, k),
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * _TW_BASE + x, F.lit(_P)),
+        )
+
+    return F.when(
+        n >= k, F.array_distinct(F.transform(F.sequence(F.lit(0), n - k), win_hash))
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def token_window_dup_groups(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Shared-window groups: every k-token window held by >= min_docs
+    distinct documents. explode → groupBy window hash; shuffle rows are
+    (hash, id) pairs, never token arrays."""
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(token_window_hashes(F.col(tokens_col), k)).alias("wh"),
+    )
+    return (
+        ex.groupBy("wh")
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

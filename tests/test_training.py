@@ -186,3 +186,27 @@ def test_multimodal_sniff_and_features(spark):
     import zlib
 
     assert by_key["blob"].checksum == zlib.crc32(bytes(rows[2][1]))
+
+
+def test_token_window_dedup_finds_planted_dups(spark):
+    """Plant exact 8-token substring overlap between doc pairs and
+    confirm detection."""
+    from pyspark.sql import types as T
+
+    from beats_spark.training.dedup import token_window_dup_groups
+
+    rows = [
+        (1, list(range(100, 130))),
+        (2, list(range(500, 520)) + list(range(110, 120))),  # shares 110..117 window
+        (3, list(range(900, 940))),
+        (4, [1, 2, 3]),  # shorter than k
+    ]
+    df = spark.createDataFrame(
+        rows, T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ])
+    )
+    groups = token_window_dup_groups(df, k=8, min_docs=2).collect()
+    assert len(groups) >= 1
+    assert all(g.keep_id == 1 for g in groups)  # overlap is docs 1+2
