@@ -262,6 +262,60 @@ SELECT count(*) AS n_windows, sum(n_docs) AS sum_docs,
 FROM grouped"""
 
 
+# --- q25: quality scoring (C4/Gopher-style filter) ---------------------------
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = text.with_text_stats(_docs(spark, sf_dir))
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.round(F.col("quality") * 1e6).cast("long")).alias(
+                "sum_quality_ppm"
+            ),
+            F.sum(F.round(F.col("mean_word_len") * 1e6).cast("long")).alias(
+                "sum_mwl_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_quality_oracle() -> str:
+    sw = ", ".join(f"'{w}'" for w in text.STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT source,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+         len(list_filter(list_transform(string_split_regex(trim(text), '\\s+'),
+                                        w -> lower(w)),
+                         w -> w IN ({sw}))) AS en_sw
+  FROM documents),
+f AS (
+  SELECT source,
+         round(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 6) AS mwl,
+         round(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(CAST(n_digits AS DOUBLE) / greatest(n_chars, 1), 6) AS digit_ratio,
+         round(CAST(en_sw AS DOUBLE) / greatest(n_words, 1), 6) AS swr,
+         n_words
+  FROM t),
+q AS (
+  SELECT source, mwl,
+         round((least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+              + greatest(0.0, 1.0 - punct_ratio * 5)
+              + greatest(0.0, 1.0 - digit_ratio * 5)
+              + least(swr * 4, 1.0)) / 4, 6) AS quality
+  FROM f)
+SELECT source, count(*) AS n_docs,
+       sum(CAST(round(quality * 1e6) AS BIGINT)) AS sum_quality_ppm,
+       sum(CAST(round(mwl * 1e6) AS BIGINT)) AS sum_mwl_ppm
+FROM q GROUP BY source ORDER BY source"""
+
+
 def catalog():
     return {
         "q11_dedup_exact": q_dedup_exact,
@@ -270,6 +324,7 @@ def catalog():
         "q14_jaccard_pairs": q_jaccard_pairs,
         "q15_multiline": q_multiline,
         "q24_token_window_dups": q_token_window_dups,
+        "q25_quality": q_quality,
     }
 
 
@@ -281,4 +336,5 @@ def oracles():
         "q14_jaccard_pairs": q_jaccard_pairs_oracle(),
         "q15_multiline": q_multiline_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
+        "q25_quality": q_quality_oracle(),
     }
