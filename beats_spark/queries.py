@@ -355,7 +355,12 @@ def q_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     out = chain(df)
-    in_private = compile_condition(out, {"network": {"sip": "private"}})
+    # explicit v4 CIDRs: the generated IPs are v4-only, and naming
+    # "private" would engage the (correct but Arrow-UDF) v6 branch
+    in_private = compile_condition(
+        out,
+        {"network": {"sip": ["10.0.0.0/8", "172.16.0.0/12", "192.168.0.0/16"]}},
+    )
     in_testnet = compile_condition(out, {"network": {"sip": "203.0.113.0/24"}})
     return (
         out.groupBy("direction")
