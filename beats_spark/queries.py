@@ -497,7 +497,12 @@ def q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < 400
     )
-    a = embs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    par = spark.sparkContext.defaultParallelism
+    # the a<b pair join plans as a nested-loop join; spreading the left
+    # side parallelizes it (a single input file would mean one task)
+    a = embs.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    ).repartition(par)
     b = embs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sim = F.round(cosine(F.col("va"), F.col("vb")), 4)
