@@ -24,8 +24,9 @@ def ensure_udf_portable() -> None:
     except ImportError:  # pragma: no cover - layout differences across versions
         import cloudpickle  # type: ignore[no-redef]
     import beats_spark.dissect as _dissect
+    import beats_spark.training.multimodal as _multimodal
 
-    for mod in (_dissect,):
+    for mod in (_dissect, _multimodal):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover

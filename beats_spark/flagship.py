@@ -171,9 +171,9 @@ def oracle_token_checksums_sql() -> str:
         + _PARSED_CTE
         + """
 SELECT sink, count(*) AS rows,
-       sum(n_tok) AS sum_n_tok,
-       sum(list_sum(tokens)) AS sum_tok,
-       sum(list_reduce(list_prepend(CAST(0 AS BIGINT), tokens),
-                       (acc, x) -> (acc * 31 + x) % 1000000007)) AS sum_tok_hash
+       CAST(sum(n_tok) AS BIGINT) AS sum_n_tok,
+       CAST(sum(list_sum(tokens)) AS BIGINT) AS sum_tok,
+       CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT), tokens),
+                       (acc, x) -> (acc * 31 + x) % 1000000007)) AS BIGINT) AS sum_tok_hash
 FROM routed GROUP BY sink ORDER BY sink"""
     )

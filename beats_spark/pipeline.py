@@ -41,10 +41,14 @@ class Pipeline:
         payload = self.config.get("payload_field", "payload")
         pcol = field_col(df, payload)
         if pcol is not None:
-            for pat in self.config.get("include_lines") or []:
-                df = df.filter(pcol.rlike(pat))
-            for pat in self.config.get("exclude_lines") or []:
-                df = df.filter(~F.coalesce(pcol.rlike(pat), F.lit(False)))
+            inc = self.config.get("include_lines") or []
+            exc = self.config.get("exclude_lines") or []
+            if inc or exc:
+                from beats_spark.readers.lines import line_keep_predicate
+
+                # include patterns are ANY-match (harvester.go MatchAny),
+                # exclude patterns each drop — one combined predicate
+                df = df.filter(line_keep_predicate(pcol, include=inc, exclude=exc))
         df = self.chain(df)
         routing = self.config.get("routing")
         if routing:

@@ -98,7 +98,7 @@ def q_enrich_oracle() -> str:
     return f"""
 WITH events AS ({token_events_sql('duckdb')})
 SELECT coalesce(lookup_source.team, 'MISS') AS team,
-       count(*) AS n, sum(n_tok) AS sum_n_tok
+       count(*) AS n, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok
 FROM events LEFT JOIN {lookup_sql('duckdb')}
   ON events.source = lookup_source.source
 GROUP BY 1 ORDER BY 1"""
@@ -135,10 +135,10 @@ def q_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_conditions_oracle() -> str:
     return """
-SELECT sum(CASE WHEN value >= 10 AND value < 100 THEN 1 ELSE 0 END) AS n_range,
-       sum(CASE WHEN event_type LIKE '%c%' AND event_type <> 'click' THEN 1 ELSE 0 END) AS n_mixed,
-       0 AS n_missing,
-       sum(CASE WHEN regexp_matches(event_type, '^(view|error)$') THEN 1 ELSE 0 END) AS n_regex
+SELECT CAST(sum(CASE WHEN value >= 10 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+       CAST(sum(CASE WHEN event_type LIKE '%c%' AND event_type <> 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_mixed,
+       CAST(0 AS BIGINT) AS n_missing,
+       CAST(sum(CASE WHEN regexp_matches(event_type, '^(view|error)$') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex
 FROM events"""
 
 
@@ -172,7 +172,8 @@ WITH ranked AS (
            PARTITION BY user_id, CAST(floor(epoch(ts) / 60) AS BIGINT)
            ORDER BY ts, event_id) AS rn
   FROM events)
-SELECT count(*) AS n_kept, sum(event_id) AS sum_ids FROM ranked WHERE rn <= 3"""
+SELECT count(*) AS n_kept, CAST(sum(event_id) AS BIGINT) AS sum_ids
+FROM ranked WHERE rn <= 3"""
 
 
 # --- q07: cache processor (put→get cross-event state, batch) ----------------
@@ -211,7 +212,8 @@ WITH c AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cached
   FROM events)
 SELECT count(cached) AS n_hits,
-       sum(CAST(round(cached * 100) AS BIGINT)) AS sum_cached_cents FROM c"""
+       CAST(sum(CAST(round(cached * 100) AS BIGINT)) AS BIGINT) AS sum_cached_cents
+FROM c"""
 
 
 # --- q08: fingerprint (|k|v| byte layout, sha256/hex) ------------------------
@@ -289,7 +291,7 @@ WITH t AS (
          replace(CASE WHEN length(text) > 60 THEN substr(text, 1, 60) ELSE text END,
                  'table', 'TBL') AS text
   FROM documents)
-SELECT lang, count(*) AS n, sum(length(text)) AS sum_len,
+SELECT lang, count(*) AS n, CAST(sum(length(text)) AS BIGINT) AS sum_len,
        count(DISTINCT split_part(text, ' ', 1)) AS n_first
 FROM t GROUP BY lang ORDER BY lang"""
 
@@ -318,7 +320,7 @@ def q_decode_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_decode_json_oracle() -> str:
     return """
-SELECT sum(TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS sum_k,
+SELECT CAST(sum(TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
        count(CASE WHEN regexp_matches(props, '"k": (-?\\d+)') THEN 1 END) AS n_k
 FROM events"""
 
@@ -390,8 +392,8 @@ d AS (
     END AS direction
   FROM t)
 SELECT direction, count(*) AS n,
-       sum(CASE WHEN NOT src_pub THEN 1 ELSE 0 END) AS n_private_src,
-       sum(CASE WHEN src_pub THEN 1 ELSE 0 END) AS n_testnet_src
+       CAST(sum(CASE WHEN NOT src_pub THEN 1 ELSE 0 END) AS BIGINT) AS n_private_src,
+       CAST(sum(CASE WHEN src_pub THEN 1 ELSE 0 END) AS BIGINT) AS n_testnet_src
 FROM d GROUP BY direction ORDER BY direction"""
 
 
@@ -440,10 +442,10 @@ WITH t AS (
   SELECT o_orderkey AS k, o_orderkey % 191 AS pri FROM orders)
 SELECT concat('app-', CAST(k % 3 AS VARCHAR)) AS appname,
        count(*) AS n,
-       sum(pri % 8) AS sum_sev,
-       sum(pri // 8) AS sum_fac,
-       sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS n_msgid,
-       5 AS n_hosts
+       CAST(sum(pri % 8) AS BIGINT) AS sum_sev,
+       CAST(sum(pri // 8) AS BIGINT) AS sum_fac,
+       CAST(sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_msgid,
+       CAST(5 AS BIGINT) AS n_hosts
 FROM t GROUP BY 1 ORDER BY 1"""
 
 
@@ -452,22 +454,19 @@ FROM t GROUP BY 1 ORDER BY 1"""
 
 def q_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-parse include/exclude regex filtering (harvester.go:496-519)
-    + the events.total/filtered/published counter arithmetic."""
-    from beats_spark.pipeline import Pipeline
+    + the events.total/filtered/published counter arithmetic — a single
+    scan: the kept-predicate is aggregated as a conditional sum rather
+    than two driver-side count() actions."""
+    from beats_spark.readers.lines import line_keep_predicate
 
     df = _tokens(spark, sf_dir)
-    total = df.count()
-    cfg = {
-        "payload_field": "payload",
-        "include_lines": ["^level="],
-        "exclude_lines": ["level=debug"],
-        "processors": [],
-    }
-    kept = Pipeline(cfg).transform(df)
-    published = kept.count()
-    return spark.createDataFrame(
-        [(total, published, total - published)],
-        "events_total long, events_published long, events_filtered long",
+    kept = line_keep_predicate(
+        F.col("payload"), include=["^level="], exclude=["level=debug"]
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("events_total"),
+        F.sum(kept.cast("long")).alias("events_published"),
+        F.sum((~kept).cast("long")).alias("events_filtered"),
     )
 
 
@@ -475,12 +474,12 @@ def q_line_filters_oracle() -> str:
     return f"""
 WITH events AS ({token_events_sql('duckdb')})
 SELECT count(*) AS events_total,
-       sum(CASE WHEN regexp_matches(payload, '^level=')
+       CAST(sum(CASE WHEN regexp_matches(payload, '^level=')
                  AND NOT regexp_matches(payload, 'level=debug')
-            THEN 1 ELSE 0 END) AS events_published,
-       count(*) - sum(CASE WHEN regexp_matches(payload, '^level=')
+            THEN 1 ELSE 0 END) AS BIGINT) AS events_published,
+       CAST(count(*) - sum(CASE WHEN regexp_matches(payload, '^level=')
                             AND NOT regexp_matches(payload, 'level=debug')
-                       THEN 1 ELSE 0 END) AS events_filtered
+                       THEN 1 ELSE 0 END) AS BIGINT) AS events_filtered
 FROM events"""
 
 
@@ -554,7 +553,11 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads synthesized from documents
-    text, sniffed + feature-extracted via mapInPandas."""
+    text, sniffed + feature-extracted via mapInPandas.
+
+    Output is scalar-only: the feat array<float> is reduced to its
+    dimension and a 4-dp L1 norm (the driver's pandas canonicalization
+    cannot sort/hash list cells)."""
     from beats_spark.training.multimodal import extract_features
 
     docs = _documents(spark, sf_dir).limit(50)
@@ -562,7 +565,21 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("key"),
         F.concat(F.lit("\x89PNG\r\n\x1a\n"), F.col("text")).cast("binary").alias("media"),
     )
-    return extract_features(media).orderBy("key")
+    feats = extract_features(media)
+    return feats.select(
+        "key",
+        "kind",
+        "n_bytes",
+        "checksum",
+        F.size("feat").alias("feat_dim"),
+        F.round(
+            F.aggregate(
+                "feat", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("feat_l1"),
+        "decode_error",
+    ).orderBy("key")
 
 
 # --- catalog -----------------------------------------------------------------

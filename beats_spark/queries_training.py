@@ -36,7 +36,7 @@ WITH unioned AS (
   UNION ALL
   SELECT doc_id + 1000000, text FROM documents),
 kept AS (SELECT min(doc_id) AS keep_id FROM unioned GROUP BY text)
-SELECT count(*) AS n_kept, sum(keep_id) AS sum_keep_ids FROM kept"""
+SELECT count(*) AS n_kept, CAST(sum(keep_id) AS BIGINT) AS sum_keep_ids FROM kept"""
 
 
 # --- q12: text stats + language id -------------------------------------------
@@ -90,9 +90,9 @@ WITH t AS (
          {bpe} AS n_bpe,
          {hits['en']} AS en_sw
   FROM documents)
-SELECT lang_pred, count(*) AS n, sum(n_words) AS sum_words,
-       sum(n_chars) AS sum_chars, sum(n_bpe) AS sum_bpe,
-       sum(CAST(round(en_sw * 1e6 / greatest(n_words, 1)) AS BIGINT)) AS sum_swr_ppm
+SELECT lang_pred, count(*) AS n, CAST(sum(n_words) AS BIGINT) AS sum_words,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(sum(n_bpe) AS BIGINT) AS sum_bpe,
+       CAST(sum(CAST(round(en_sw * 1e6 / greatest(n_words, 1)) AS BIGINT)) AS BIGINT) AS sum_swr_ppm
 FROM t GROUP BY lang_pred ORDER BY lang_pred"""
 
 
@@ -217,8 +217,8 @@ merged AS (
          string_agg(message, chr(10) ORDER BY "offset") AS message,
          count(*) AS n_lines
   FROM grouped GROUP BY source, evt)
-SELECT source, count(*) AS n_events, sum(n_lines) AS n_lines_total,
-       sum(length(message)) AS sum_msg_len
+SELECT source, count(*) AS n_events, CAST(sum(n_lines) AS BIGINT) AS n_lines_total,
+       CAST(sum(length(message)) AS BIGINT) AS sum_msg_len
 FROM merged GROUP BY source ORDER BY source"""
 
 
@@ -257,8 +257,8 @@ wins AS (
 grouped AS (
   SELECT wh, count(DISTINCT doc_id) AS n_docs
   FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2)
-SELECT count(*) AS n_windows, sum(n_docs) AS sum_docs,
-       sum(wh % 1000003) AS hash_check
+SELECT count(*) AS n_windows, CAST(sum(n_docs) AS BIGINT) AS sum_docs,
+       CAST(sum(wh % 1000003) AS BIGINT) AS hash_check
 FROM grouped"""
 
 
@@ -311,8 +311,8 @@ q AS (
               + least(swr * 4, 1.0)) / 4, 6) AS quality
   FROM f)
 SELECT source, count(*) AS n_docs,
-       sum(CAST(round(quality * 1e6) AS BIGINT)) AS sum_quality_ppm,
-       sum(CAST(round(mwl * 1e6) AS BIGINT)) AS sum_mwl_ppm
+       CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT) AS sum_quality_ppm,
+       CAST(sum(CAST(round(mwl * 1e6) AS BIGINT)) AS BIGINT) AS sum_mwl_ppm
 FROM q GROUP BY source ORDER BY source"""
 
 

@@ -59,17 +59,35 @@ def read_lines(
                 ),
             ).otherwise(F.col("message")),
         )
-    for pat in include_lines or []:
-        df = df.filter(F.col("message").rlike(pat))
-    for pat in exclude_lines or []:
-        df = df.filter(~F.coalesce(F.col("message").rlike(pat), F.lit(False)))
+    if include_lines or exclude_lines:
+        df = df.filter(
+            line_keep_predicate(
+                F.col("message"), include=include_lines, exclude=exclude_lines
+            )
+        )
     return df
+
+
+def line_keep_predicate(
+    line: F.Column,
+    include: list[str] | None = None,
+    exclude: list[str] | None = None,
+) -> F.Column:
+    """The harvester's shouldExportLine predicate
+    (filebeat/input/log/harvester.go:496-519): a line is kept iff it
+    matches ANY include pattern (MatchAny — include patterns are OR,
+    not AND) and NO exclude pattern. Empty include list ⇒ keep all."""
+    keep = F.lit(True)
+    if include:
+        keep = F.lit(False)
+        for p in include:
+            keep = keep | F.coalesce(line.rlike(p), F.lit(False))
+    for p in exclude or []:
+        keep = keep & ~F.coalesce(line.rlike(p), F.lit(False))
+    return keep
 
 
 def include_message(df: DataFrame, patterns: list[str], line_col: str = "message") -> DataFrame:
     """Parser-level include_message filter (libbeat/reader/filter/,
     parser.go:125-131): keep lines matching ANY pattern."""
-    pred = F.lit(False)
-    for p in patterns:
-        pred = pred | F.coalesce(F.col(line_col).rlike(p), F.lit(False))
-    return df.filter(pred)
+    return df.filter(line_keep_predicate(F.col(line_col), include=patterns))
