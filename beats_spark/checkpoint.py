@@ -35,7 +35,7 @@ from __future__ import annotations
 import time
 from typing import Any, Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -74,6 +74,13 @@ class CheckpointedRunner:
         source_snapshot: str = "",
     ):
         self.spark = spark
+        # Replay idempotency REQUIRES dynamic partition overwrite: with
+        # the default (static), mode('overwrite') on a chunk rerun would
+        # delete every previously committed chunk's data while the
+        # manifest still marks them committed — silent data loss for any
+        # user-built session. Set it here instead of trusting the
+        # session factory (round-2 ADVICE).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         self.out_dir = out_dir.rstrip("/")
         self.data_dir = f"{self.out_dir}/data"
         self.manifest_dir = f"{self.out_dir}/manifest"
@@ -114,35 +121,36 @@ class CheckpointedRunner:
             part = chunked.filter(F.col(CHUNK_COL) == chunk)
             out = transform(part)
             out = strip_internal(out, keep=(ERROR_COL, CHUNK_COL))
+            # manifest stats ride the write itself via Observation — no
+            # second scan of the just-written chunk (same pattern as
+            # sinks.write_fanout)
+            obs = Observation(f"chunk-{chunk}")
+            out = out.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.min("doc_id").alias("lo"),
+                F.max("doc_id").alias("hi"),
+                F.sum(F.when(F.col(SINK_COL) == "dlq", 1).otherwise(0)).alias(
+                    "dead"
+                ),
+            )
             # dynamic overwrite: replaces only partitions (chunk, *) —
             # a half-written chunk from a crash is fully replaced on rerun
             out.write.partitionBy(CHUNK_COL, SINK_COL).mode("overwrite").parquet(
                 self.data_dir
             )
-            stats = (
-                self.spark.read.parquet(self.data_dir)
-                .filter(F.col(CHUNK_COL) == chunk)
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.min("doc_id").alias("lo"),
-                    F.max("doc_id").alias("hi"),
-                    F.sum(
-                        F.when(F.col(SINK_COL) == "dlq", 1).otherwise(0)
-                    ).alias("dead"),
-                )
-                .collect()[0]
-            )
+            stats_d = obs.get
             manifest_row = [
                 (
                     self.run_id,
                     chunk,
-                    stats.n,
-                    stats.lo,
-                    stats.hi,
+                    stats_d["n"],
+                    stats_d["lo"],
+                    stats_d["hi"],
                     self.source_snapshot,
                     {
-                        "events.published": stats.n,
-                        "events.dead_letter": stats.dead or 0,
+                        "events.published": stats_d["n"],
+                        "events.dead_letter": stats_d["dead"] or 0,
                     },
                     time.time(),
                 )

@@ -55,10 +55,17 @@ class RateLimit(Processor):
         epoch = ocol.cast("timestamp_ltz").cast("double")
         bucket = F.floor(epoch / bucket_s).cast("long")
         w = Window.partitionBy(*keys, bucket).orderBy(*ocols)
-        rn = F.row_number().over(w)
-        keep = rn <= limit
-        if cond is not None:
-            keep = keep | ~F.coalesce(cond, F.lit(False))
+        if cond is None:
+            keep = F.row_number().over(w) <= limit
+        else:
+            # the reference rate-limits only events the condition selects:
+            # rank ONLY condition-matching rows, so non-matching events
+            # never consume limit slots (round-2 ADVICE)
+            c = F.coalesce(cond, F.lit(False))
+            matched_rank = F.sum(F.when(c, 1).otherwise(0)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            keep = ~c | (matched_rank <= limit)
         return (
             df.withColumn("__rl_keep__", keep)
             .filter(F.col("__rl_keep__"))

@@ -68,7 +68,11 @@ class Dissect(Processor):
             udf = make_dissect_udf(self.tok)
             mcol = "__dissect_map__"
             df = df.withColumn(mcol, udf(src.cast("string")))
-            matched = F.col(mcol).isNotNull()
+            # materialize matched BEFORE dropping the map — `matched` is
+            # an expression over mcol, and add_flag/_set_error below would
+            # otherwise reference a dropped column (AnalysisException)
+            df = df.withColumn("__dissect_matched__", F.col(mcol).isNotNull())
+            matched = F.col("__dissect_matched__")
             for key in self.tok.static_keys:
                 expr = F.element_at(F.col(mcol), key)
                 if convert:
@@ -82,7 +86,7 @@ class Dissect(Processor):
         df = add_flag(df, "dissect_parsing_error", failed)
         if not self.cfg.get("ignore_failure", False):
             df = _set_error(df, failed, "dissect: unable to tokenize field")
-        return df
+        return df.drop("__dissect_matched__")
 
 
 @register

@@ -412,18 +412,22 @@ class DetectMimeType(Processor):
 
     name = "detect_mime_type"
 
-    MAGIC = [
+    # bytes ⇒ hex-match on the binary cast (UTF-8 string casting mangles
+    # invalid bytes like 0x89/0xFF/0x1F, so real binary columns would
+    # always fall through to text/plain — round-2 ADVICE); str ⇒ prefix
+    # match on the string cast (text formats)
+    MAGIC: list[tuple[bytes | str, str]] = [
         ("%PDF-", "application/pdf"),
-        ("\x89PNG\r\n\x1a\n", "image/png"),
-        ("GIF87a", "image/gif"),
-        ("GIF89a", "image/gif"),
-        ("\xff\xd8\xff", "image/jpeg"),
-        ("PK\x03\x04", "application/zip"),
-        ("\x1f\x8b", "application/gzip"),
-        ("BM", "image/bmp"),
-        ("OggS", "audio/ogg"),
-        ("ID3", "audio/mpeg"),
-        ("RIFF", "audio/wav"),
+        (b"\x89PNG\r\n\x1a\n", "image/png"),
+        (b"GIF87a", "image/gif"),
+        (b"GIF89a", "image/gif"),
+        (b"\xff\xd8\xff", "image/jpeg"),
+        (b"PK\x03\x04", "application/zip"),
+        (b"\x1f\x8b", "application/gzip"),
+        (b"BM", "image/bmp"),
+        (b"OggS", "audio/ogg"),
+        (b"ID3", "audio/mpeg"),
+        (b"RIFF", "audio/wav"),
         ("<?xml", "text/xml; charset=utf-8"),
         ("{", "application/json"),
         ("[", "application/json"),
@@ -433,11 +437,16 @@ class DetectMimeType(Processor):
         col = field_col(df, self.cfg["field"])
         if col is None:
             return df
+        b = col.cast("binary")
         s = col.cast("string")
         expr: Column = F.lit("text/plain; charset=utf-8")
-        for prefix, mime in reversed(self.MAGIC):
-            expr = F.when(s.startswith(prefix), F.lit(mime)).otherwise(expr)
-        expr = F.when(s.isNull() | (F.length(s) == 0), F.lit(None)).otherwise(expr)
+        for sig, mime in reversed(self.MAGIC):
+            if isinstance(sig, bytes):
+                m = F.hex(F.substring(b, 1, len(sig))) == sig.hex().upper()
+            else:
+                m = s.startswith(sig)
+            expr = F.when(m, F.lit(mime)).otherwise(expr)
+        expr = F.when(b.isNull() | (F.length(b) == 0), F.lit(None)).otherwise(expr)
         return put_field(df, self.cfg["target"], expr)
 
 

@@ -160,3 +160,32 @@ def test_fixed_length_middle_field_kernel_path():
     assert tok.dissect("xy-rest") == {"a": "xy", "b": "rest"}
     # Go does not verify the delimiter after a fixed field: it skips
     assert tok.dissect("xyZrest") == {"a": "xy", "b": "rest"}
+
+
+def test_processor_udf_fallback_full_chain(spark):
+    """Regression (round-2 ADVICE): the Dissect *processor* on the UDF
+    fallback path used to drop __dissect_map__ before add_flag/_set_error
+    referenced `matched` through it → UNRESOLVED_COLUMN. Exercise the
+    whole processor (flags + error columns) with a non-native tokenizer."""
+    from beats_spark.fields import ERROR_COL, FLAGS_COL
+    from beats_spark.processors.parse import Dissect
+
+    df = spark.createDataFrame([("ab-rest",), ("x",)], "message string")
+    out = Dissect({"tokenizer": "%{a#2}-%{b}", "target_prefix": ""}).apply(df)
+    rows = {r["message"]: r for r in out.collect()}
+    assert rows["ab-rest"]["a"] == "ab" and rows["ab-rest"]["b"] == "rest"
+    assert rows["ab-rest"][ERROR_COL] is None
+    assert "dissect_parsing_error" not in (rows["ab-rest"][FLAGS_COL] or [])
+    assert rows["x"][ERROR_COL] is not None
+    assert "dissect_parsing_error" in rows["x"][FLAGS_COL]
+
+
+def test_processor_pointer_tokenizer_chain(spark):
+    """Pointer/indirect tokenizers (dynamic keys) through the processor:
+    static columns absent, __dissect_dynamic__ map retained, flags OK."""
+    from beats_spark.processors.parse import Dissect
+
+    df = spark.createDataFrame([("hello world",)], "message string")
+    out = Dissect({"tokenizer": "%{*key} %{&key}", "target_prefix": ""}).apply(df)
+    row = out.collect()[0]
+    assert row["__dissect_dynamic__"] == {"hello": "world"}

@@ -307,3 +307,57 @@ def test_syslog_structured_data(spark):
     r = out.collect()[0]
     sd = r["log"]["syslog"]["sd"]
     assert sd["iut"] == "3" and sd["eventSource"] == "Application"
+
+
+def test_detect_mime_type_binary_signatures(spark):
+    """True-binary columns: invalid-UTF-8 magic bytes (0x89 PNG, 0xFF
+    JPEG, 0x1F gzip) must match via the binary/hex path instead of being
+    mangled by string casting (round-2 ADVICE)."""
+    rows = [
+        (bytearray(b"\x89PNG\r\n\x1a\n....."), "image/png"),
+        (bytearray(b"\xff\xd8\xff\xe0JFIF"), "image/jpeg"),
+        (bytearray(b"\x1f\x8b\x08rest"), "application/gzip"),
+        (bytearray(b"PK\x03\x04zipdata"), "application/zip"),
+        (bytearray(b"%PDF-1.7 body"), "application/pdf"),
+        (bytearray(b"just some text"), "text/plain; charset=utf-8"),
+    ]
+    df = spark.createDataFrame([(b,) for b, _ in rows], "content binary")
+    out = compile_one({"detect_mime_type": {"field": "content", "target": "mime"}})(df)
+    assert [r.mime for r in out.collect()] == [m for _, m in rows]
+
+
+def test_rate_limit_when_only_counts_matching(spark):
+    """A `when`-gated rate_limit must rank ONLY condition-matching rows:
+    non-matching events may not consume limit slots (round-2 ADVICE;
+    reference applies the processor solely to selected events)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    # 3 noise rows (level=info) precede 2 debug rows, all in one bucket
+    rows = [
+        (base + dt.timedelta(milliseconds=i * 10), lvl, i)
+        for i, lvl in enumerate(["info", "info", "info", "debug", "debug"])
+    ]
+    df = spark.createDataFrame(rows, "`@timestamp` timestamp, level string, seq int")
+    out = compile_one(
+        {
+            "rate_limit": {
+                "limit": "2/s",
+                "when": {"equals": {"level": "debug"}},
+            }
+        }
+    )(df)
+    got = sorted(r.seq for r in out.collect())
+    # both debug rows survive (they are the first 2 MATCHING), plus all info
+    assert got == [0, 1, 2, 3, 4]
+    out2 = compile_one(
+        {
+            "rate_limit": {
+                "limit": "1/s",
+                "when": {"equals": {"level": "debug"}},
+            }
+        }
+    )(df)
+    got2 = sorted(r.seq for r in out2.collect())
+    # only the FIRST debug row survives; info rows untouched
+    assert got2 == [0, 1, 2, 3]
