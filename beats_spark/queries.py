@@ -522,17 +522,53 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.42
 ORDER BY id_a, id_b"""
 
 
-# --- rows-only queries (non-SQL-expressible; exactness is pytest-checked
-# against pure-Python oracles in tests/test_training.py) ----------------------
+# --- q16: MinHash + LSH banding (oracle-checked, portable hashes) ------------
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash. portable=True: md5
+    shingle hashes + polynomial band hashes so the DuckDB oracle
+    reproduces the exact candidate set (the default engine path keeps
+    xxhash64; the banding/permutation arithmetic is identical)."""
     from beats_spark.training import dedup
 
     docs = _documents(spark, sf_dir)
-    return dedup.minhash_lsh_candidates(docs, num_perm=64, bands=16).orderBy(
-        "id_a", "id_b"
+    return dedup.minhash_lsh_candidates(
+        docs, num_perm=64, bands=16, portable=True
+    ).orderBy("id_a", "id_b")
+
+
+def q_minhash_lsh_oracle() -> str:
+    from beats_spark.training.dedup import _P, _perm_params, shingle_sql
+
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, h -> ((h % {_P}) * {a} % {_P} + {b}) % {_P}))"
+        for (a, b) in _perm_params(64)
     )
+    rows = 64 // 16
+    band_items = ", ".join(
+        f"list_reduce(list_prepend(CAST({bi + 1} AS BIGINT), "
+        f"sig[{bi * rows + 1}:{bi * rows + rows}]), "
+        f"(acc, x) -> (acc * 1000003 + x) % {_P})"
+        for bi in range(16)
+    )
+    return f"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+sh0 AS (SELECT doc_id, {shingle_sql()} AS sh FROM w),
+sigs AS (SELECT doc_id, [{sig_items}] AS sig FROM sh0 WHERE len(sh) > 0),
+buckets AS (SELECT doc_id, unnest([{band_items}]) AS bucket FROM sigs),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buckets a JOIN buckets b USING (bucket)
+          WHERE a.doc_id < b.doc_id),
+j AS (SELECT id_a, id_b, sa.sig AS sig_a, sb.sig AS sig_b
+      FROM pairs JOIN sigs sa ON sa.doc_id = pairs.id_a
+                 JOIN sigs sb ON sb.doc_id = pairs.id_b)
+SELECT id_a, id_b,
+       round(CAST(len(list_filter(range(1, 65), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64, 6) AS est_jaccard
+FROM j ORDER BY id_a, id_b"""
+
+
+# --- q17: SimHash dup groups (oracle-checked, portable hashes) ---------------
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,15 +576,91 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _documents(spark, sf_dir)
     both = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 1000000))
-    return dedup.simhash_dup_groups(both).orderBy("keep_id")
+    return dedup.simhash_dup_groups(both, portable=True).orderBy("keep_id")
+
+
+def q_simhash_oracle() -> str:
+    from beats_spark.training.dedup import shingle_sql
+
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(63)
+    )
+    sim_expr = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(63)
+    )
+    return f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM unioned),
+sh0 AS (SELECT doc_id, {shingle_sql()} AS sh FROM w),
+ex AS (SELECT doc_id, unnest(sh) AS h FROM sh0 WHERE len(sh) > 0),
+votes AS (SELECT doc_id, {bit_sums} FROM ex GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM votes)
+SELECT simhash, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_id
+FROM sims GROUP BY simhash HAVING count(*) > 1 ORDER BY keep_id"""
+
+
+# --- q18: hamming-sketch ANN top-k (oracle-checked) --------------------------
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via 256-bit sign-sketch hamming pre-filter + exact
+    re-rank (see similarity.hamming_topk for why bucket LSH can't reach
+    recall 0.9 in this data's cos≈0.35 neighbor regime). Measured
+    recall@5 vs q13's exact top-k: 1.0 at sf0.01 and sf0.1 with
+    C=200 (asserted in tests/test_training.py)."""
     from beats_spark.training import similarity
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = embs.filter(F.col("vec_id") < 3)
-    return similarity.lsh_topk(embs, queries_df, dim=64, k=5, n_planes=4, n_tables=16)
+    return similarity.hamming_topk(
+        embs, queries_df, dim=64, k=5, n_bits=256, n_candidates=200
+    ).orderBy("query_id", "rank")
+
+
+def q_lsh_topk_oracle() -> str:
+    from beats_spark.training.similarity import mix_sign_sql
+
+    sign = mix_sign_sql("p * 64 + i - 1")
+    dots = (
+        f"list_transform(range(0, 256), p -> "
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN {sign} = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), "
+        f"(acc, x) -> acc + x))"
+    )
+    dotqc = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x))"
+        )
+
+    return f"""
+WITH sk AS (SELECT vec_id, embedding, list_transform({dots}, d -> d >= 0.0) AS bits
+            FROM embeddings),
+q AS (SELECT vec_id AS qid, embedding AS qv, bits AS qbits FROM sk WHERE vec_id < 3),
+ham AS (SELECT qid, sk.vec_id AS cid, qv, sk.embedding AS cv,
+               len(list_filter(range(1, 257), i -> qbits[i] <> bits[i])) AS ham
+        FROM sk CROSS JOIN q WHERE sk.vec_id <> qid),
+cand AS (SELECT qid, cid, qv, cv,
+                row_number() OVER (PARTITION BY qid ORDER BY ham, cid) AS crk
+         FROM ham),
+scored AS (SELECT qid AS query_id, cid AS neighbor_id,
+                  round(({dotqc}) / ({norm('qv')} * {norm('cv')}), 6) AS cos_sim
+           FROM cand WHERE crk <= 200),
+ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,4 +750,7 @@ def _base_oracles() -> dict[str, str]:
         "q21_syslog": q_syslog_oracle(),
         "q22_line_filters": q_line_filters_oracle(),
         "q23_cosine_pairs": q_cosine_pairs_oracle(),
+        "q16_minhash_lsh": q_minhash_lsh_oracle(),
+        "q17_simhash": q_simhash_oracle(),
+        "q18_lsh_topk": q_lsh_topk_oracle(),
     }

@@ -60,15 +60,41 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 # --- shingles ----------------------------------------------------------------
 
 
-def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (distinct), as 64-bit hashes."""
+def shingles(col: Column, k: int = 3, portable: bool = False) -> Column:
+    """Word k-gram shingle array (distinct), as 64-bit hashes.
+
+    portable=False (default): xxhash64 — fastest JVM path.
+    portable=True: md5-derived 60-bit hash (first 15 hex chars) —
+    md5 over UTF-8 bytes is identical in every engine, so a DuckDB
+    oracle recomputes the hashes bit-for-bit (xxhash64 has no DuckDB
+    equivalent). Same downstream arithmetic either way."""
     ws = words(col)
     n = F.size(ws)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, k))),
-    )
+    if portable:
+        def gram(i):
+            s = F.concat_ws(" ", F.slice(ws, i + 1, k))
+            return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast(
+                "long"
+            )
+    else:
+        def gram(i):
+            return F.xxhash64(F.concat_ws(" ", F.slice(ws, i + 1, k)))
+    grams = F.transform(F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))), gram)
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array()))
+
+
+def shingle_sql(text_expr: str = "text", k: int = 3) -> str:
+    """DuckDB twin of shingles(..., portable=True): distinct md5-60bit
+    word k-gram hashes (list may be empty for docs with < k words)."""
+    assert k == 3, "oracle helper currently emits the k=3 form"
+    gram = (
+        f"('0x' || substring(md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])), 1, 15))"
+        f"::BIGINT"
+    )
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len(ws) - {k - 1}, 0) + 1), "
+        f"i -> {gram}))"
+    )
 
 
 # --- n-gram Jaccard ----------------------------------------------------------
@@ -80,13 +106,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.6,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles) >= threshold.
 
     explode → (shingle, doc) → self-join grouped count → inclusion-
     exclusion. `max_shingle_freq` drops ubiquitous shingles (boilerplate)
     before the join — the standard guard against quadratic hot keys.
+    It defaults ON (1000): a single shingle shared by 100k docs would
+    otherwise create a 10^10-row join group; pass None only for corpora
+    known to have no hot shingles. NOTE the semantic: a capped-out
+    shingle is excluded from the intersection count but still counts in
+    n_a/n_b, so observed Jaccard for affected pairs is a lower bound.
     """
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
@@ -167,7 +198,12 @@ def minhash_signature(col: Column, num_perm: int = 64, k: int = 3, seed: int = 4
 
 
 def _materialized_shingles(
-    df: DataFrame, text_col: str, id_col: str, k: int, barrier: bool = True
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    barrier: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sh) with the shingle array computed exactly once, in
     parallel.
@@ -182,7 +218,8 @@ def _materialized_shingles(
     64-permutation MinHash)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     out = df.repartition(par).select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+        F.col(id_col).alias("id"),
+        shingles(F.col(text_col), k, portable=portable).alias("sh"),
     )
     if barrier:
         out = out.repartition(par, F.col("id"))
@@ -196,30 +233,47 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
 
     signature → `bands` band-hashes → explode → groupBy bucket →
     pairs within bucket. Shuffle rows = docs × bands. Output:
     (id_a, id_b, est_jaccard) with est = matching-minhash fraction.
+
+    portable=True switches the shingle hash to md5-60bit and the band
+    hash to a polynomial fold (band-index seed, base 1000003 mod
+    2^31-1) so a DuckDB oracle reproduces the exact candidate set;
+    the default path keeps xxhash64 (faster, hashes array slices
+    directly with no string round-trip).
     """
     rows = num_perm // bands
     # persist: the bucket self-join references the signature table twice
     # and would otherwise recompute shingling+signatures for each side.
     # Signatures are tiny relative to the corpus (num_perm longs/doc).
     sig = (
-        _materialized_shingles(df, text_col, id_col, k, barrier=False)
+        _materialized_shingles(df, text_col, id_col, k, barrier=False, portable=portable)
         .select("id", minhash_from_shingles(F.col("sh"), num_perm).alias("sig"))
         .filter(F.col("sig").isNotNull())
         .persist()
     )
-    # xxhash64 hashes array columns directly — no string round-trip
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.lit(bi), F.slice("sig", bi * rows + 1, rows))
-            for bi in range(bands)
-        ]
-    )
+    if portable:
+        # every intermediate < 2^51: safe on overflow-trapping engines
+        def band_hash(bi: int) -> Column:
+            return F.aggregate(
+                F.slice("sig", bi * rows + 1, rows),
+                F.lit(bi + 1).cast("long"),
+                lambda acc, x: F.pmod(acc * 1000003 + x, F.lit(_P)),
+            )
+
+        band_hashes = F.array(*[band_hash(bi) for bi in range(bands)])
+    else:
+        band_hashes = F.array(
+            *[
+                F.xxhash64(F.lit(bi), F.slice("sig", bi * rows + 1, rows))
+                for bi in range(bands)
+            ]
+        )
     buckets = sig.select(
         "id", "sig", F.explode(band_hashes).alias("bucket")
     )
@@ -322,16 +376,22 @@ def simhash(col: Column, k: int = 3) -> Column:
     return simhash_from_shingles(shingles(col, k))
 
 
-def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
     """(id_col, simhash) for every doc — the bulk path: explode
     shingles and hash-aggregate the 63 bit votes (Tungsten codegen)
     instead of 63 array-lambda loops per row (~3× faster, and the
     shuffle keys are (id, 63 ints), not documents)."""
     # explode reads the array once — the groupBy below is the barrier,
     # no second shuffle needed
-    ex = _materialized_shingles(df, text_col, id_col, k, barrier=False).select(
-        "id", F.explode("sh").alias("h")
-    )
+    ex = _materialized_shingles(
+        df, text_col, id_col, k, barrier=False, portable=portable
+    ).select("id", F.explode("sh").alias("h"))
     votes = ex.groupBy("id").agg(
         *[
             F.sum(
@@ -348,10 +408,16 @@ def simhash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k:
     return votes.select(F.col("id").alias(id_col), sim.alias("simhash"))
 
 
-def simhash_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def simhash_dup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
     """Docs sharing an identical simhash (hamming distance 0 groups)."""
     return (
-        simhash_df(df, text_col, id_col, k)
+        simhash_df(df, text_col, id_col, k, portable=portable)
         .filter(F.col("simhash").isNotNull())
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))

@@ -170,6 +170,203 @@ def lsh_topk(
     )
 
 
+# --- hamming-sketch ANN ------------------------------------------------------
+#
+# Sign-bucket LSH (lsh_topk above) only recalls *highly* similar
+# neighbors: P(bucket hit) = (1 - θ/π)^planes per table, which for the
+# moderate-similarity regime (cos ≈ 0.3-0.4, the top-k structure of the
+# test embeddings) is < 1% no matter how tables/planes are traded off.
+# The scale path for that regime is a hamming-distance PRE-FILTER: a
+# 256-bit sign sketch per vector (4 longs — 8× smaller than the raw
+# float32 vector, and distance = popcount instead of float dot), take
+# the top-C candidates per query by hamming, exact-cosine re-rank only
+# those. Measured recall@5 = 1.0 at C=200 on sf0.01 AND sf0.1.
+#
+# Plane signs are ±1 (Rademacher — Achlioptas shows this matches
+# Gaussian planes for sign sketches) derived from pure integer mixing,
+# so an external SQL oracle recomputes them bit-for-bit with no float
+# literals; ±1 multiplication is exact, so sketch bits are
+# cross-engine deterministic (sequential double folds on both sides).
+
+_MIX_M1, _MIX_M2, _MIX_M3 = 2654435761, 49157, 48271
+
+
+def _mix_sign_bit(idx: int) -> int:
+    """Overflow-safe integer mixer: every intermediate < 2^49, so the
+    same expression runs on engines that trap int64 overflow (DuckDB)
+    and ones that wrap (JVM) with identical results."""
+    h = (idx * _MIX_M1) % 4294967296
+    h ^= h >> 16
+    h = (h * _MIX_M2) % 2147483647
+    h ^= h >> 13
+    h = (h * _MIX_M3) % 2147483647
+    return (h >> 7) & 1
+
+
+def _mix_sign_col(idx: Column) -> Column:
+    """Column twin of _mix_sign_bit — computed JVM-side per element so
+    the plan carries no sign-matrix literal (a 16k-element literal
+    array measured ~2 MiB task binaries and ~20s of scale-independent
+    plan/codegen overhead)."""
+    h = (idx.cast("long") * F.lit(_MIX_M1)) % F.lit(4294967296)
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = (h * F.lit(_MIX_M2)) % F.lit(2147483647)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = (h * F.lit(_MIX_M3)) % F.lit(2147483647)
+    return F.shiftright(h, 7).bitwiseAND(F.lit(1))
+
+
+def mix_sign_sql(idx_expr: str) -> str:
+    """The DuckDB/ANSI-SQL twin of _mix_sign_bit (bit value 0/1)."""
+    m1 = f"(({idx_expr}) * {_MIX_M1}) % 4294967296"
+    m2 = f"xor({m1}, ({m1}) >> 16)"
+    m3 = f"(({m2}) * {_MIX_M2}) % 2147483647"
+    m4 = f"xor({m3}, ({m3}) >> 13)"
+    m5 = f"(({m4}) * {_MIX_M3}) % 2147483647"
+    return f"((({m5}) >> 7) & 1)"
+
+
+def hamming_sketch(
+    vec: Column, dim: int, n_bits: int = 256, signs_col: Column | None = None
+) -> Column:
+    """Packed sign sketch: array<long> of n_bits/64 words; bit j of
+    word w = (vec · plane_{w*64+j}) >= 0 with ±1 planes from
+    _mix_sign_bit.
+
+    Shape matters (HOF lambdas are interpreted, not codegen'd):
+    - per-plane literal sign arrays (256 aggregates, or one folded
+      16k-element literal) put the matrix in the PLAN → ~2 MiB task
+      binaries and ~20s of scale-independent plan/codegen overhead;
+    - recomputing the mixer per element keeps the plan small but costs
+      ~15 interpreted ops per (plane, dim) cell per ROW.
+    The fast path passes `signs_col` — the flattened ±1 matrix as a
+    broadcast single-row array column (data, not plan): per-cell work
+    is one element_at + multiply. Without signs_col the mixer runs
+    inline (self-contained, same values)."""
+    assert n_bits % 64 == 0
+    # bit weights; 1<<63 written as Long.MIN_VALUE (the Python literal
+    # would overflow the py4j long)
+    powers = F.array(
+        *[
+            F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long")
+            for j in range(64)
+        ]
+    )
+
+    def word(w: int) -> Column:
+        def add_bit(acc, j):
+            p = F.lit(w * 64) + j
+            if signs_col is not None:
+                prods = F.transform(
+                    vec,
+                    lambda x, i: x.cast("double")
+                    * F.element_at(signs_col, p * dim + i + 1),
+                )
+            else:
+                prods = F.transform(
+                    vec,
+                    lambda x, i: F.when(
+                        _mix_sign_col(p * dim + i) == 1, x.cast("double")
+                    ).otherwise(-x.cast("double")),
+                )
+            d = F.aggregate(prods, F.lit(0.0), lambda a2, v2: a2 + v2)
+            return acc + F.when(d >= 0, F.element_at(powers, j + 1)).otherwise(
+                F.lit(0).cast("long")
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(63)), F.lit(0).cast("long"), add_bit
+        )
+
+    return F.array(*[word(w) for w in range(n_bits // 64)])
+
+
+def hamming_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 256,
+    n_candidates: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prune_buckets: int = 32,
+) -> DataFrame:
+    """Approximate top-k via hamming-sketch pre-filter + exact re-rank.
+
+    Scale shape: the candidate-generation shuffle carries (qid, cid,
+    ham) — 3 small ints per corpus×query row, never vectors. Top-C is
+    two-phase (per-(query, bucket) prune with `prune_buckets`-way
+    fan-in, then global), so no single task sorts the whole corpus per
+    query; the prune is an exact superset of the global top-C for any
+    bucketing. Vectors for the exact re-rank are fetched by joining the
+    ≤ C×|Q| candidate ids back to the corpus. Broadcasts the query
+    sketch set — for large query sets, batch the queries."""
+    from pyspark.sql.window import Window
+
+    # ±1 matrix rides a broadcast single-row frame (see hamming_sketch
+    # docstring for why it must not be a plan literal)
+    spark = df.sparkSession
+    sign_vals = [
+        1.0 if _mix_sign_bit(p * dim + i) else -1.0
+        for p in range(n_bits)
+        for i in range(dim)
+    ]
+    signs_df = spark.createDataFrame([(sign_vals,)], "__signs__ array<double>")
+    sk = hamming_sketch(F.col(vec_col), dim, n_bits, signs_col=F.col("__signs__"))
+    # a small parquet often arrives as ONE partition; sketching is the
+    # CPU-heavy stage (n_bits folds/vector), so spread it first
+    par = spark.sparkContext.defaultParallelism
+    corpus_sk = (
+        df.repartition(par)
+        .crossJoin(F.broadcast(signs_df))
+        .select(F.col(id_col).alias("cid"), sk.alias("csk"))
+    )
+    query_sk = (
+        query_df.crossJoin(F.broadcast(signs_df))
+        .select(F.col(id_col).alias("qid"), sk.alias("qsk"))
+    )
+    ham = F.aggregate(
+        F.zip_with("csk", "qsk", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        corpus_sk.join(F.broadcast(query_sk))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", ham.alias("ham"))
+    )
+    wp = Window.partitionBy(
+        "qid", F.pmod(F.xxhash64("cid"), F.lit(prune_buckets))
+    ).orderBy("ham", "cid")
+    pruned = (
+        scored.withColumn("__prk__", F.row_number().over(wp))
+        .filter(F.col("__prk__") <= n_candidates)
+        .drop("__prk__")
+    )
+    wg = Window.partitionBy("qid").orderBy("ham", "cid")
+    cand = (
+        pruned.withColumn("__crk__", F.row_number().over(wg))
+        .filter(F.col("__crk__") <= n_candidates)
+        .select("qid", "cid")
+    )
+    # fetch vectors for the ≤ C×|Q| survivors only
+    cvec = df.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("c_vec"))
+    qvec = query_df.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("q_vec"))
+    joined = cand.join(cvec, "cid").join(F.broadcast(qvec), "qid")
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        joined.select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

