@@ -204,12 +204,71 @@ class Fingerprint(Processor):
         return put_field(df, target, F.when(~missing, out))
 
 
+# IANA transport names (communityid.go:264-276) and the ICMP
+# type↔counter-type tables (flowhash/communityid.go:97-122)
+_CID_TRANSPORTS = {
+    "icmp": 1, "igmp": 2, "tcp": 6, "udp": 17, "gre": 47,
+    "ipv6-icmp": 58, "icmpv6": 58, "eigrp": 88, "ospf": 89,
+    "pim": 103, "sctp": 132,
+}
+_ICMP4_EQUIV = {8: 0, 0: 8, 13: 14, 14: 13, 15: 16, 10: 9, 9: 10, 17: 18, 18: 17}
+_ICMP6_EQUIV = {
+    128: 129, 129: 128, 133: 134, 134: 133, 136: 135, 135: 136,
+    130: 131, 139: 140, 140: 139, 144: 145, 145: 144,
+}
+
+
+def _ipv6_hex_udf():
+    """Arrow-vectorized ip-string → uppercase hex of the packed raw
+    bytes (16 for v6); engaged only for rows containing ':' (the
+    caller masks v4 rows to NULL, so the per-row Python work for pure
+    v4 traffic is a None check)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    def _conv(s):
+        import ipaddress as _ip
+
+        def one(v):
+            if v is None:
+                return None
+            try:
+                return _ip.ip_address(v).packed.hex().upper()
+            except ValueError:
+                return None
+
+        return s.map(one)
+
+    _conv.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_conv, "string")
+
+
 @register
 class CommunityId(Processor):
-    """communityid/communityid.go:38,90 — v1 flow hash: seed(16be) +
-    normalized 5-tuple, sha1, base64, '1:' prefix. Normalization orders
-    (saddr,sport) <= (daddr,dport). Native: IPv4 packed via ip-to-long,
-    sha1/unhex/base64 all JVM-side."""
+    """communityid/communityid.go:38,90-175 + flowhash/communityid.go:
+    42-84 — v1 flow hash: sha1(seed_16be ‖ raw_src_ip ‖ raw_dst_ip ‖
+    proto ‖ 0x00 [‖ sport_16be ‖ dport_16be]), base64, '1:' prefix.
+
+    - protocol: iana_number field first, else transport name via the
+      IANA table, else a raw number (communityid.go:131-141,278-292).
+    - tcp/udp/sctp: ports required (0..65535) or no id.
+    - ICMP/ICMPv6: ports ← (type, counter-type) from the per-family
+      equivalence table (bidirectional ⇒ normal sort) or (type, code)
+      (one-way ⇒ NO sort); missing type/code ⇒ (0, table[0]) — the Go
+      zero value flows through the table (communityid.go:167-176,
+      flowhash icmpPortEquivalents).
+    - other IP protocols: hashed without the port bytes.
+    - normalization: flip unless raw-IP bytes compare < 0 (or == 0 and
+      sport < dport) — hex-string comparison preserves byte order
+      across the mixed v4(4B)/v6(16B) case (flow.go:88-96).
+
+    IPv4 stays pure-JVM (ip→long→hex); IPv6 goes through an Arrow UDF
+    masked to ':'-containing rows only (cfg ipv6=False removes the UDF
+    from the plan entirely for known-v4 pipelines)."""
 
     name = "community_id"
 
@@ -219,51 +278,104 @@ class CommunityId(Processor):
         sport = field_col(df, self.cfg.get("source_port", "source.port"))
         dport = field_col(df, self.cfg.get("destination_port", "destination.port"))
         proto = field_col(df, self.cfg.get("transport", "network.transport"))
+        iana = field_col(df, self.cfg.get("iana_number", "network.iana_number"))
+        icmp_t = field_col(df, self.cfg.get("icmp_type", "icmp.type"))
+        icmp_c = field_col(df, self.cfg.get("icmp_code", "icmp.code"))
         target = self.cfg.get("target", "network.community_id")
-        if any(c is None for c in (src, dst, sport, dport, proto)):
+        if src is None or dst is None or (proto is None and iana is None):
             return put_field(df, target, F.lit(None).cast("string"))
         seed = int(self.cfg.get("seed", 0))
-        proto_num = (
-            F.when(F.lower(proto) == "icmp", 1)
-            .when(F.lower(proto) == "tcp", 6)
-            .when(F.lower(proto) == "udp", 17)
-            .when(F.lower(proto) == "sctp", 132)
-            .otherwise(F.lit(None))
-        ).cast("int")
-        s_l, d_l = _ipv4_to_long(src), _ipv4_to_long(dst)
-        sp = sport.cast("int")
-        dp = dport.cast("int")
-        flip = (s_l > d_l) | ((s_l == d_l) & (sp > dp))
-        a_ip = F.when(flip, d_l).otherwise(s_l)
-        b_ip = F.when(flip, s_l).otherwise(d_l)
-        a_p = F.when(flip, dp).otherwise(sp)
-        b_p = F.when(flip, sp).otherwise(dp)
+
+        def resolve_proto(c: Column) -> Column:
+            name = F.lower(c.cast("string"))
+            expr: Column = F.when(
+                c.cast("string").try_cast("long").between(0, 255),
+                c.cast("string").try_cast("long"),
+            )
+            for n, num in _CID_TRANSPORTS.items():
+                expr = F.when(name == n, F.lit(num)).otherwise(expr)
+            return expr.cast("int")
+
+        if iana is not None and proto is not None:
+            # a PRESENT but unresolvable iana value does not fall back
+            # to the transport name (communityid.go:131-141)
+            proto_num = F.when(iana.isNotNull(), resolve_proto(iana)).otherwise(
+                resolve_proto(proto)
+            )
+        else:
+            proto_num = resolve_proto(iana if iana is not None else proto)
+
+        def ip_hex(c: Column) -> Column:
+            v4 = F.lpad(F.hex(_ipv4_to_long(c)), 8, "0")
+            if not self.cfg.get("ipv6", True):
+                return v4
+            v6 = _ipv6_hex_udf()(F.when(c.cast("string").contains(":"), c.cast("string")))
+            return F.coalesce(v4, v6)
+
+        s_hex, d_hex = ip_hex(src), ip_hex(dst)
+        is_ports = proto_num.isin(6, 17, 132)
+        is_icmp4, is_icmp6 = proto_num == 1, proto_num == 58
+        sp = sport.cast("string").try_cast("long") if sport is not None else F.lit(None).cast("long")
+        dp = dport.cast("string").try_cast("long") if dport is not None else F.lit(None).cast("long")
+        ports_ok = sp.between(0, 65535) & dp.between(0, 65535)
+
+        # ICMP: uint8 coercion truncates (Go uint8(x)); missing → 0
+        def u8(c: Column | None) -> Column:
+            if c is None:
+                return F.lit(None).cast("long")
+            return F.pmod(c.cast("string").try_cast("long"), F.lit(256))
+
+        t_raw, c_raw = u8(icmp_t), u8(icmp_c)
+        tc_ok = t_raw.isNotNull() & c_raw.isNotNull()
+        t_eff = F.when(tc_ok, t_raw).otherwise(F.lit(0))
+        c_eff = F.when(tc_ok, c_raw).otherwise(F.lit(0))
+
+        def equiv(table: dict[int, int]) -> Column:
+            expr: Column = F.lit(None).cast("long")
+            for k, v in table.items():
+                expr = F.when(t_eff == k, F.lit(v)).otherwise(expr)
+            return expr
+
+        eq = F.when(is_icmp4, equiv(_ICMP4_EQUIV)).when(is_icmp6, equiv(_ICMP6_EQUIV))
+        one_way = (is_icmp4 | is_icmp6) & eq.isNull()
+        sp_eff = F.when(is_ports, sp).when(is_icmp4 | is_icmp6, t_eff)
+        dp_eff = F.when(is_ports, dp).when(
+            is_icmp4 | is_icmp6, F.coalesce(eq, c_eff)
+        )
+        has_port_bytes = is_ports | is_icmp4 | is_icmp6
+
+        # sort uses port 0 for port-less protocols (Go zero values)
+        sp_sort = F.coalesce(sp_eff, F.lit(0))
+        dp_sort = F.coalesce(dp_eff, F.lit(0))
+        sorted_ok = (s_hex < d_hex) | ((s_hex == d_hex) & (sp_sort < dp_sort))
+        flip = ~F.coalesce(sorted_ok, F.lit(False)) & ~F.coalesce(
+            one_way, F.lit(False)
+        )
+        a_ip = F.when(flip, d_hex).otherwise(s_hex)
+        b_ip = F.when(flip, s_hex).otherwise(d_hex)
+        a_p = F.when(flip, dp_eff).otherwise(sp_eff)
+        b_p = F.when(flip, sp_eff).otherwise(dp_eff)
 
         def be16(c: Column) -> Column:
-            return F.lpad(F.hex(c.cast("long")), 4, "0")
+            return F.lpad(F.hex(c), 4, "0")
 
-        def be32(c: Column) -> Column:
-            return F.lpad(F.hex(c.cast("long")), 8, "0")
-
-        hexmsg = F.lower(
-            F.concat(
-                F.lpad(F.hex(F.lit(seed)), 4, "0"),
-                be32(a_ip),
-                be32(b_ip),
-                F.lpad(F.hex(proto_num), 2, "0"),
-                F.lit("00"),
-                be16(a_p),
-                be16(b_p),
-            )
+        hexmsg = F.concat(
+            F.lpad(F.hex(F.lit(seed)), 4, "0"),
+            a_ip,
+            b_ip,
+            F.lpad(F.hex(proto_num.cast("long")), 2, "0"),
+            F.lit("00"),
+            F.when(has_port_bytes, F.concat(be16(a_p), be16(b_p))).otherwise(
+                F.lit("")
+            ),
         )
         digest = F.sha1(F.unhex(hexmsg))
         cid = F.concat(F.lit("1:"), F.base64(F.unhex(digest)))
         ok = (
-            s_l.isNotNull()
-            & d_l.isNotNull()
+            s_hex.isNotNull()
+            & d_hex.isNotNull()
             & proto_num.isNotNull()
-            & sp.isNotNull()
-            & dp.isNotNull()
+            & (~is_ports | F.coalesce(ports_ok, F.lit(False)))
         )
         return put_field(df, target, F.when(ok, cid))
 

@@ -122,3 +122,43 @@ def sink_column(df: DataFrame, routing: dict[str, Any]) -> Column:
 
 def with_sink(df: DataFrame, routing: dict[str, Any], col_name: str = "sink") -> DataFrame:
     return df.withColumn(col_name, sink_column(df, routing))
+
+
+def pipeline_column(df: DataFrame, cfg: dict[str, Any]) -> Column:
+    """Per-event ES ingest-pipeline selection — getPipeline
+    (libbeat/outputs/elasticsearch/client.go:425-442): a
+    `@metadata.pipeline` value overrides (lowercased, per
+    events.FieldMetaPipeline handling); otherwise the configured
+    outil.Selector (built with SelectorLowerCase,
+    elasticsearch.go:158-166); empty/missing ⇒ NULL = no pipeline.
+
+    cfg = {"rules": [...], "default": "name"?, "lowercase": True} —
+    same rule grammar as sink_column. Divergence note: the reference
+    skips the selector whenever event.Meta is a non-nil map even if it
+    lacks the pipeline key; a columnar row has no nil-map distinction,
+    so here a NULL @metadata.pipeline falls through to the selector.
+    """
+    chain: list[Column] = []
+    meta_p = field_col(df, "@metadata.pipeline")
+    if meta_p is not None:
+        chain.append(F.lower(meta_p.cast("string")))
+    for rule in cfg.get("rules", []):
+        chain.append(_rule_value(df, rule))
+    default = cfg.get("default")
+    if default is not None:
+        chain.append(format_string_col(df, str(default)))
+    if not chain:
+        return F.lit(None).cast("string")
+    expr = F.coalesce(*chain) if len(chain) > 1 else chain[0]
+    if cfg.get("lowercase", True):
+        expr = F.lower(expr)
+    return F.when(expr == "", F.lit(None)).otherwise(expr)
+
+
+def with_pipeline(
+    df: DataFrame, cfg: dict[str, Any], col_name: str = "pipeline"
+) -> DataFrame:
+    """Second selector-compiled routing column next to `sink`: the
+    per-sink writer emits it as bulk-request metadata (the BulkMeta
+    `Pipeline` field, client.go:402-407)."""
+    return df.withColumn(col_name, pipeline_column(df, cfg))

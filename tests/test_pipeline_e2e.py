@@ -228,3 +228,39 @@ def test_metrics_table(spark, tmp_path):
     assert m["events.filtered"] == total - published
     acked = [k for k in m if k.endswith(".events.acked")]
     assert sum(m[k] for k in acked) == published
+
+
+def test_pipeline_selector_per_event(spark):
+    """ES ingest-pipeline selector analog (client.go:425-442):
+    @metadata.pipeline overrides (lowercased); otherwise the selector
+    rules pick per-event; empty => NULL (no pipeline). The column rides
+    next to `sink` as distinct per-event write metadata."""
+    from beats_spark.routing import with_pipeline, with_sink
+
+    df = spark.createDataFrame(
+        [
+            ("nginx", ("APP-Override",), 1),
+            ("nginx", (None,), 2),
+            ("mysql", (None,), 3),
+            ("unknown", (None,), 4),
+        ],
+        "`service.name` string, _meta struct<pipeline:string>, n int",
+    )
+    cfg = {
+        "rules": [
+            {
+                "sink": "pl-%{[service][name]}",
+                "when": {"equals": {"service.name": "nginx"}},
+            },
+            {
+                "sink": "%{[service][name]}",
+                "mappings": {"mysql": "PL-DB"},
+            },
+        ],
+    }
+    routed = with_pipeline(with_sink(df, {"default": "events"}), cfg)
+    rows = {r.n: (r.sink, r.pipeline) for r in routed.collect()}
+    assert rows[1] == ("events", "app-override")  # meta override, lowercased
+    assert rows[2] == ("events", "pl-nginx")      # rule 1 (when matched)
+    assert rows[3] == ("events", "pl-db")         # rule 2 via mappings
+    assert rows[4] == ("events", None)            # mappings miss, no default

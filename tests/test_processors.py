@@ -361,3 +361,62 @@ def test_rate_limit_when_only_counts_matching(spark):
     got2 = sorted(r.seq for r in out2.collect())
     # only the FIRST debug row survives; info rows untouched
     assert got2 == [0, 1, 2, 3]
+
+
+def test_community_id_reference_vectors(spark):
+    """Spec vectors from the reference's own tests
+    (communityid/communityid_test.go TestRun + flowhash golden logs):
+    TCP v4 both directions, custom seed, ICMP one-way (3/3) and
+    zero-typecode, IGMP (no port bytes), numeric protocols, port-0,
+    invalid ports/protocols, iana_number, TCP-over-IPv6 and ICMPv6
+    neighbor solicitation/advertisement pairing."""
+    rows = [
+        # (n, sip, sport, dip, dport, transport, iana, itype, icode)
+        (1, "128.232.110.120", 34855, "66.35.250.204", 80, "TCP", None, None, None),
+        (2, "66.35.250.204", 80, "128.232.110.120", 34855, "tcp", None, None, None),
+        (3, "128.232.110.120", 34855, "66.35.250.204", 80, "icmp", None, 3, 3),
+        (4, "128.232.110.120", 34855, "66.35.250.204", 80, "icmp", None, None, None),
+        (5, "128.232.110.120", None, "66.35.250.204", None, "igmp", None, None, None),
+        (6, "128.232.110.120", None, "66.35.250.204", None, "2", None, None, None),
+        (7, "128.232.110.120", 0, "66.35.250.204", 80, "TCP", None, None, None),
+        (8, "128.232.110.120", 34855, "66.35.250.204", 0, "TCP", None, None, None),
+        (9, "128.232.110.120", 123456, "66.35.250.204", 80, "TCP", None, None, None),
+        (10, "128.232.110.120", 34855, "66.35.250.204", 80, "xyz", None, None, None),
+        (11, "128.232.110.120", 34855, "66.35.250.204", 80, None, "6", None, None),
+        # flowhash golden: ipv6.pcap.log + icmp6.pcap.log
+        (12, "2001:470:e5bf:dead:4957:2174:e82c:4887", 63943,
+         "2607:f8b0:400c:c03::1a", 25, "tcp", None, None, None),
+        (13, "2607:f8b0:400c:c03::1a", 25,
+         "2001:470:e5bf:dead:4957:2174:e82c:4887", 63943, "tcp", None, None, None),
+        (14, "fe80::200:86ff:fe05:80da", None,
+         "fe80::260:97ff:fe07:69ea", None, "ipv6-icmp", None, 135, 0),
+        (15, "fe80::260:97ff:fe07:69ea", None,
+         "fe80::200:86ff:fe05:80da", None, "ipv6-icmp", None, 136, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "n int, `source.ip` string, `source.port` long, `destination.ip` string, "
+        "`destination.port` long, `network.transport` string, "
+        "`network.iana_number` string, `icmp.type` long, `icmp.code` long",
+    )
+    out = compile_one({"community_id": {"target": "cid"}})(df)
+    got = {r.n: r.cid for r in out.collect()}
+    assert got[1] == "1:LQU9qZlK+B5F3KDmev6m5PMibrg="
+    assert got[2] == got[1]                                  # direction-invariant
+    assert got[3] == "1:KF3iG9XD24nhlSy4r1TcYIr5mfE="        # one-way ICMP 3/3
+    assert got[4] == "1:PAE85ZfR4SbNXl5URZwWYyDehwU="        # zero typecode
+    assert got[5] == "1:D3t8Q1aFA6Ev0A/AO4i9PnU3AeI="        # igmp: no port bytes
+    assert got[6] == got[5]                                  # protocol as "2"
+    assert got[7] == "1:yrNkRN7VyfVz1Wh12tjRHhxERxM="        # source port 0
+    assert got[8] == "1:YaVkVTbWUkgn0a2QrblLOEsia9g="        # dest port 0
+    assert got[9] is None                                    # port out of range
+    assert got[10] is None                                   # unknown protocol
+    assert got[11] == got[1]                                 # iana_number path
+    assert got[12] == "1:/qFaeAR+gFe1KYjMzVDsMv+wgU4="       # TCP over IPv6
+    assert got[13] == got[12]
+    assert got[14] == "1:dGHyGvjMfljg6Bppwm3bg0LO8TY="       # ICMPv6 NS
+    assert got[15] == got[14]                                # NA pairs with NS
+    # seed changes the id (flowhash seed test)
+    seeded = compile_one({"community_id": {"seed": 123, "target": "cid"}})(df)
+    got_s = {r.n: r.cid for r in seeded.collect()}
+    assert got_s[1] == "1:hTSGlFQnR58UCk+NfKRZzA32dPg="
