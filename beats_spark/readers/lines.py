@@ -10,9 +10,70 @@ monotonic exactly like Offset in filebeat/input/file/state.go:34.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# reference line terminators (readfile/line_terminator.go:52-76);
+# auto = LF with CR+LF tolerated
+LINE_TERMINATORS: dict[str, str] = {
+    "auto": "\n",
+    "line_feed": "\n",
+    "vertical_tab": "\x0b",
+    "form_feed": "\x0c",
+    "carriage_return": "\r",
+    "carriage_return_line_feed": "\r\n",
+    "next_line": "\x85",
+    "line_separator": "\u2028",
+    "paragraph_separator": "\u2029",
+    "null_terminator": "\x00",
+}
+
+# reference charset names (readfile/encoding/encoding.go:36-100) →
+# JVM Charset names; iso8859-N / windowsN / cpN families are derived,
+# the rest enumerated. Anything not listed is passed straight to the
+# JVM (Charset.forName resolves most aliases itself).
+_CHARSET_FIXED = {
+    "nop": "ISO-8859-1",  # Plain passthrough: byte-preserving decode
+    "plain": "ISO-8859-1",
+    "latin1": "ISO-8859-1",
+    "gbk": "GBK",
+    "big5": "Big5",
+    "euc-jp": "EUC-JP",
+    "euc-kr": "EUC-KR",
+    "shift-jis": "Shift_JIS",
+    "koi8r": "KOI8-R",
+    "koi8u": "KOI8-U",
+    "macintosh": "x-MacRoman",
+    "macintosh-cyrillic": "x-MacCyrillic",
+    "ebcdic-037": "IBM037",
+    "ebcdic-1040": "IBM01140",
+    "ebcdic-1047": "IBM1047",
+    "utf-16be": "UTF-16BE",
+    "utf-16le": "UTF-16LE",
+    "utf-16": "UTF-16",  # BOM-aware
+    "utf-16-bom": "UTF-16",
+    "utf-16be-bom": "UTF-16",
+    "utf-16le-bom": "x-UTF-16LE-BOM",
+}
+
+
+def java_charset(name: str) -> str:
+    n = name.lower().replace("_", "-").strip()
+    if n in _CHARSET_FIXED:
+        return _CHARSET_FIXED[n]
+    m = re.fullmatch(r"iso-?8859-(\d+)[ei]?", n)
+    if m:
+        return f"ISO-8859-{m.group(1)}"
+    m = re.fullmatch(r"windows-?(\d{4})", n)
+    if m:
+        return f"windows-{m.group(1)}"
+    m = re.fullmatch(r"cp(\d{3})", n)
+    if m:
+        return f"IBM{m.group(1)}"
+    return name
 
 
 def read_lines(
@@ -22,6 +83,7 @@ def read_lines(
     max_bytes: int | None = None,
     include_lines: list[str] | None = None,
     exclude_lines: list[str] | None = None,
+    line_terminator: str = "auto",
 ) -> DataFrame:
     """spark.read.text + harvester-equivalent line handling.
 
@@ -29,26 +91,29 @@ def read_lines(
     Line-number offsets come from a per-file window over the input
     order. include/exclude run BEFORE anything else, matching
     harvester.go:496-519 (dropped lines still advance the offset).
+
+    encoding: any reference charset name (readfile/encoding/encoding.go)
+    — utf-8/ascii with auto/LF terminators is the splittable fast path;
+    everything else decodes per file (binaryFile → decode → split),
+    which holds a whole file per row: fine for log files, use the fast
+    path for huge single files.
+    line_terminator: a LINE_TERMINATORS key (line_terminator.go).
     """
-    if encoding.lower().replace("-", "") in ("utf8", "ascii"):
+    if line_terminator not in LINE_TERMINATORS:
+        raise ValueError(f"read_lines: unknown line_terminator {line_terminator!r}")
+    fast = encoding.lower().replace("-", "").replace("_", "") in (
+        "utf8", "ascii", "usascii",
+    ) and line_terminator in ("auto", "line_feed")
+    if fast:
+        # Hadoop's line reader already handles LF / CR+LF
         df = spark.read.text(path).select(
             F.col("value").alias("message"),
             F.input_file_name().alias("source"),
         )
+        w = Window.partitionBy("source").orderBy(F.monotonically_increasing_id())
+        df = df.withColumn("offset", F.row_number().over(w))
     else:
-        # charset decode path (readfile/encode.go): read bytes of each
-        # line lazily as binary-ish text then decode
-        df = (
-            spark.read.format("text")
-            .option("encoding", encoding)
-            .load(path)
-            .select(
-                F.col("value").alias("message"),
-                F.input_file_name().alias("source"),
-            )
-        )
-    w = Window.partitionBy("source").orderBy(F.monotonically_increasing_id())
-    df = df.withColumn("offset", F.row_number().over(w))
+        df = _read_lines_decoded(spark, path, encoding, line_terminator)
     if max_bytes is not None:
         df = df.withColumn(
             "message",
@@ -66,6 +131,35 @@ def read_lines(
             )
         )
     return df
+
+
+def _read_lines_decoded(
+    spark: SparkSession, path: str, encoding: str, line_terminator: str
+) -> DataFrame:
+    """Per-file decode path (readfile/encode.go): whole-file binary →
+    JVM charset decode → terminator split → posexplode with 1-based
+    line-ordinal offsets. The exotic-charset battery needs the legacy
+    JVM charset resolution (Spark 4 otherwise allows only the UTF
+    family)."""
+    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    charset = java_charset(encoding)
+    text = F.decode(F.col("content"), charset)
+    if line_terminator == "auto":
+        pat = r"\r?\n"
+    else:
+        pat = re.escape(LINE_TERMINATORS[line_terminator])
+    arr = F.split(text, pat)
+    # a terminated final line leaves a trailing "" fragment — drop it
+    # (the Go reader emits only terminator-delimited lines; we also
+    # emit a trailing unterminated line, documented batch divergence)
+    arr = F.when(
+        (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
+        F.slice(arr, F.lit(1), F.size(arr) - 1),
+    ).otherwise(arr)
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.col("path").alias("source"), F.posexplode(arr).alias("pos", "message")
+    ).select("message", "source", (F.col("pos") + 1).alias("offset"))
 
 
 def line_keep_predicate(

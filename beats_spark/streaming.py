@@ -107,6 +107,140 @@ def streaming_cache(
     )
 
 
+# --- stateful multiline (bundle across micro-batches) ------------------------
+
+_ML_OUT = (
+    "source string, message string, n_lines int, "
+    "first_offset long, last_offset long"
+)
+_ML_STATE = (
+    "pending string, n_lines int, first_offset long, last_offset long, "
+    "prev_joiner boolean"
+)
+
+
+def streaming_multiline(
+    df: DataFrame,
+    cfg: dict[str, Any],
+    line_col: str = "message",
+    group_col: str = "source",
+    order_col: str = "offset",
+    separator: str = "\n",
+    timeout_ms: int | None = 5000,
+):
+    """multiline/pattern.go continuous form: per-source bundles carried
+    across micro-batches via applyInPandasWithState — the batch engine's
+    window sessionization (readers/multiline.py) with real cross-batch
+    memory. Reference flush semantics (pattern.go:52-58 defaults):
+    - a non-continuation line closes the pending bundle,
+    - flush_pattern closes it immediately after appending,
+    - max_lines (default 500) force-splits oversized bundles,
+    - `timeout` (default 5s) flushes an idle source's pending bundle
+      via ProcessingTimeTimeout — the tail of a quiet file is not held
+      forever. Pass timeout_ms=None to disable (NoTimeout): required
+      for drain-and-stop (availableNow) jobs, where an armed
+      processing-time timeout keeps the query scheduling batches
+      instead of terminating.
+    Supports pattern mode with negate and match=after|before."""
+    import re
+
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    pattern = cfg["pattern"]
+    negate = bool(cfg.get("negate", False))
+    match = cfg.get("match", "after")
+    flush_pattern = cfg.get("flush_pattern")
+    max_lines = int(cfg.get("max_lines", 500))
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        pat = re.compile(pattern)
+        flush_re = re.compile(flush_pattern) if flush_pattern else None
+        out: list[tuple] = []
+
+        def load():
+            if state.exists:
+                return state.get
+            return None, 0, 0, 0, False
+
+        pending, n, fo, lo, prev_joiner = load()
+
+        def emit():
+            nonlocal pending, n, fo, lo
+            if pending is not None:
+                out.append((key[0], pending, n, fo, lo))
+            pending, n, fo, lo = None, 0, 0, 0
+
+        if state.hasTimedOut:
+            emit()
+            state.remove()
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "source", "message", "n_lines",
+                        "first_offset", "last_offset",
+                    ],
+                )
+            return
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for _, row in pdf.iterrows():
+                line = "" if row[line_col] is None else str(row[line_col])
+                off = int(row[order_col])
+                matched = bool(pat.search(line)) != negate
+                if match == "after":
+                    # matching lines continue the previous bundle
+                    starts_new = not matched
+                else:
+                    # match=before: a matching line joins the NEXT line;
+                    # new event starts when the previous was no joiner
+                    starts_new = not prev_joiner
+                    prev_joiner = matched
+                if starts_new or pending is None:
+                    emit()
+                    pending, n, fo = line, 1, off
+                else:
+                    pending = pending + separator + line
+                    n += 1
+                lo = off
+                if flush_re is not None and flush_re.search(line):
+                    emit()
+                elif n >= max_lines:
+                    emit()
+        if pending is None and not prev_joiner:
+            # nothing buffered: no state, no armed timeout (an armed
+            # timeout would keep an availableNow query alive forever)
+            if state.exists:
+                state.remove()
+        else:
+            state.update((pending, n, fo, lo, bool(prev_joiner)))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "source", "message", "n_lines", "first_offset", "last_offset",
+                ],
+            )
+
+    mode = (
+        GroupStateTimeout.NoTimeout
+        if timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return df.groupBy(F.col(group_col)).applyInPandasWithState(
+        update, _ML_OUT, _ML_STATE, "append", mode
+    )
+
+
 # --- stateful rate limit (token bucket across micro-batches) -----------------
 
 _RL_OUT = "key string, ts timestamp, passed long, dropped long"

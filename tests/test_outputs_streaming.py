@@ -179,3 +179,111 @@ def test_streaming_cache_state(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.event_id: r.cached for r in out_rows}
     assert got == {1: None, 2: "a", 3: "a", 4: "b", 5: None}
+
+
+def test_streaming_multiline_state(spark, tmp_path):
+    """Stack trace split ACROSS micro-batches must merge into one
+    event (verdict r01 item 7): per-source bundle state via
+    applyInPandasWithState with the reference's 5s/500-line flush
+    semantics (multiline/pattern.go:52-58)."""
+    import time
+
+    import pandas as pd
+
+    from beats_spark.streaming import streaming_multiline
+
+    src = str(tmp_path / "ml_src")
+    ckpt = str(tmp_path / "ml_ckpt")
+    os.makedirs(src)
+    b1 = [
+        {"source": "f1", "offset": 1, "message": "Error A"},
+        {"source": "f1", "offset": 2, "message": "  at one"},
+        {"source": "f1", "offset": 3, "message": "Error B"},
+        {"source": "f1", "offset": 4, "message": "  at b1"},
+    ]
+    b2 = [
+        {"source": "f1", "offset": 5, "message": "  at b2"},
+        {"source": "f1", "offset": 6, "message": "  at b3"},
+        {"source": "f1", "offset": 7, "message": "Error C"},
+    ]
+    pd.DataFrame(b1).to_json(f"{src}/batch1.json", orient="records", lines=True)
+    time.sleep(1.1)  # distinct mod times => two triggers at 1 file/trigger
+    pd.DataFrame(b2).to_json(f"{src}/batch2.json", orient="records", lines=True)
+    stream = (
+        spark.readStream.format("json")
+        .schema("source string, offset long, message string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    # NoTimeout: an armed processing-time timeout would keep the
+    # availableNow query scheduling batches instead of terminating
+    merged = streaming_multiline(
+        stream,
+        {"type": "pattern", "pattern": r"^\s+at ", "match": "after"},
+        timeout_ms=None,
+    )
+    out_rows = []
+    q = (
+        merged.writeStream.foreachBatch(lambda df, _: out_rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by_msg = {r.message.splitlines()[0]: r for r in out_rows}
+    # A closed inside batch 1 when B's header arrived
+    assert by_msg["Error A"].n_lines == 2
+    assert (by_msg["Error A"].first_offset, by_msg["Error A"].last_offset) == (1, 2)
+    # B spans the micro-batch boundary: 2 lines in batch 1 + 2 in batch 2
+    assert by_msg["Error B"].message == "Error B\n  at b1\n  at b2\n  at b3"
+    assert by_msg["Error B"].n_lines == 4
+    assert (by_msg["Error B"].first_offset, by_msg["Error B"].last_offset) == (3, 6)
+    # C stays pending in state (NoTimeout, no successor line)
+    assert "Error C" not in by_msg
+
+
+def test_streaming_multiline_timeout_flush(spark, tmp_path):
+    """The 5s idle flush proper (pattern.go timeout): a pending bundle
+    with no successor is emitted by ProcessingTimeTimeout."""
+    import time
+
+    import pandas as pd
+
+    from beats_spark.streaming import streaming_multiline
+
+    src = str(tmp_path / "mlt_src")
+    ckpt = str(tmp_path / "mlt_ckpt")
+    os.makedirs(src)
+    rows = [
+        {"source": "f1", "offset": 1, "message": "Error T"},
+        {"source": "f1", "offset": 2, "message": "  at tail"},
+    ]
+    pd.DataFrame(rows).to_json(f"{src}/b1.json", orient="records", lines=True)
+    stream = (
+        spark.readStream.format("json")
+        .schema("source string, offset long, message string")
+        .load(src)
+    )
+    merged = streaming_multiline(
+        stream,
+        {"type": "pattern", "pattern": r"^\s+at ", "match": "after"},
+        timeout_ms=2000,
+    )
+    out_rows = []
+    q = (
+        merged.writeStream.foreachBatch(lambda df, _: out_rows.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and not out_rows:
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert out_rows, "idle timeout never flushed the pending bundle"
+    assert out_rows[0].message == "Error T\n  at tail"
+    assert out_rows[0].n_lines == 2

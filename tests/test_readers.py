@@ -129,3 +129,69 @@ def test_multiline_flush_pattern(spark):
     )
     msgs = sorted(r.message for r in out.collect())
     assert msgs == ["  at two\n  at three", "start A\n  at one\n  at END"]
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "enc,data,expected",
+    [
+        ("latin1", "café\nnaïve\n".encode("latin-1"), ["café", "naïve"]),
+        ("iso8859-1", "café\nnaïve\n".encode("latin-1"), ["café", "naïve"]),
+        ("iso8859-7", "αβγ\nδεζ\n".encode("iso8859-7"), ["αβγ", "δεζ"]),
+        ("windows1252", "smart “quote”\n".encode("cp1252"), ["smart “quote”"]),
+        ("cp850", "Grüße\n".encode("cp850"), ["Grüße"]),
+        ("koi8r", "привет\nмир\n".encode("koi8_r"), ["привет", "мир"]),
+        ("utf-16le", "one\ntwo\n".encode("utf-16-le"), ["one", "two"]),
+        ("utf-16", "one\ntwo\n".encode("utf-16"), ["one", "two"]),  # BOM
+        ("gbk", "你好\n世界\n".encode("gbk"), ["你好", "世界"]),
+        # CRLF under auto on the decoded path
+        ("latin1", b"a\r\nb\r\n", ["a", "b"]),
+    ],
+)
+def test_encoding_battery(spark, tmp_path, enc, data, expected):
+    """Reference charset list (readfile/encoding/encoding.go) through
+    the binary→decode→split path; names use the reference's spellings."""
+    from beats_spark.readers.lines import read_lines
+
+    f = tmp_path / "log.bin"
+    f.write_bytes(data)
+    out = read_lines(spark, str(f), encoding=enc).orderBy("offset").collect()
+    assert [r.message for r in out] == expected
+    assert [r.offset for r in out] == list(range(1, len(expected) + 1))
+
+
+@_pytest.mark.parametrize(
+    "term,sep",
+    [
+        ("null_terminator", "\x00"),
+        ("carriage_return", "\r"),
+        ("vertical_tab", "\x0b"),
+        ("form_feed", "\x0c"),
+        ("carriage_return_line_feed", "\r\n"),
+        ("next_line", "\x85"),
+    ],
+)
+def test_line_terminators(spark, tmp_path, term, sep):
+    """Custom terminators (readfile/line_terminator.go): the decoded
+    path splits on the configured byte sequence."""
+    from beats_spark.readers.lines import read_lines
+
+    f = tmp_path / "log.bin"
+    f.write_bytes(f"first{sep}second{sep}third".encode("latin-1"))
+    out = (
+        read_lines(spark, str(f), encoding="latin1", line_terminator=term)
+        .orderBy("offset")
+        .collect()
+    )
+    assert [r.message for r in out] == ["first", "second", "third"]
+
+
+def test_unterminated_final_line_emitted(spark, tmp_path):
+    from beats_spark.readers.lines import read_lines
+
+    f = tmp_path / "log.bin"
+    f.write_bytes("a\nb".encode("latin-1"))  # no trailing terminator
+    out = read_lines(spark, str(f), encoding="latin1").orderBy("offset").collect()
+    assert [r.message for r in out] == ["a", "b"]
