@@ -92,13 +92,19 @@ class Dissect(Processor):
 @register
 class DecodeJsonFields(Processor):
     """actions/decode_json_fields.go:70,103-183 — parse JSON string
-    fields. Static-schema engine: `schema` (DDL) per field is either
-    given in config or inferred from a sample row via schema_of_json.
+    fields. Static-schema engine: `schema` (DDL) per field SHOULD be
+    given in config (`schemas: {field: ddl}`); without it the schema is
+    inferred from ONE sampled row (a compile-time driver action per
+    field), so keys absent from the sampled row are silently dropped
+    for every row — fine for homogeneous machine logs, wrong for
+    heterogeneous fields. The fallback emits a UserWarning.
     document_id extraction → @metadata._id (json.go docid analog)."""
 
     name = "decode_json_fields"
 
     def apply(self, df: DataFrame) -> DataFrame:
+        import warnings
+
         fields = self.cfg.get("fields", [])
         target = self.cfg.get("target")  # None ⇒ in-place under field name
         schemas: dict[str, str] = dict(self.cfg.get("schemas") or {})
@@ -108,6 +114,13 @@ class DecodeJsonFields(Processor):
                 continue
             ddl = schemas.get(f)
             if ddl is None:
+                warnings.warn(
+                    f"decode_json_fields: no schema for {f!r}; inferring from "
+                    "one sampled row — keys missing from that row are dropped "
+                    "for ALL rows. Pass schemas={...} for heterogeneous data.",
+                    UserWarning,
+                    stacklevel=2,
+                )
                 sample = (
                     df.select(col.alias("v")).filter(F.col("v").isNotNull()).limit(1).collect()
                 )
@@ -537,8 +550,9 @@ class Script(Processor):
         schema = self.cfg.get("schema")
         if fn is None or schema is None:
             raise NotImplementedError(
-                "script: supply pandas_fn + schema (JS engine not supported; "
-                "see SURVEY.md §2.3 script row)"
+                "script: supply pandas_fn + schema (the goja JS engine is "
+                "deliberately not reproduced — see README.md 'Migrating "
+                "script: processors' for the JS→vectorized-pandas recipe)"
             )
         from beats_spark._pickle import ensure_udf_portable
 

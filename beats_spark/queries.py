@@ -694,6 +694,128 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key")
 
 
+# --- q26: IVF-style coarse-quantized ANN (oracle-checked) --------------------
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-cell assignment (16 deterministic ±1 coarse
+    centroids), queries probe their 4 nearest cells, exact re-rank of
+    probed-cell members only (similarity.ivf_topk)."""
+    from beats_spark.training import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = embs.filter(F.col("vec_id") < 3)
+    return similarity.ivf_topk(
+        embs, queries_df, dim=64, k=5, k_cells=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+def q_ivf_topk_oracle() -> str:
+    from beats_spark.training.similarity import mix_sign_sql
+
+    sign = mix_sign_sql("1000003 + c * 64 + i - 1")
+    dot_cent = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN {sign} = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), "
+        f"(acc, x) -> acc + x)"
+    )
+    dotqc = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x))"
+        )
+
+    return f"""
+WITH cells AS (SELECT unnest(range(0, 16)) AS c),
+cdots AS (
+  SELECT vec_id, embedding, c, {dot_cent} AS d
+  FROM embeddings CROSS JOIN cells),
+ranked_cells AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rk
+  FROM cdots),
+corpus_cell AS (
+  SELECT vec_id, embedding, c AS cell FROM ranked_cells WHERE rk = 1),
+query_cells AS (
+  SELECT vec_id, embedding, c AS cell FROM ranked_cells
+  WHERE rk <= 4 AND vec_id < 3),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, co.vec_id AS neighbor_id,
+         q.embedding AS qv, co.embedding AS cv
+  FROM query_cells q JOIN corpus_cell co USING (cell)
+  WHERE co.vec_id <> q.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(({dotqc}) / ({norm('qv')} * {norm('cv')}), 6) AS cos_sim
+  FROM cand),
+final AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cos_sim, rank FROM final
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
+# --- q27: multimodal container sniff (oracle-checked) ------------------------
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native (non-UDF) half of the multimodal pipeline: synthesize
+    binary payloads with real magic bytes (format varies by doc_id % 4),
+    sniff kind/format from the byte prefix (multimodal.sniff_media_meta,
+    hex-prefix match on the binary column), aggregate. The oracle
+    recomputes expected classes from doc_id arithmetic — verifying the
+    sniff assigns every constructed payload its planted class."""
+    from beats_spark.training.multimodal import sniff_media_meta
+
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(b"\x89PNG\r\n\x1a\n"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(b"\xff\xd8\xff\xe0"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(b"RIFF"))
+        .otherwise(F.lit(b"no-magic "))
+    )
+    media = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(magic, F.col("text").cast("binary")).alias("media"),
+    )
+    sniffed = sniff_media_meta(media)
+    return (
+        sniffed.groupBy(
+            F.col("media_meta.kind").alias("kind"),
+            F.col("media_meta.format").alias("format"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("media")).alias("sum_bytes"),
+        )
+        .orderBy("kind", "format")
+    )
+
+
+def q_media_sniff_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'image' WHEN 1 THEN 'image'
+           WHEN 2 THEN 'audio' ELSE 'unknown' END AS kind,
+         CASE doc_id % 4
+           WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+           WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+         CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+           WHEN 2 THEN 4 ELSE 9 END + octet_length(encode(text)) AS n_bytes
+  FROM documents)
+SELECT kind, format, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(n_bytes) AS BIGINT) AS sum_bytes
+FROM t GROUP BY kind, format ORDER BY kind, format"""
+
+
 # --- catalog -----------------------------------------------------------------
 
 
@@ -709,6 +831,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_simhash": q_simhash,
         "q18_lsh_topk": q_lsh_topk,
         "q19_media_features": q_media_features,
+        "q26_ivf_topk": q_ivf_topk,
+        "q27_media_sniff": q_media_sniff,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -753,4 +877,6 @@ def _base_oracles() -> dict[str, str]:
         "q16_minhash_lsh": q_minhash_lsh_oracle(),
         "q17_simhash": q_simhash_oracle(),
         "q18_lsh_topk": q_lsh_topk_oracle(),
+        "q26_ivf_topk": q_ivf_topk_oracle(),
+        "q27_media_sniff": q_media_sniff_oracle(),
     }

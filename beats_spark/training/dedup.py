@@ -333,7 +333,12 @@ def token_window_dup_groups(
 ) -> DataFrame:
     """Shared-window groups: every k-token window held by >= min_docs
     distinct documents. explode → groupBy window hash; shuffle rows are
-    (hash, id) pairs, never token arrays."""
+    (hash, id) pairs, never token arrays.
+
+    (wh, id) pairs are distinct BY CONSTRUCTION — token_window_hashes
+    array_distincts per document — so the distinct-doc count is a plain
+    count: this drops the count_distinct expand/regroup phase (measured
+    20.1s → see BENCH; the count was the whole cost at sf0.1)."""
     ex = df.select(
         F.col(id_col).alias("id"),
         F.explode(token_window_hashes(F.col(tokens_col), k)).alias("wh"),
@@ -341,7 +346,7 @@ def token_window_dup_groups(
     return (
         ex.groupBy("wh")
         .agg(
-            F.count_distinct("id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_docs"),
             F.min("id").alias("keep_id"),
         )
         .filter(F.col("n_docs") >= min_docs)

@@ -367,6 +367,100 @@ def hamming_topk(
     )
 
 
+# --- IVF-style coarse quantization ------------------------------------------
+
+
+def ivf_centroids(dim: int, k_cells: int) -> list[list[float]]:
+    """Deterministic ±1 unit-direction centroids from the integer mixer
+    (cell c, component i → sign of _mix_sign_bit with a cell-offset
+    index). No trained k-means here — the point is the PLAN shape
+    (cell assignment → inverted lists → probe a few cells); a real
+    deployment swaps in trained centroids via the `centroids` param."""
+    off = 1_000_003  # distinct index space from the hamming planes
+    return [
+        [1.0 if _mix_sign_bit(off + c * dim + i) else -1.0 for i in range(dim)]
+        for c in range(k_cells)
+    ]
+
+
+def _cell_assign(vec: Column, cents: list[list[float]], n_probe: int = 1) -> Column:
+    """Array of the `n_probe` nearest cell ids by dot product (ties →
+    lower cell id). Sequential-fold dots → cross-engine deterministic."""
+    dots = [
+        (
+            ci,
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(x)) for x in cent]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        for ci, cent in enumerate(cents)
+    ]
+    # struct sort is lexicographic ascending: (-dot, cell) gives
+    # best-dot-first with lower-cell tiebreak
+    neg = F.array(
+        *[F.struct((-d).alias("nd"), F.lit(ci).alias("c")) for ci, d in dots]
+    )
+    ranked = F.array_sort(neg)
+    return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("c"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    k_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest
+    coarse cell (inverted lists = hash partition on cell id); each query
+    probes its `n_probe` nearest cells and exact-cosine re-ranks only
+    vectors in those cells.
+
+    Scale shape: the corpus pass computes one cell id per vector
+    (k_cells dots, whole-stage JVM); candidate generation is an
+    equi-join on cell id (hash join, no cartesian); only probed-cell
+    vectors are scored. With trained centroids and balanced cells the
+    scored fraction ≈ n_probe / k_cells of the corpus."""
+    from pyspark.sql.window import Window
+
+    cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
+    corpus = df.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("c_vec"),
+        F.element_at(_cell_assign(F.col(vec_col), cents, 1), 1).alias("cell"),
+    )
+    queries = query_df.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_cell_assign(F.col(vec_col), cents, n_probe)).alias("cell"),
+    )
+    cand = corpus.join(F.broadcast(queries), "cell").filter(
+        F.col("cid") != F.col("qid")
+    )
+    sim = cosine(F.col("q_vec"), F.col("c_vec"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        cand.select(
+            F.col("qid").alias("query_id"),
+            F.col("cid").alias("neighbor_id"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
