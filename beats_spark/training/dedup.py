@@ -174,8 +174,9 @@ def minhash_from_shingles(sh: Column, num_perm: int = 64, seed: int = 42) -> Col
     IMPORTANT: `sh` must be a concrete column, not an inline shingle
     expression — Catalyst collapses projections, and an inlined
     expression would recompute the shingling num_perm times
-    (measured 20× slowdown). Callers materialize it behind a shuffle
-    (see _materialized_shingles)."""
+    (measured 20× slowdown). Bulk paths use exploded_shingles +
+    aggregate mins instead (no HOFs at all); this column form remains
+    for small frames/tests."""
 
     def perm(a: int, b: int):
         # factory: pyspark HOFs count lambda params, so no default-arg
@@ -197,32 +198,47 @@ def minhash_signature(col: Column, num_perm: int = 64, k: int = 3, seed: int = 4
     return minhash_from_shingles(shingles(col, k), num_perm, seed)
 
 
-def _materialized_shingles(
+def exploded_shingles(
     df: DataFrame,
-    text_col: str,
-    id_col: str,
-    k: int,
-    barrier: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
     portable: bool = False,
+    distinct: bool = False,
 ) -> DataFrame:
-    """(id, sh) with the shingle array computed exactly once, in
-    parallel.
-
-    Two-step shape: repartition the RAW rows first (a small dimension
-    parquet often arrives as ONE partition — shingling there would be
-    single-threaded), compute shingles post-shuffle on all cores, then
-    optionally a second shuffle as a materialization barrier so
-    downstream signature expressions read the array column instead of
-    re-inlining the shingling (Catalyst collapses adjacent
-    projections; measured 9× slowdown without the barrier on a
-    64-permutation MinHash)."""
+    """(id, h) rows — one per word k-gram — built with posexplode +
+    window lead instead of per-row HOF lambdas: HOFs evaluate
+    interpreted (outside whole-stage codegen), and the lambda-built
+    gram/hash was the dominant cost of the bulk sketch paths (measured
+    simhash at sf0.1: 8.8 s HOF → 1.3 s exploded, identical output).
+    One shuffle on id (the window); downstream groupBy(id) reuses the
+    partitioning. distinct=True adds the per-doc dedup that
+    array_distinct provided (needed for vote/count semantics; min-based
+    signatures don't need it)."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    out = df.repartition(par).select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k, portable=portable).alias("sh"),
+    ws = words(F.col(text_col))
+    ex = df.repartition(par).select(
+        F.col(id_col).alias("id"), F.posexplode(ws).alias("pos", "w")
     )
-    if barrier:
-        out = out.repartition(par, F.col("id"))
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, k)]
+    gram = F.concat_ws(" ", *parts)
+    last = parts[-1]
+    if portable:
+        h = F.conv(F.substring(F.md5(gram.cast("binary")), 1, 15), 16, 10).cast(
+            "long"
+        )
+    else:
+        h = F.xxhash64(gram)
+    out = (
+        ex.select("id", h.alias("h"), last.alias("__last__"))
+        .filter(F.col("__last__").isNotNull())  # full k-grams only
+        .drop("__last__")
+    )
+    if distinct:
+        out = out.dropDuplicates(["id", "h"])
     return out
 
 
@@ -248,13 +264,26 @@ def minhash_lsh_candidates(
     directly with no string round-trip).
     """
     rows = num_perm // bands
+    # signatures via the exploded-gram path: per (id, h) row the
+    # num_perm permuted values are plain codegen expressions and the
+    # per-permutation min is a hash-aggregate — no interpreted HOF
+    # anywhere, and no per-doc dedup (min is duplicate-insensitive).
+    ex = exploded_shingles(df, text_col, id_col, k, portable=portable)
+    mins = [
+        F.min(
+            F.pmod(F.pmod(F.col("h"), F.lit(_P)) * F.lit(a) % F.lit(_P) + F.lit(b), F.lit(_P))
+        ).alias(f"__m{i}__")
+        for i, (a, b) in enumerate(_perm_params(num_perm))
+    ]
     # persist: the bucket self-join references the signature table twice
     # and would otherwise recompute shingling+signatures for each side.
     # Signatures are tiny relative to the corpus (num_perm longs/doc).
     sig = (
-        _materialized_shingles(df, text_col, id_col, k, barrier=False, portable=portable)
-        .select("id", minhash_from_shingles(F.col("sh"), num_perm).alias("sig"))
-        .filter(F.col("sig").isNotNull())
+        ex.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id", F.array(*[F.col(f"__m{i}__") for i in range(num_perm)]).alias("sig")
+        )
         .persist()
     )
     if portable:
@@ -388,15 +417,13 @@ def simhash_df(
     k: int = 3,
     portable: bool = False,
 ) -> DataFrame:
-    """(id_col, simhash) for every doc — the bulk path: explode
-    shingles and hash-aggregate the 63 bit votes (Tungsten codegen)
-    instead of 63 array-lambda loops per row (~3× faster, and the
-    shuffle keys are (id, 63 ints), not documents)."""
-    # explode reads the array once — the groupBy below is the barrier,
-    # no second shuffle needed
-    ex = _materialized_shingles(
-        df, text_col, id_col, k, barrier=False, portable=portable
-    ).select("id", F.explode("sh").alias("h"))
+    """(id_col, simhash) for every doc — the bulk path: exploded-gram
+    shingles (no HOF lambdas, see exploded_shingles) and
+    hash-aggregated 63 bit votes, all Tungsten codegen; shuffle keys
+    are (id, h) then (id, 63 ints), never documents."""
+    ex = exploded_shingles(
+        df, text_col, id_col, k, portable=portable, distinct=True
+    )
     votes = ex.groupBy("id").agg(
         *[
             F.sum(
