@@ -125,15 +125,21 @@ def _string_match(df: DataFrame, fields: dict[str, str], kind: str) -> Column:
 
 
 def _ipv4_to_long(col: Column) -> Column:
-    """Dotted-quad string → int64 (NULL for non-IPv4)."""
+    """Dotted-quad string → int64 (NULL for non-IPv4). Octet checks are
+    explicit comparisons, not a forall HOF — HOF lambdas evaluate
+    interpreted outside whole-stage codegen and dominated the CIDR
+    queries' per-row cost."""
     valid = col.rlike(r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
     parts = F.split(col, r"\.")
-    octets_ok = F.forall(parts, lambda o: o.try_cast("int") <= 255)
+    octs = [parts.getItem(i).try_cast("long") for i in range(4)]
+    octets_ok = (
+        (octs[0] <= 255) & (octs[1] <= 255) & (octs[2] <= 255) & (octs[3] <= 255)
+    )
     num = (
-        parts.getItem(0).try_cast("long") * F.lit(16777216)
-        + parts.getItem(1).try_cast("long") * F.lit(65536)
-        + parts.getItem(2).try_cast("long") * F.lit(256)
-        + parts.getItem(3).try_cast("long")
+        octs[0] * F.lit(16777216)
+        + octs[1] * F.lit(65536)
+        + octs[2] * F.lit(256)
+        + octs[3]
     )
     return F.when(valid & octets_ok, num)
 

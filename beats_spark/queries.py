@@ -333,7 +333,11 @@ def q_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     over deterministic synthetic IPs derived from orders."""
     from beats_spark.conditions import compile_condition
 
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # small parquet arrives as ONE partition; CIDR parsing is the
+    # per-row cost, so spread it before the projection
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("o_orderkey")
     src_ip = F.when(
         k % 4 == 0, F.concat(F.lit("203.0.113."), (k % 250).cast("string"))
@@ -403,7 +407,10 @@ FROM d GROUP BY direction ORDER BY direction"""
 def q_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC3164/5424 parse over deterministic synthetic lines; severity/
     facility arithmetic cross-checked against the priority number."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # spread the single-partition parquet before the regex battery
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     k = F.col("o_orderkey")
     pri = (k % 191).cast("string")
     line3164 = F.concat(

@@ -361,19 +361,33 @@ def token_window_dup_groups(
     min_docs: int = 2,
 ) -> DataFrame:
     """Shared-window groups: every k-token window held by >= min_docs
-    distinct documents. explode → groupBy window hash; shuffle rows are
-    (hash, id) pairs, never token arrays.
+    distinct documents. Shuffle rows are (hash, id) pairs, never token
+    arrays.
 
-    (wh, id) pairs are distinct BY CONSTRUCTION — token_window_hashes
-    array_distincts per document — so the distinct-doc count is a plain
-    count: this drops the count_distinct expand/regroup phase (measured
-    20.1s → see BENCH; the count was the whole cost at sf0.1)."""
+    Bulk shape (same lesson as exploded_shingles): posexplode tokens +
+    k-1 window leads build the polynomial hash in whole-stage codegen —
+    the earlier array-HOF fold (transform+aggregate per window)
+    evaluated interpreted and cost 2× (11.9 s vs 6.2 s at sf0.1; the
+    original count_distinct variant was 20.1 s). Per-doc window dedup
+    is a (id, wh) aggregate whose partial phase runs map-side on the
+    already-id-partitioned window output; the distinct-doc count is
+    then a plain count."""
     ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(token_window_hashes(F.col(tokens_col), k)).alias("wh"),
+        F.col(id_col).alias("id"), F.posexplode(tokens_col).alias("pos", "t")
     )
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy("id").orderBy("pos")
+    toks = [F.col("t")] + [F.lead("t", i).over(win) for i in range(1, k)]
+    h: Column = F.lit(0).cast("long")
+    for t in toks:
+        h = F.pmod(h * _TW_BASE + t, F.lit(_P))
     return (
-        ex.groupBy("wh")
+        ex.select("id", h.alias("wh"), toks[-1].alias("__l__"))
+        .filter(F.col("__l__").isNotNull())  # full k-windows only
+        .drop("__l__")
+        .dropDuplicates(["id", "wh"])
+        .groupBy("wh")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("id").alias("keep_id"),
