@@ -83,6 +83,24 @@ def _routing_from_output(cfg: dict[str, Any]) -> dict[str, Any] | None:
         ].get("index", "dlq")
     elif body.get("dead_letter"):
         routing["dead_letter"] = body["dead_letter"]
+    # ES ingest-pipeline selector (elasticsearch.go buildPipelineSelector:
+    # Key "pipeline", MultiKey "pipelines", SelectorLowerCase)
+    if kind in ("elasticsearch", "es") and (
+        body.get("pipeline") or body.get("pipelines")
+    ):
+        prules = [
+            {
+                "sink": r.get("pipeline") or r.get("sink"),
+                "when": r.get("when"),
+                "mappings": r.get("mappings"),
+            }
+            for r in body.get("pipelines") or []
+        ]
+        routing["pipeline"] = {
+            "rules": prules,
+            "default": body.get("pipeline"),
+            "lowercase": True,
+        }
     return routing
 
 
@@ -91,19 +109,58 @@ def pipeline_config_from_dict(cfg: dict[str, Any]) -> dict[str, Any]:
         "filebeat.inputs"
     ) or cfg.get("inputs") or []
     include, exclude = [], []
+    readers = []
     for inp in inputs:
         include.extend(inp.get("include_lines") or [])
         exclude.extend(inp.get("exclude_lines") or [])
+        readers.append(
+            {
+                "paths": inp.get("paths") or [],
+                "encoding": inp.get("encoding", "utf-8"),
+                "line_terminator": inp.get("line_terminator", "auto"),
+                "max_bytes": inp.get("max_bytes"),
+                "multiline": inp.get("multiline"),
+                "include_lines": inp.get("include_lines") or [],
+                "exclude_lines": inp.get("exclude_lines") or [],
+            }
+        )
     out: dict[str, Any] = {
         "payload_field": cfg.get("payload_field", "message"),
         "include_lines": include,
         "exclude_lines": exclude,
         "processors": cfg.get("processors") or [],
+        "inputs": readers,
     }
     routing = _routing_from_output(cfg)
     if routing:
         out["routing"] = routing
     return out
+
+
+def read_input(spark, input_cfg: dict[str, Any]):
+    """Drive the line reader (+ optional multiline merge) from one
+    normalized `inputs` entry: the harvester half of a filebeat.yml.
+    Returns a (source, offset, message) frame ready for
+    Pipeline.transform."""
+    from beats_spark.readers.lines import read_lines
+    from beats_spark.readers.multiline import merge_lines
+
+    paths = input_cfg.get("paths") or []
+    if not paths:
+        raise ValueError("input has no paths")
+    df = read_lines(
+        spark,
+        paths[0] if len(paths) == 1 else ",".join(paths),
+        encoding=input_cfg.get("encoding", "utf-8"),
+        max_bytes=input_cfg.get("max_bytes"),
+        include_lines=input_cfg.get("include_lines") or None,
+        exclude_lines=input_cfg.get("exclude_lines") or None,
+        line_terminator=input_cfg.get("line_terminator", "auto"),
+    )
+    ml = input_cfg.get("multiline")
+    if ml:
+        df = merge_lines(df, ml).withColumnRenamed("first_offset", "offset")
+    return df
 
 
 def load_yaml(path_or_text: str) -> Pipeline:

@@ -53,4 +53,11 @@ class Pipeline:
         routing = self.config.get("routing")
         if routing:
             df = with_sink(df, routing, SINK_COL)
+            # ES per-event ingest-pipeline selector rides next to sink
+            # (elasticsearch/client.go getPipeline; config key mirrors
+            # output.elasticsearch.pipeline/pipelines)
+            if routing.get("pipeline"):
+                from beats_spark.routing import with_pipeline
+
+                df = with_pipeline(df, routing["pipeline"])
         return df

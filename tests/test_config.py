@@ -71,3 +71,54 @@ def test_unsupported_output_raises(spark):
 
     with pytest.raises(ValueError, match="unsupported output"):
         load_yaml("output:\n  logstash:\n    hosts: ['x']\n")
+
+
+def test_yaml_full_input_and_pipeline_selector(spark, tmp_path):
+    """A filebeat.yml exercising the round-2 surface end to end:
+    latin1 + custom line terminator + multiline input options through
+    read_input, and output.elasticsearch.pipeline/pipelines compiled
+    into the per-event ingest-pipeline column."""
+    log = tmp_path / "app.bin"
+    log.write_bytes(
+        "Error uno\r  at a\r  at b\rInfo dos\rError trés\r  at c\r".encode("latin-1")
+    )
+    yml = f"""
+filebeat:
+  inputs:
+    - type: log
+      paths: ['{log}']
+      encoding: latin1
+      line_terminator: carriage_return
+      multiline:
+        type: pattern
+        pattern: '^\\s+at '
+        match: after
+processors:
+  - dissect:
+      tokenizer: '%{{level}} %{{word}}'
+      field: message
+      target_prefix: ""
+output:
+  elasticsearch:
+    index: "logs"
+    pipeline: "default-pl"
+    pipelines:
+      - pipeline: "err-pl"
+        when: {{ equals: {{ level: "Error" }} }}
+"""
+    from beats_spark.config import load_yaml, pipeline_config_from_dict, read_input
+    import yaml as _yaml
+
+    cfg = pipeline_config_from_dict(_yaml.safe_load(yml))
+    assert cfg["inputs"][0]["encoding"] == "latin1"
+    lines = read_input(spark, cfg["inputs"][0])
+    msgs = [r.message for r in lines.orderBy("offset").collect()]
+    assert msgs == ["Error uno\n  at a\n  at b", "Info dos", "Error trés\n  at c"]
+    pipe = load_yaml(yml)
+    out = pipe.transform(lines)
+    # %{word} captures the remainder INCLUDING continuation lines
+    # ((?s) dissect over the merged event) — key by its first line
+    rows = {r.word.split("\n")[0]: (r.sink, r.pipeline) for r in out.collect()}
+    assert rows["uno"] == ("logs", "err-pl")
+    assert rows["dos"] == ("logs", "default-pl")
+    assert rows["trés"] == ("logs", "err-pl")
