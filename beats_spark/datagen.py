@@ -97,10 +97,17 @@ def token_events_sql(dialect: str, base: str = "orders") -> str:
 
 
 def load_token_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-side token table for an sf dir (orders-derived)."""
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
-        "orders_base_"
-    )
+    """Spark-side token table for an sf dir (orders-derived).
+
+    The orders parquet is a single small file (one scan partition); the
+    derivation SQL fans each order out into a fat token row, so without
+    a repartition the ENTIRE downstream pipeline inherits one task —
+    measured 12 s single-threaded vs ~2 s spread for the flagship
+    query at sf0.1."""
+    par = spark.sparkContext.defaultParallelism
+    spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        par
+    ).createOrReplaceTempView("orders_base_")
     return spark.sql(token_events_sql("spark", "orders_base_"))
 
 
