@@ -93,18 +93,37 @@ def run_pipeline_bench(
             shutil.rmtree(input_dir, ignore_errors=True)
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str, warmup_sf_dir: str | None = None) -> dict[str, float]:
+    """Timed catalog pass. `warmup_sf_dir` (default sf0.001) first runs
+    every query once at small scale so the timed pass measures the
+    operator, not C2 JIT compilation of its generated code — measured
+    12.0 s cold vs 2.9 s warm for the flagship query at sf0.1; the
+    cold number is ~75% compiler time."""
     from beats_spark.queries import catalog
 
+    if warmup_sf_dir is None:
+        warmup_sf_dir = os.environ.get(
+            "BENCH_WARMUP_SF_DIR", "/root/testdata/sf0.001"
+        )
+    # best-of-N: the VM's timing noise is one-sided (observed single
+    # random ~10× spikes — GC full pause / writeback / vCPU steal), so
+    # the min is the stable estimator
+    runs = int(os.environ.get("BENCH_QUERY_RUNS", "2"))
     times: dict[str, float] = {}
     for name, fn in catalog().items():
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.collect()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # LSH queries persist signature tables; drop them so later
-        # timings don't pay their memory/GC pressure
-        spark.catalog.clearCache()
+        if warmup_sf_dir:
+            fn(spark, warmup_sf_dir).collect()
+            spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.collect()
+            best = min(best, time.perf_counter() - t0)
+            # LSH queries persist signature tables; drop them so later
+            # timings don't pay their memory/GC pressure
+            spark.catalog.clearCache()
+        times[name] = round(best, 3)
     return times
 
 
