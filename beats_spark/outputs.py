@@ -66,6 +66,93 @@ def write_console(df: DataFrame, codec: str = "json", fmt: str | None = None, li
         print(r.line)
 
 
+# --- kafka partitioning (partition.go:64-112, 225-278) -----------------------
+
+_FNV_OFFSET, _FNV_PRIME = 2166136261, 16777619
+_U32 = 4294967296
+
+
+def _fnv1a_fold(bytes_arr: Column, init: Column) -> Column:
+    """FNV-1a 32 fold over an array<long> of byte values."""
+    return F.aggregate(
+        bytes_arr,
+        init,
+        lambda acc, b: F.pmod(acc.bitwiseXOR(b) * F.lit(_FNV_PRIME), F.lit(_U32)),
+    )
+
+
+def _utf8_bytes(col: Column) -> Column:
+    """array<long> of the UTF-8 bytes of a string column."""
+    hx = F.hex(F.encode(col.cast("string"), "utf-8"))
+    return F.transform(
+        F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+        lambda i: F.conv(F.substring(hx, i * 2 - 1, 2), 16, 10).cast("long"),
+    )
+
+
+def _int_le_bytes(col: Column) -> Column:
+    """array<long> of the 8 little-endian bytes of an int64 (the
+    binary.Write LittleEndian case of HashFieldValue)."""
+    return F.array(
+        *[
+            F.shiftright(col.cast("long"), i * 8).bitwiseAND(F.lit(255)).cast("long")
+            for i in range(8)
+        ]
+    )
+
+
+def kafka_partition_column(
+    df: DataFrame,
+    num_partitions: int,
+    mode: str = "hash",
+    hash_fields: list[str] | None = None,
+    key_col: str | None = None,
+    group_events: int = 1,
+) -> Column:
+    """Per-event partition id, the outputs/kafka/partition.go modes:
+
+    - hash (default): FNV-1a 32 over the configured `hash` fields
+      (strings as UTF-8 bytes, integers as 8-byte little-endian —
+      HashFieldValue), else over the message key; partition =
+      (hash & 0x7FFFFFFF) % n (Hash2Partition). Null key/field rows
+      get a spread pseudo-random partition like the reference's
+      rand fallback.
+    - random: a new pseudo-random partition every `group_events` rows.
+      The reference draws from each producer's RNG; the batch analog
+      derives it from the row group id (deterministic ⇒ testable).
+    - round_robin: increments every `group_events` rows; the reference
+      counter is per producer, the batch analog is per task (same
+      even-spread contract).
+    """
+    if mode == "hash":
+        if hash_fields:
+            h: Column = F.lit(_FNV_OFFSET).cast("long")
+            for f in hash_fields:
+                dt = dict(df.dtypes).get(f)
+                col = F.col(f"`{f}`")
+                if dt in ("tinyint", "smallint", "int", "bigint"):
+                    h = _fnv1a_fold(_int_le_bytes(col), h)
+                else:
+                    h = _fnv1a_fold(_utf8_bytes(col), h)
+        elif key_col is not None:
+            kc = F.col(f"`{key_col}`")
+            h = _fnv1a_fold(_utf8_bytes(kc), F.lit(_FNV_OFFSET).cast("long"))
+            h = F.when(kc.isNotNull(), h).otherwise(
+                F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(_U32))
+            )
+        else:
+            h = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(_U32))
+        return F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(num_partitions)).cast(
+            "int"
+        )
+    grp = F.floor(F.monotonically_increasing_id() / F.lit(group_events))
+    if mode == "random":
+        return F.pmod(F.xxhash64(grp), F.lit(num_partitions)).cast("int")
+    if mode == "round_robin":
+        return F.pmod(grp, F.lit(num_partitions)).cast("int")
+    raise ValueError(f"unknown kafka partition mode {mode!r}")
+
+
 def write_kafka(
     df: DataFrame,
     bootstrap_servers: str,
@@ -73,18 +160,26 @@ def write_kafka(
     key_format: str | None = None,
     partition_keys: list[str] | None = None,
     num_partitions: int | None = None,
+    partition_mode: str = "hash",
 ) -> None:
     """Kafka output. topic from the routing column (client.go:226-246),
-    key from an event format string (config.go:58), hash partitioning
-    by repartitioning on the key fields (partition.go:64-112 'hash').
+    key from an event format string (config.go:58); when
+    partition_keys+num_partitions are set, an explicit `partition`
+    column carries the reference partitioner's exact assignment
+    (kafka_partition_column — FNV-1a over the fields, Hash2Partition),
+    which the kafka sink honors over its own partitioner.
     Requires the spark-sql-kafka connector on the classpath."""
     out = df
-    if partition_keys and num_partitions:
-        out = out.repartition(num_partitions, *[F.col(k) for k in partition_keys])
     cols = [
         F.col(topic_col).alias("topic"),
         codec_json(strip_internal(out)).alias("value"),
     ]
+    if partition_keys and num_partitions:
+        cols.append(
+            kafka_partition_column(
+                out, num_partitions, mode=partition_mode, hash_fields=partition_keys
+            ).alias("partition")
+        )
     if key_format:
         cols.append(format_string_col(out, key_format).alias("key"))
     (

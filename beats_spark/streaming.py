@@ -141,7 +141,9 @@ def streaming_multiline(
       for drain-and-stop (availableNow) jobs, where an armed
       processing-time timeout keeps the query scheduling batches
       instead of terminating.
-    Supports pattern mode with negate and match=after|before."""
+    Modes: pattern (negate, match=after|before), count (bundle every N
+    lines — counter.go), while_pattern (merge runs of matching lines —
+    while.go)."""
     import re
 
     import pandas as pd
@@ -150,11 +152,15 @@ def streaming_multiline(
 
     ensure_udf_portable()
 
-    pattern = cfg["pattern"]
+    mode_t = cfg.get("type", "pattern")
+    pattern = cfg.get("pattern", "")
     negate = bool(cfg.get("negate", False))
     match = cfg.get("match", "after")
     flush_pattern = cfg.get("flush_pattern")
+    count_n = int(cfg.get("count", 0) or 0)
     max_lines = int(cfg.get("max_lines", 500))
+    if mode_t == "count":
+        max_lines = min(max_lines, count_n) if count_n else max_lines
 
     def update(
         key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
@@ -194,8 +200,16 @@ def streaming_multiline(
             for _, row in pdf.iterrows():
                 line = "" if row[line_col] is None else str(row[line_col])
                 off = int(row[order_col])
-                matched = bool(pat.search(line)) != negate
-                if match == "after":
+                matched = pattern != "" and (bool(pat.search(line)) != negate)
+                if mode_t == "count":
+                    # counter.go: only the N-line cap splits bundles
+                    starts_new = False
+                elif mode_t == "while_pattern":
+                    # while.go: merge runs of matching lines; a
+                    # non-matching line is its own event and resets
+                    starts_new = (not matched) or (not prev_joiner)
+                    prev_joiner = matched
+                elif match == "after":
                     # matching lines continue the previous bundle
                     starts_new = not matched
                 else:

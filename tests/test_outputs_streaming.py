@@ -287,3 +287,103 @@ def test_streaming_multiline_timeout_flush(spark, tmp_path):
     assert out_rows, "idle timeout never flushed the pending bundle"
     assert out_rows[0].message == "Error T\n  at tail"
     assert out_rows[0].n_lines == 2
+
+
+def test_kafka_partition_modes(spark):
+    """partition.go modes against a pure-Python FNV-1a-32 oracle:
+    string fields hash as UTF-8 bytes, ints as 8-byte little-endian
+    (HashFieldValue), partition = (h & 0x7FFFFFFF) % n."""
+    from beats_spark.outputs import kafka_partition_column
+
+    def fnv1a(data: bytes, h: int = 2166136261) -> int:
+        for b in data:
+            h = ((h ^ b) * 16777619) % 4294967296
+        return h
+
+    rows = [("host-a", 17), ("host-b", 9999999999), ("métrique", 0)]
+    df = spark.createDataFrame(rows, "src string, n long")
+    n_parts = 12
+    got = [
+        r.p
+        for r in df.withColumn(
+            "p", kafka_partition_column(df, n_parts, hash_fields=["src", "n"])
+        ).collect()
+    ]
+    import struct
+
+    want = []
+    for src, n in rows:
+        h = fnv1a(src.encode("utf-8"))
+        h = fnv1a(struct.pack("<q", n), h)
+        want.append((h & 0x7FFFFFFF) % n_parts)
+    assert got == want
+    # key mode
+    got_k = [
+        r.p
+        for r in df.withColumn(
+            "p", kafka_partition_column(df, n_parts, key_col="src")
+        ).collect()
+    ]
+    want_k = [(fnv1a(s.encode("utf-8")) & 0x7FFFFFFF) % n_parts for s, _ in rows]
+    assert got_k == want_k
+    # round_robin rotates within a task
+    rr = [
+        r.p
+        for r in df.coalesce(1)
+        .withColumn("p", kafka_partition_column(df, 2, mode="round_robin"))
+        .collect()
+    ]
+    assert rr == [0, 1, 0]
+    # random: valid range and deterministic
+    rnd = [
+        r.p
+        for r in df.withColumn(
+            "p", kafka_partition_column(df, n_parts, mode="random")
+        ).collect()
+    ]
+    assert all(0 <= p < n_parts for p in rnd)
+
+
+def test_streaming_multiline_count_and_while(spark, tmp_path):
+    """counter.go / while.go modes in the streaming handler."""
+    import pandas as pd
+
+    from beats_spark.streaming import streaming_multiline
+
+    def run(cfg, rows, sub):
+        src = str(tmp_path / f"{sub}_src")
+        ckpt = str(tmp_path / f"{sub}_ckpt")
+        os.makedirs(src)
+        pd.DataFrame(rows).to_json(f"{src}/b1.json", orient="records", lines=True)
+        stream = (
+            spark.readStream.format("json")
+            .schema("source string, offset long, message string")
+            .load(src)
+        )
+        out_rows = []
+        q = (
+            streaming_multiline(stream, cfg, timeout_ms=None)
+            .writeStream.foreachBatch(lambda df, _: out_rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return sorted(out_rows, key=lambda r: r.first_offset)
+
+    rows = [
+        {"source": "f", "offset": i, "message": m}
+        for i, m in enumerate(["l1", "l2", "l3", "l4", "l5"], 1)
+    ]
+    got = run({"type": "count", "count": 2}, rows, "cnt")
+    # bundles of 2; the trailing single line stays pending (NoTimeout)
+    assert [r.message for r in got] == ["l1\nl2", "l3\nl4"]
+
+    wrows = [
+        {"source": "f", "offset": i, "message": m}
+        for i, m in enumerate(["x1", "x2", "solo", "x3", "x4"], 1)
+    ]
+    got_w = run({"type": "while_pattern", "pattern": "^x"}, wrows, "whl")
+    # run of x1,x2 closed by 'solo'; 'solo' closed by x3; x3,x4 pending
+    assert [r.message for r in got_w] == ["x1\nx2", "solo"]
