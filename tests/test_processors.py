@@ -420,3 +420,52 @@ def test_community_id_reference_vectors(spark):
     seeded = compile_one({"community_id": {"seed": 123, "target": "cid"}})(df)
     got_s = {r.n: r.cid for r in seeded.collect()}
     assert got_s[1] == "1:hTSGlFQnR58UCk+NfKRZzA32dPg="
+
+
+@pytest.mark.parametrize(
+    "fname", ["tcp", "udp", "sctp", "ipv6", "icmp", "icmp6"]
+)
+def test_community_id_golden_pcap_logs(spark, fname):
+    """Replay the reference's flowhash golden corpus
+    (libbeat/common/flowhash/testdata/golden/*.pcap.log, loaded from
+    the read-only checkout like the dissect corpus): every line is
+    `ts | id | src dst proto a b` where (a, b) = ports for
+    tcp/udp/sctp and (type, code) for ICMP/ICMPv6 — 166 flow vectors
+    across both IP families."""
+    import os
+
+    path = f"/root/reference/libbeat/common/flowhash/testdata/golden/{fname}.pcap.log"
+    if not os.path.exists(path):
+        pytest.skip("reference checkout absent")
+    rows = []
+    with open(path) as f:
+        for i, line in enumerate(f):
+            ts, cid, rest = [p.strip() for p in line.split("|", 2)]
+            if cid == "<not IP>" or not rest:
+                continue
+            sip, dip, proto, a, b = rest.split()
+            rows.append((i, sip, dip, proto, int(a), int(b), cid))
+    assert rows
+    is_icmp = fname.startswith("icmp")
+    if is_icmp:
+        schema = (
+            "n int, `source.ip` string, `destination.ip` string, "
+            "`network.iana_number` string, `icmp.type` long, `icmp.code` long, "
+            "expected string"
+        )
+        data = [(n, s, d, p, a, b, c) for n, s, d, p, a, b, c in rows]
+    else:
+        schema = (
+            "n int, `source.ip` string, `destination.ip` string, "
+            "`network.iana_number` string, `source.port` long, "
+            "`destination.port` long, expected string"
+        )
+        data = [(n, s, d, p, a, b, c) for n, s, d, p, a, b, c in rows]
+    df = spark.createDataFrame(data, schema)
+    out = compile_one({"community_id": {"target": "cid"}})(df)
+    bad = [
+        (r.n, r.cid, r.expected)
+        for r in out.collect()
+        if r.cid != r.expected
+    ]
+    assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
