@@ -769,6 +769,69 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM final
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
 
+# --- q28: embedding near-dup pairs, LSH candidates + exact verify ------------
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full embedding-dedup pipeline (similarity.cosine_dup_pairs):
+    sign-sketch bucket candidates (4 tables × 8 mixer planes) → exact
+    cosine verify >= 0.42. q23 oracle-checks the exact scorer; this
+    checks the LSH candidate generation + verification composition."""
+    from beats_spark.training import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_dup_pairs(
+        embs, threshold=0.42, dim=64, n_planes=8, n_tables=4, mixer_planes=True
+    ).orderBy("id_a", "id_b")
+
+
+def q_embedding_dups_oracle() -> str:
+    from beats_spark.training.similarity import _MIXER_DUP_OFFSET, mix_sign_sql
+
+    n_planes, n_tables = 8, 4
+    total = n_planes * n_tables
+    sign = mix_sign_sql(f"{_MIXER_DUP_OFFSET} + q * 64 + i - 1")
+    dots = (
+        f"list_transform(range(0, {total}), q -> "
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN {sign} = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), "
+        f"(acc, x) -> acc + x))"
+    )
+    dotab = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x))"
+        )
+
+    return f"""
+WITH sk AS (SELECT vec_id, embedding,
+                   list_transform({dots}, d -> d >= 0.0) AS bits
+            FROM embeddings),
+tables AS (SELECT unnest(range(0, {n_tables})) AS t),
+buckets AS (
+  SELECT vec_id, embedding,
+         t, bits[t * {n_planes} + 1 : t * {n_planes} + {n_planes}] AS sig
+  FROM sk CROSS JOIN tables),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM buckets a JOIN buckets b ON a.t = b.t AND a.sig = b.sig
+  WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         round(({dotab}) / ({norm('va')} * {norm('vb')}), 6) AS cos_sim
+  FROM pairs)
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= 0.42 ORDER BY id_a, id_b"""
+
+
 # --- q27: multimodal container sniff (oracle-checked) ------------------------
 
 
@@ -840,6 +903,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_media_features": q_media_features,
         "q26_ivf_topk": q_ivf_topk,
         "q27_media_sniff": q_media_sniff,
+        "q28_embedding_dups": q_embedding_dups,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -886,4 +950,5 @@ def _base_oracles() -> dict[str, str]:
         "q18_lsh_topk": q_lsh_topk_oracle(),
         "q26_ivf_topk": q_ivf_topk_oracle(),
         "q27_media_sniff": q_media_sniff_oracle(),
+        "q28_embedding_dups": q_embedding_dups_oracle(),
     }

@@ -461,6 +461,35 @@ def ivf_topk(
     )
 
 
+_MIXER_DUP_OFFSET = 2_000_003  # distinct index space from hamming/ivf
+
+
+def _mixer_sign_bits(
+    vec: Column, dim: int, n_planes: int, idx_offset: int
+) -> Column:
+    """int64 sketch: bit p = (vec · ±1-plane_p) >= 0, plane signs from
+    the integer mixer at idx_offset — oracle-recomputable with no
+    float literals (small n_planes ⇒ small literal arrays, no plan
+    bloat)."""
+    out: Column = F.lit(0).cast("long")
+    for p in range(n_planes):
+        signs = F.array(
+            *[
+                F.lit(1.0 if _mix_sign_bit(idx_offset + p * dim + i) else -1.0)
+                for i in range(dim)
+            ]
+        )
+        d = F.aggregate(
+            F.zip_with(vec, signs, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = out + F.when(d >= 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -469,19 +498,37 @@ def cosine_dup_pairs(
     n_tables: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mixer_planes: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) via LSH
     candidate generation + exact verification — the embedding analog of
-    MinHash dedup."""
-    tables = [
-        _hyperplanes(dim, n_planes, seed=11 + 1000 * t) for t in range(n_tables)
-    ]
-    cols = [
-        F.concat(F.lit(f"{t}:"), signature_bits(F.col(vec_col), planes)).alias(
-            f"__b{t}__"
-        )
-        for t, planes in enumerate(tables)
-    ]
+    MinHash dedup. mixer_planes=True swaps the Gaussian hyperplanes for
+    ±1 integer-mixer planes so a SQL oracle reproduces the exact
+    candidate set (the bucket arithmetic is then pure-integer +
+    deterministic double folds on both engines)."""
+    if mixer_planes:
+        cols = [
+            F.concat(
+                F.lit(f"{t}:"),
+                _mixer_sign_bits(
+                    F.col(vec_col),
+                    dim,
+                    n_planes,
+                    _MIXER_DUP_OFFSET + t * n_planes * dim,
+                ),
+            ).alias(f"__b{t}__")
+            for t in range(n_tables)
+        ]
+    else:
+        tables = [
+            _hyperplanes(dim, n_planes, seed=11 + 1000 * t) for t in range(n_tables)
+        ]
+        cols = [
+            F.concat(F.lit(f"{t}:"), signature_bits(F.col(vec_col), planes)).alias(
+                f"__b{t}__"
+            )
+            for t, planes in enumerate(tables)
+        ]
     # persist: both sides of the pair self-join read this — without it
     # the hyperplane projections compute twice
     buckets = df.select(
