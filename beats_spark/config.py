@@ -122,6 +122,14 @@ def pipeline_config_from_dict(cfg: dict[str, Any]) -> dict[str, Any]:
                 "multiline": inp.get("multiline"),
                 "include_lines": inp.get("include_lines") or [],
                 "exclude_lines": inp.get("exclude_lines") or [],
+                # filestream-style ordered parser chain
+                # (libbeat/reader/parser/parser.go:145-199)
+                "parsers": inp.get("parsers") or [],
+                # per-input constant enrichment (input config `fields`,
+                # `fields_under_root`, `tags` — filebeat/input/log/config.go)
+                "fields": inp.get("fields") or {},
+                "fields_under_root": bool(inp.get("fields_under_root", False)),
+                "tags": inp.get("tags") or [],
             }
         )
     out: dict[str, Any] = {
@@ -138,12 +146,23 @@ def pipeline_config_from_dict(cfg: dict[str, Any]) -> dict[str, Any]:
 
 
 def read_input(spark, input_cfg: dict[str, Any]):
-    """Drive the line reader (+ optional multiline merge) from one
-    normalized `inputs` entry: the harvester half of a filebeat.yml.
-    Returns a (source, offset, message) frame ready for
-    Pipeline.transform."""
+    """Drive the line reader (+ parser chain + per-input enrichment)
+    from one normalized `inputs` entry: the harvester half of a
+    filebeat.yml. Returns a (source, offset, message, ...) frame ready
+    for Pipeline.transform.
+
+    Parser chain: the legacy `multiline:` block, or the filestream
+    `parsers:` list applied in configured order
+    (libbeat/reader/parser/parser.go:145-199) — supported entries:
+    multiline, ndjson, container. Per-input `fields` (under `fields.`
+    unless fields_under_root) and `tags` are added to every event
+    (filebeat/input/log/config.go)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.fields import put_field
     from beats_spark.readers.lines import read_lines
     from beats_spark.readers.multiline import merge_lines
+    from beats_spark.readers.ndjson import parse_container, parse_ndjson
 
     paths = input_cfg.get("paths") or []
     if not paths:
@@ -157,9 +176,36 @@ def read_input(spark, input_cfg: dict[str, Any]):
         exclude_lines=input_cfg.get("exclude_lines") or None,
         line_terminator=input_cfg.get("line_terminator", "auto"),
     )
-    ml = input_cfg.get("multiline")
-    if ml:
-        df = merge_lines(df, ml).withColumnRenamed("first_offset", "offset")
+    parsers = list(input_cfg.get("parsers") or [])
+    if input_cfg.get("multiline"):
+        parsers.append({"multiline": input_cfg["multiline"]})
+    for p in parsers:
+        (kind, body), = p.items()
+        body = body or {}
+        if kind == "multiline":
+            df = merge_lines(df, body).withColumnRenamed("first_offset", "offset")
+        elif kind == "ndjson":
+            schema = body.get("schema")
+            if schema is None:
+                raise ValueError("ndjson parser needs `schema` (DDL) in config")
+            df = parse_ndjson(df, schema, cfg=body)
+        elif kind == "container":
+            df = parse_container(
+                df,
+                stream=body.get("stream", "all"),
+                fmt=body.get("format", "auto"),
+            )
+        else:
+            raise ValueError(f"unsupported parser {kind!r}")
+    fields = input_cfg.get("fields") or {}
+    under_root = bool(input_cfg.get("fields_under_root", False))
+    for k, v in fields.items():
+        df = put_field(df, k if under_root else f"fields.{k}", F.lit(v))
+    tags = input_cfg.get("tags") or []
+    if tags:
+        from beats_spark.processors.shape import AddTags
+
+        df = AddTags({"tags": list(tags)}).apply(df)
     return df
 
 

@@ -122,3 +122,34 @@ output:
     assert rows["uno"] == ("logs", "err-pl")
     assert rows["dos"] == ("logs", "default-pl")
     assert rows["trés"] == ("logs", "err-pl")
+
+
+def test_input_parsers_fields_tags(spark, tmp_path):
+    """filestream-style parser chain + per-input fields/tags
+    (parser.go:145-199, input config fields/fields_under_root/tags)."""
+    import json
+
+    log = tmp_path / "svc.log"
+    lines = [
+        json.dumps({"lvl": "E", "body": "boom"}),
+        json.dumps({"lvl": "I", "body": "fine"}),
+    ]
+    log.write_text("\n".join(lines) + "\n")
+    cfg = {
+        "paths": [str(log)],
+        "parsers": [{"ndjson": {"schema": "lvl string, body string", "target": ""}}],
+        "fields": {"team": "ingest"},
+        "fields_under_root": False,
+        "tags": ["prod"],
+    }
+    from beats_spark.config import read_input
+
+    out = read_input(spark, cfg)
+    rows = sorted(out.collect(), key=lambda r: r.offset)
+    assert [r.lvl for r in rows] == ["E", "I"]
+    assert rows[0]["fields"]["team"] == "ingest"
+    assert "prod" in rows[0]["tags"]
+    # fields_under_root puts the key at top level
+    cfg2 = dict(cfg, fields_under_root=True)
+    out2 = read_input(spark, cfg2)
+    assert out2.collect()[0]["team"] == "ingest"
