@@ -13,7 +13,11 @@ from beats_spark.training import dedup, similarity, text
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the small testdata parquet is one scan partition; spread before
+    # per-row-heavy text expressions (a 100 TB corpus splits naturally)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # --- q11: exact dedup (hash-groupBy) -----------------------------------------

@@ -28,8 +28,14 @@ def words(col: Column) -> Column:
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(words(col))
+    """Whitespace token count — HOF-free: after trim, split-on-\\s+
+    yields an empty token ONLY for the empty string, so the filter in
+    words() reduces to one when() (HOF lambdas evaluate interpreted;
+    this runs on every doc of the primary scan)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, _WORD_SEP))
+    )
 
 
 # BPE-ish subword pre-tokenizer: GPT-2-style contractions + word/number/
@@ -43,8 +49,14 @@ def bpe_token_count(col: Column) -> Column:
 
 
 def stopword_hits(col: Column, lang: str) -> Column:
-    sw = STOPWORDS[lang]
-    return F.size(F.filter(words(F.lower(col)), lambda w: w.isin(*sw)))
+    """Count of whitespace tokens equal to a stopword — as one
+    regexp_count (codegen) instead of filter-HOF token equality: a
+    token equals a stopword iff the word appears bounded by
+    whitespace/edges, and Java-regex backtracking makes prefix
+    alternatives safe (longest-first ordering as belt-and-braces)."""
+    sw = sorted(STOPWORDS[lang], key=len, reverse=True)
+    pat = r"(?:(?<=\s)|^)(?:" + "|".join(sw) + r")(?:(?=\s)|$)"
+    return F.regexp_count(F.lower(col), F.lit(pat))
 
 
 def language_id(col: Column, default: str = "und") -> Column:
@@ -67,15 +79,14 @@ def quality_features(col: Column) -> dict[str, Column]:
     """Length/punctuation/stopword ratio features (the classic quality
     filters of C4/Gopher-style pipelines), each a native expression."""
     n_chars = F.length(col)
-    ws = words(col)
-    n_words = F.size(ws)
+    n_words = token_count(col)
     mean_word_len = F.when(
         n_words > 0,
         (n_chars - (n_words - 1)).cast("double") / n_words.cast("double"),
     )
     n_punct = F.size(F.regexp_extract_all(col, F.lit(r"([\.,;:!\?])"), 1))
     n_digits = F.size(F.regexp_extract_all(col, F.lit(r"([0-9])"), 1))
-    en_sw = F.size(F.filter(F.transform(ws, F.lower), lambda w: w.isin(*STOPWORDS["en"])))
+    en_sw = stopword_hits(col, "en")
     return {
         "n_chars": n_chars,
         "n_words": n_words,
