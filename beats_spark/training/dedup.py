@@ -119,10 +119,14 @@ def ngram_jaccard_pairs(
     shingle is excluded from the intersection count but still counts in
     n_a/n_b, so observed Jaccard for affected pairs is a lower bound.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    from pyspark.sql.window import Window
+
+    # exploded-gram path (no HOF lambdas — see exploded_shingles);
+    # per-doc distinct size via a partition-wide window count
+    ex = exploded_shingles(df, text_col, id_col, k, distinct=True)
+    exploded = ex.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    ).withColumnRenamed("h", "s")
     if max_shingle_freq is not None:
         freq = exploded.groupBy("s").agg(F.count(F.lit(1)).alias("f"))
         exploded = exploded.join(

@@ -254,3 +254,52 @@ def test_ngram_jaccard_hot_shingle_capped(spark):
     # bounded intermediate: with the cap at 100, the exploded join input
     # must not contain the hot shingles ('COMMON BOILERPLATE PREFIX',
     # 'BOILERPLATE PREFIX unique<i>' keeps per-doc uniqueness)
+
+
+def test_exploded_shingles_equals_column_form(spark, docs):
+    """The bulk exploded-gram builder and the column-expression
+    shingles() must produce identical per-doc hash sets, for both hash
+    modes (they back different paths of the same operators)."""
+    sample = docs.limit(60)
+    for portable in (False, True):
+        col_form = {
+            r.doc_id: set(r.sh or [])
+            for r in sample.select(
+                "doc_id", dedup.shingles(F.col("text"), 3, portable=portable).alias("sh")
+            ).collect()
+        }
+        ex_form: dict = {}
+        for r in dedup.exploded_shingles(
+            sample, "text", "doc_id", 3, portable=portable, distinct=True
+        ).collect():
+            ex_form.setdefault(r.id, set()).add(r.h)
+        # docs with < 3 words are absent from the exploded form and
+        # empty in the column form
+        assert {k: v for k, v in col_form.items() if v} == ex_form
+
+
+def test_token_window_lead_equals_hof_form(spark):
+    """token_window_dup_groups' window-lead polynomial must equal the
+    array-HOF token_window_hashes on the same rows."""
+    from beats_spark.datagen import load_token_events
+
+    df = load_token_events(spark, "/root/testdata/sf0.001").limit(80)
+    hof = {
+        r.doc_id: set(r.wh or [])
+        for r in df.select(
+            "doc_id", dedup.token_window_hashes(F.col("tokens"), 8).alias("wh")
+        ).collect()
+    }
+    groups = dedup.token_window_dup_groups(df, k=8, min_docs=1)
+    # reconstruct per-doc sets is not possible post-group; instead check
+    # the global distinct window-hash multiset matches
+    from collections import Counter
+
+    want = Counter()
+    for s in hof.values():
+        for h in s:
+            want[h] += 1
+    got = Counter()
+    for r in groups.collect():
+        got[r.wh] += r.n_docs
+    assert got == want
