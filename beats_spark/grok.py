@@ -1,0 +1,205 @@
+"""Grok pattern compiler: %{SYNTAX:semantic:type} → one anchored JVM
+regex + a regexp_extract battery.
+
+The BASELINE north-star names "vectorized grok/regex parse" as the
+parse analog alongside dissect; the reference ships dissect (Logstash/
+ES ingest carry grok), so this is the grok half: a pattern library +
+compiler in the spirit of logstash-patterns-core, emitting expressions
+that stay in whole-stage codegen — one rlike for the match predicate,
+one regexp_extract per captured field, types via try_cast.
+
+Pattern syntax:
+    %{SYNTAX}                 match, no capture
+    %{SYNTAX:name}            capture as string field `name`
+    %{SYNTAX:name:int}        capture + cast (int|long|float|double|bool)
+Base patterns may reference other patterns (expanded recursively);
+custom patterns merge via the `extra_patterns` argument / processor
+config. Every base pattern below is RE2-compatible (no lookaround, no
+backreferences) so the same regex runs under Java regex AND RE2-family
+engines (DuckDB oracles, Go).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from beats_spark.fields import add_flag, field_col, put_field
+from beats_spark.processors.base import Processor, register
+from beats_spark.processors.shape import _set_error
+
+# RE2-safe core of the logstash-patterns-core base set
+GROK_PATTERNS: dict[str, str] = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "POSINT": r"\d+",
+    "YEAR": r"\d\d(?:\d\d)?",
+    "MONTHNUM": r"0?[1-9]|1[0-2]",
+    "MONTHDAY": r"(?:0[1-9])|(?:[12]\d)|(?:3[01])|[1-9]",
+    "HOUR": r"2[0123]|[01]?\d",
+    "MINUTE": r"[0-5]\d",
+    "SECOND": r"(?:[0-5]?\d)(?:[:.,]\d+)?",
+    "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
+    "TIMESTAMP_ISO8601": (
+        r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:%{MINUTE}"
+        r"(?::%{SECOND})?(?:Z|[+-]%{HOUR}(?::?%{MINUTE})?)?"
+    ),
+    "IPV4": (
+        r"(?:25[0-5]|2[0-4]\d|[01]?\d{1,2})(?:\.(?:25[0-5]|2[0-4]\d|[01]?\d{1,2})){3}"
+    ),
+    "IPV6": r"(?:[0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}(?:%\w+)?",
+    "IP": r"(?:%{IPV6}|%{IPV4})",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\.?\b",
+    "IPORHOST": r"(?:%{IP}|%{HOSTNAME})",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "LOGLEVEL": (
+        r"[Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|"
+        r"[Ii]nfo(?:rmation)?|INFO(?:RMATION)?|[Ww]arn(?:ing)?|WARN(?:ING)?|"
+        r"[Ee]rr(?:or)?|ERR(?:OR)?|[Cc]rit(?:ical)?|CRIT(?:ICAL)?|"
+        r"[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?"
+    ),
+    # no-backreference quoted string (logstash QS uses backrefs)
+    "QUOTEDSTRING": r"\"[^\"]*\"|'[^']*'",
+    "QS": r"\"[^\"]*\"|'[^']*'",
+    "HTTPDATE": r"%{MONTHDAY}/\w{3}/%{YEAR}:%{TIME} [+-]\d{4}",
+    "PATH": r"(?:/[\w_%!$@:.,~-]+)+",
+    "URIPATH": r"(?:/[\w_%!$@:.,~-]*)+",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
+
+_GROK_TYPES = {
+    "int": "int",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "bool": "boolean",
+    "boolean": "boolean",
+}
+
+
+class GrokError(ValueError):
+    pass
+
+
+def compile_grok(
+    pattern: str, extra_patterns: dict[str, str] | None = None
+) -> tuple[str, list[tuple[str, str | None]]]:
+    """Expand a grok expression into (regex, captures) where captures
+    is an ordered [(field_name, cast_type|None)] matching regex group
+    numbers 1..N. Named references expand recursively; only
+    %{NAME:field} forms produce groups (plain %{NAME} expands to a
+    non-capturing group), so group numbering is wholly ours."""
+    library = dict(GROK_PATTERNS)
+    if extra_patterns:
+        library.update(extra_patterns)
+    captures: list[tuple[str, str | None]] = []
+
+    def expand(pat: str, depth: int) -> str:
+        if depth > 20:
+            raise GrokError("grok: pattern recursion too deep (cycle?)")
+
+        def one(m: re.Match) -> str:
+            name, field, typ = m.group(1), m.group(2), m.group(3)
+            body = library.get(name)
+            if body is None:
+                raise GrokError(f"grok: unknown pattern %{{{name}}}")
+            inner = expand(body, depth + 1)
+            if field:
+                if typ is not None and typ not in _GROK_TYPES:
+                    raise GrokError(f"grok: unknown type {typ!r} for {field}")
+                captures.append((field, _GROK_TYPES.get(typ or "", None)))
+                return f"({inner})"
+            return f"(?:{inner})"
+
+        return _GROK_REF.sub(one, pat)
+
+    return expand(pattern, 0), captures
+
+
+def grok_columns(
+    src: Column,
+    pattern: str,
+    extra_patterns: dict[str, str] | None = None,
+    anchored: bool = True,
+) -> tuple[Column, dict[str, Column]]:
+    """(matched_predicate, {field: value Column}) — all JVM-side:
+    rlike + one regexp_extract per capture, casts via try_cast."""
+    regex, captures = compile_grok(pattern, extra_patterns)
+    if anchored and not regex.startswith("^"):
+        regex = "^" + regex
+    matched = src.isNotNull() & src.rlike(regex)
+    # regexp_extract numbers OUR groups 1..N, but expanded sub-patterns
+    # contain only non-capturing groups, so indices line up with the
+    # capture order
+    values: dict[str, Column] = {}
+    for i, (field, typ) in enumerate(captures):
+        g = F.when(matched, F.nullif(F.regexp_extract(src, regex, i + 1), F.lit("")))
+        if typ is not None:
+            g = g.try_cast(typ)
+        values[field] = g
+    return matched, values
+
+
+@register
+class Grok(Processor):
+    """Grok parse processor (the Logstash/ES-ingest grok analog named
+    by the BASELINE north-star next to dissect; the reference's
+    filebeat configs hand grok work to ES ingest pipelines —
+    elasticsearch/client.go pipeline selector — so a standalone engine
+    needs it in-process).
+
+    cfg: field (default "message"), patterns (list — FIRST matching
+    pattern wins, like Logstash's match list), pattern (single),
+    pattern_definitions (custom sub-patterns), target_prefix ("" =
+    root), ignore_failure. Failure appends `grok_parse_failure` to the
+    flags column and sets the error column unless ignore_failure."""
+
+    name = "grok"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        src = field_col(df, self.cfg.get("field", "message"))
+        if src is None:
+            return _set_error(df, F.lit(True), "grok: missing field")
+        pats = self.cfg.get("patterns") or (
+            [self.cfg["pattern"]] if self.cfg.get("pattern") else []
+        )
+        if not pats:
+            raise GrokError("grok: no pattern configured")
+        extra = self.cfg.get("pattern_definitions")
+        tp = self.cfg.get("target_prefix", "")
+        prefix = (tp + ".") if tp else ""
+        compiled = [grok_columns(src.cast("string"), p, extra) for p in pats]
+        matched_any: Column = F.lit(False)
+        fields: dict[str, Column] = {}
+        for matched, values in compiled:
+            # first-match-wins: a later pattern only fills fields for
+            # rows no earlier pattern matched
+            take = matched & ~matched_any
+            for k, v in values.items():
+                prev = fields.get(k)
+                # no explicit otherwise on first occurrence: an untyped
+                # NULL literal would coerce typed captures to string
+                fields[k] = (
+                    F.when(take, v) if prev is None else F.when(take, v).otherwise(prev)
+                )
+            matched_any = matched_any | matched
+        for k, v in fields.items():
+            df = put_field(df, prefix + k, v)
+        failed = ~F.coalesce(matched_any, F.lit(False))
+        df = add_flag(df, "grok_parse_failure", failed)
+        if not self.cfg.get("ignore_failure", False):
+            df = _set_error(df, failed, "grok: no pattern matched")
+        return df

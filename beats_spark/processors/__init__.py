@@ -19,3 +19,4 @@ from beats_spark.processors import parse as _parse  # noqa: F401
 from beats_spark.processors import enrich as _enrich  # noqa: F401
 from beats_spark.processors import flow as _flow  # noqa: F401
 from beats_spark.processors import metadata as _metadata  # noqa: F401
+from beats_spark import grok as _grok  # noqa: F401

@@ -769,6 +769,74 @@ SELECT query_id, neighbor_id, cos_sim, rank FROM final
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
 
+# --- q29: grok parse (access-log battery, oracle vs planted values) ----------
+
+
+def q_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok the classic access-log shape over deterministic synthetic
+    lines (beats_spark.grok: %{IPV4}/%{USER}/%{URIPATH}/%{INT:...:type}
+    compiled to one anchored JVM regex); the oracle recomputes the
+    aggregate from the planted arithmetic, verifying every extraction
+    end-to-end."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    k = F.col("o_orderkey")
+    status = (
+        F.when(k % 10 == 0, 500).when(k % 5 == 0, 404).otherwise(200)
+    ).cast("string")
+    line = F.concat(
+        F.lit("10."), (k % 3).cast("string"), F.lit(".0."), (k % 200).cast("string"),
+        F.lit(" - user"), (k % 50).cast("string"),
+        F.lit(' "GET /item/'), (k % 1000).cast("string"),
+        F.lit(' HTTP/1.1" '), status, F.lit(" "), (k % 4096).cast("string"),
+    )
+    df = o.select(k.alias("k"), line.alias("message"))
+    out = compile_chain(
+        [
+            {
+                "grok": {
+                    "pattern": (
+                        '%{IPV4:client} - %{USER:user} "%{WORD:method} '
+                        '%{URIPATH:path} HTTP/%{NUMBER:vers}" '
+                        "%{INT:status:int} %{INT:bytes:long}"
+                    ),
+                }
+            }
+        ]
+    )(df)
+    return (
+        out.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("bytes").alias("sum_bytes"),
+            F.count_distinct("client").alias("n_clients"),
+            F.count_distinct("user").alias("n_users"),
+            F.sum(F.length("path")).alias("sum_path_len"),
+        )
+        .orderBy("status")
+    )
+
+
+def q_grok_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 10 = 0 THEN 500
+              WHEN o_orderkey % 5 = 0 THEN 404 ELSE 200 END AS status,
+         o_orderkey % 4096 AS bytes,
+         concat('10.', CAST(k0 % 3 AS VARCHAR), '.0.', CAST(k0 % 200 AS VARCHAR)) AS client,
+         concat('user', CAST(k0 % 50 AS VARCHAR)) AS "user",
+         length(concat('/item/', CAST(k0 % 1000 AS VARCHAR))) AS path_len
+  FROM (SELECT o_orderkey, o_orderkey AS k0 FROM orders))
+SELECT CAST(status AS INT) AS status, count(*) AS n,
+       CAST(sum(bytes) AS BIGINT) AS sum_bytes,
+       CAST(count(DISTINCT client) AS BIGINT) AS n_clients,
+       CAST(count(DISTINCT "user") AS BIGINT) AS n_users,
+       CAST(sum(path_len) AS BIGINT) AS sum_path_len
+FROM t GROUP BY status ORDER BY status"""
+
+
 # --- q28: embedding near-dup pairs, LSH candidates + exact verify ------------
 
 
@@ -904,6 +972,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_ivf_topk": q_ivf_topk,
         "q27_media_sniff": q_media_sniff,
         "q28_embedding_dups": q_embedding_dups,
+        "q29_grok": q_grok,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -951,4 +1020,5 @@ def _base_oracles() -> dict[str, str]:
         "q26_ivf_topk": q_ivf_topk_oracle(),
         "q27_media_sniff": q_media_sniff_oracle(),
         "q28_embedding_dups": q_embedding_dups_oracle(),
+        "q29_grok": q_grok_oracle(),
     }

@@ -1,0 +1,83 @@
+"""Grok compiler + processor (the north-star's "grok/regex parse"
+analog next to dissect)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from beats_spark.grok import GrokError, compile_grok, grok_columns
+from beats_spark.processors import compile_one
+
+
+def test_compile_expansion_and_captures():
+    regex, caps = compile_grok(
+        "%{IPV4:client} %{WORD:method} %{URIPATH:path} %{INT:bytes:int}"
+    )
+    assert caps == [
+        ("client", None), ("method", None), ("path", None), ("bytes", "int")
+    ]
+    import re
+
+    m = re.match("^" + regex + "$", "10.1.2.3 GET /a/b.html 1234")
+    assert m and m.group(1) == "10.1.2.3" and m.group(4) == "1234"
+
+
+def test_compile_unknown_pattern_and_type():
+    with pytest.raises(GrokError, match="unknown pattern"):
+        compile_grok("%{NOPE:x}")
+    with pytest.raises(GrokError, match="unknown type"):
+        compile_grok("%{INT:x:decimal}")
+
+
+def test_custom_pattern_definitions():
+    regex, caps = compile_grok(
+        "%{APPTAG:tag}", extra_patterns={"APPTAG": r"app-\d+"}
+    )
+    import re
+
+    assert re.fullmatch(regex, "app-42")
+    assert caps == [("tag", None)]
+
+
+def test_grok_columns_types_and_failure(spark):
+    df = spark.createDataFrame(
+        [("alice GET 200",), ("not a request",), (None,)], "line string"
+    )
+    matched, vals = grok_columns(
+        F.col("line"), "%{USER:user} %{WORD:method} %{INT:status:int}"
+    )
+    rows = df.select(
+        matched.alias("ok"), vals["user"].alias("u"), vals["status"].alias("s")
+    ).collect()
+    assert (rows[0].ok, rows[0].u, rows[0].s) == (True, "alice", 200)
+    assert rows[0].s == 200 and isinstance(rows[0].s, int)
+    assert rows[1].ok is False and rows[1].u is None
+    assert rows[2].ok is False
+
+
+def test_grok_processor_first_match_wins(spark):
+    df = spark.createDataFrame(
+        [
+            ("ERROR disk full",),
+            ("access 10.0.0.7 GET",),
+            ("??",),
+        ],
+        "message string",
+    )
+    out = compile_one(
+        {
+            "grok": {
+                "patterns": [
+                    "%{LOGLEVEL:level} %{GREEDYDATA:msg}",
+                    "access %{IPV4:client} %{WORD:method}",
+                ],
+            }
+        }
+    )(df)
+    rows = out.collect()
+    assert rows[0].level == "ERROR" and rows[0].msg == "disk full"
+    assert rows[1].level is None and rows[1].client == "10.0.0.7"
+    assert rows[2]._error is not None
+    assert "grok_parse_failure" in rows[2]._flags
+    assert "grok_parse_failure" not in (rows[0]._flags or [])
