@@ -75,6 +75,17 @@ GROK_PATTERNS: dict[str, str] = {
     "HTTPDATE": r"%{MONTHDAY}/\w{3}/%{YEAR}:%{TIME} [+-]\d{4}",
     "PATH": r"(?:/[\w_%!$@:.,~-]+)+",
     "URIPATH": r"(?:/[\w_%!$@:.,~-]*)+",
+    # composite access-log shapes (logstash-patterns-core httpd set,
+    # minus the backreference-dependent QS)
+    "COMMONAPACHELOG": (
+        r"%{IPORHOST:clientip} %{USER:ident} %{USER:auth} "
+        r"\[%{HTTPDATE:timestamp}\] \"(?:%{WORD:verb} %{NOTSPACE:request}"
+        r"(?: HTTP/%{NUMBER:httpversion})?|%{DATA:rawrequest})\" "
+        r"%{NUMBER:response} (?:%{NUMBER:bytes}|-)"
+    ),
+    "COMBINEDAPACHELOG": (
+        r"%{COMMONAPACHELOG} \"%{DATA:referrer}\" \"%{DATA:agent}\""
+    ),
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
@@ -116,12 +127,16 @@ def compile_grok(
             body = library.get(name)
             if body is None:
                 raise GrokError(f"grok: unknown pattern %{{{name}}}")
-            inner = expand(body, depth + 1)
             if field:
                 if typ is not None and typ not in _GROK_TYPES:
                     raise GrokError(f"grok: unknown type {typ!r} for {field}")
+                # append BEFORE expanding: the outer '(' precedes any
+                # nested captures inside composite patterns, and group
+                # numbers follow '(' order
                 captures.append((field, _GROK_TYPES.get(typ or "", None)))
+                inner = expand(body, depth + 1)
                 return f"({inner})"
+            inner = expand(body, depth + 1)
             return f"(?:{inner})"
 
         return _GROK_REF.sub(one, pat)

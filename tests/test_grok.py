@@ -81,3 +81,38 @@ def test_grok_processor_first_match_wins(spark):
     assert rows[2]._error is not None
     assert "grok_parse_failure" in rows[2]._flags
     assert "grok_parse_failure" not in (rows[0]._flags or [])
+
+
+def test_combined_apache_log_composite(spark):
+    """Composite patterns carry their nested captures (httpd set)."""
+    line = (
+        '203.0.113.9 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://ref.example/start" "Mozilla/4.08"'
+    )
+    df = spark.createDataFrame([(line,)], "message string")
+    out = compile_one({"grok": {"pattern": "%{COMBINEDAPACHELOG}"}})(df)
+    r = out.collect()[0]
+    assert r.clientip == "203.0.113.9"
+    assert r.auth == "frank"
+    assert r.verb == "GET" and r.request == "/apache_pb.gif"
+    assert r.response == "200" and r.bytes == "2326"
+    assert r.referrer == "http://ref.example/start"
+    assert r.agent == "Mozilla/4.08"
+
+
+def test_outer_capture_of_composite_orders_groups():
+    """%{COMMONAPACHELOG:line} numbers the outer group before nested
+    captures."""
+    import re
+
+    regex, caps = compile_grok("%{COMMONAPACHELOG:line}")
+    assert caps[0][0] == "line"
+    assert [c[0] for c in caps[1:6]] == [
+        "clientip", "ident", "auth", "timestamp", "verb"
+    ]
+    m = re.match(
+        "^" + regex,
+        '1.2.3.4 - bob [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 5',
+    )
+    assert m and m.group(2) == "1.2.3.4"  # nested clientip = group 2
