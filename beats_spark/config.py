@@ -169,7 +169,7 @@ def read_input(spark, input_cfg: dict[str, Any]):
         raise ValueError("input has no paths")
     df = read_lines(
         spark,
-        paths[0] if len(paths) == 1 else ",".join(paths),
+        paths,
         encoding=input_cfg.get("encoding", "utf-8"),
         max_bytes=input_cfg.get("max_bytes"),
         include_lines=input_cfg.get("include_lines") or None,

@@ -78,7 +78,7 @@ def java_charset(name: str) -> str:
 
 def read_lines(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     encoding: str = "utf-8",
     max_bytes: int | None = None,
     include_lines: list[str] | None = None,
@@ -101,19 +101,20 @@ def read_lines(
     """
     if line_terminator not in LINE_TERMINATORS:
         raise ValueError(f"read_lines: unknown line_terminator {line_terminator!r}")
+    paths = [path] if isinstance(path, str) else list(path)
     fast = encoding.lower().replace("-", "").replace("_", "") in (
         "utf8", "ascii", "usascii",
     ) and line_terminator in ("auto", "line_feed")
     if fast:
         # Hadoop's line reader already handles LF / CR+LF
-        df = spark.read.text(path).select(
+        df = spark.read.text(paths).select(
             F.col("value").alias("message"),
             F.input_file_name().alias("source"),
         )
         w = Window.partitionBy("source").orderBy(F.monotonically_increasing_id())
         df = df.withColumn("offset", F.row_number().over(w))
     else:
-        df = _read_lines_decoded(spark, path, encoding, line_terminator)
+        df = _read_lines_decoded(spark, paths, encoding, line_terminator)
     if max_bytes is not None:
         df = df.withColumn(
             "message",
@@ -134,7 +135,7 @@ def read_lines(
 
 
 def _read_lines_decoded(
-    spark: SparkSession, path: str, encoding: str, line_terminator: str
+    spark: SparkSession, paths: list[str], encoding: str, line_terminator: str
 ) -> DataFrame:
     """Per-file decode path (readfile/encode.go): whole-file binary →
     JVM charset decode → terminator split → posexplode with 1-based
@@ -156,7 +157,7 @@ def _read_lines_decoded(
         (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
         F.slice(arr, F.lit(1), F.size(arr) - 1),
     ).otherwise(arr)
-    raw = spark.read.format("binaryFile").load(path)
+    raw = spark.read.format("binaryFile").load(paths)
     return raw.select(
         F.col("path").alias("source"), F.posexplode(arr).alias("pos", "message")
     ).select("message", "source", (F.col("pos") + 1).alias("offset"))

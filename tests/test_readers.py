@@ -195,3 +195,19 @@ def test_unterminated_final_line_emitted(spark, tmp_path):
     f.write_bytes("a\nb".encode("latin-1"))  # no trailing terminator
     out = read_lines(spark, str(f), encoding="latin1").orderBy("offset").collect()
     assert [r.message for r in out] == ["a", "b"]
+
+
+def test_read_lines_multiple_paths(spark, tmp_path):
+    from beats_spark.readers.lines import read_lines
+
+    a, b = tmp_path / "a.log", tmp_path / "b.log"
+    a.write_text("a1\na2\n")
+    b.write_text("b1\n")
+    out = read_lines(spark, [str(a), str(b)])
+    got = sorted((r.source.rsplit("/", 1)[-1], r.offset, r.message) for r in out.collect())
+    assert got == [("a.log", 1, "a1"), ("a.log", 2, "a2"), ("b.log", 1, "b1")]
+    # decoded path too
+    c = tmp_path / "c.bin"
+    c.write_bytes("é1\n".encode("latin-1"))
+    out2 = read_lines(spark, [str(c)], encoding="latin1")
+    assert [r.message for r in out2.collect()] == ["é1"]
