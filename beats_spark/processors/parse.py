@@ -337,16 +337,40 @@ class DecodeDuration(Processor):
 
 
 # Go reference layouts → Spark datetime patterns for the timestamp
-# processor (timestamp/timestamp.go:129-152 tries layouts in order).
+# processor (timestamp/timestamp.go:129-152 tries layouts in order;
+# the named constants are Go stdlib time package layouts).
 _GO_LAYOUTS = {
     "2006-01-02T15:04:05Z07:00": "yyyy-MM-dd'T'HH:mm:ssXXX",  # RFC3339
     "2006-01-02T15:04:05.999999999Z07:00": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
     "2006-01-02T15:04:05": "yyyy-MM-dd'T'HH:mm:ss",
     "2006-01-02 15:04:05": "yyyy-MM-dd HH:mm:ss",
+    "2006-01-02 15:04:05.999999": "yyyy-MM-dd HH:mm:ss.SSSSSS",
     "2006-01-02": "yyyy-MM-dd",
+    "2006/01/02 15:04:05": "yyyy/MM/dd HH:mm:ss",
     "01/02/2006 15:04:05": "MM/dd/yyyy HH:mm:ss",
-    "Jan _2 15:04:05": "MMM d HH:mm:ss",
-    "Mon Jan _2 15:04:05 2006": "EEE MMM d HH:mm:ss yyyy",
+    "01/02/2006": "MM/dd/yyyy",
+    "Jan _2 15:04:05": "MMM d HH:mm:ss",  # time.Stamp
+    "Jan _2 15:04:05.000": "MMM d HH:mm:ss.SSS",  # time.StampMilli
+    # weekday-prefixed layouts: Spark 3+'s parser rejects EEE for
+    # PARSING, and the weekday is redundant — the processor strips it
+    # (see _STRIP_WEEKDAY) and parses the remainder
+    "Mon Jan _2 15:04:05 2006": "MMM d HH:mm:ss yyyy",  # ANSIC
+    "Mon Jan _2 15:04:05 MST 2006": "MMM d HH:mm:ss zzz yyyy",  # UnixDate
+    "Mon, 02 Jan 2006 15:04:05 MST": "dd MMM yyyy HH:mm:ss zzz",  # RFC1123
+    "Mon, 02 Jan 2006 15:04:05 -0700": "dd MMM yyyy HH:mm:ss Z",  # RFC1123Z
+    "02 Jan 06 15:04 MST": "dd MMM yy HH:mm zzz",  # RFC822
+    "02 Jan 06 15:04 -0700": "dd MMM yy HH:mm Z",  # RFC822Z
+    "Monday, 02-Jan-06 15:04:05 MST": "dd-MMM-yy HH:mm:ss zzz",  # RFC850
+    "3:04PM": "h:mma",  # Kitchen
+}
+
+# Go layouts whose leading weekday must be stripped before parsing
+_STRIP_WEEKDAY = {
+    "Mon Jan _2 15:04:05 2006",
+    "Mon Jan _2 15:04:05 MST 2006",
+    "Mon, 02 Jan 2006 15:04:05 MST",
+    "Mon, 02 Jan 2006 15:04:05 -0700",
+    "Monday, 02-Jan-06 15:04:05 MST",
 }
 
 
@@ -376,7 +400,14 @@ class Timestamp(Processor):
                 )
             else:
                 fmt = _GO_LAYOUTS.get(layout, layout)  # allow raw Java patterns
-                parsed = F.try_to_timestamp(col, F.lit(fmt))
+                src = col
+                if layout in _STRIP_WEEKDAY:
+                    src = F.regexp_replace(src, r"^[A-Za-z]{3,9},?\s+", "")
+                if "_2" in layout:
+                    # Go _2 = space-padded day ("Jan  2"); Java 'd'
+                    # wants single separators
+                    src = F.regexp_replace(src, " +", " ")
+                parsed = F.try_to_timestamp(src, F.lit(fmt))
                 if tz not in ("UTC", "Etc/UTC") and "X" not in fmt and "Z" not in fmt:
                     parsed = F.to_utc_timestamp(parsed, tz)
                 attempts.append(parsed)
@@ -526,6 +557,30 @@ class Syslog(Processor):
         for path, expr in cols.items():
             df = put_field(df, path, expr)
         df = put_field(df, "syslog.timestamp_raw", ts_raw)
+        # parse the timestamp: 5424 carries ISO8601; 3164 is BSD
+        # time.Stamp, year-less — the reference derives the year from
+        # now (syslog/message.go:101-110); `default_year` pins it for
+        # deterministic tests/backfills
+        year = self.cfg.get("default_year")
+        year_c = (
+            F.lit(int(year)).cast("string")
+            if year is not None
+            else F.year(F.current_date()).cast("string")
+        )
+        bsd = F.try_to_timestamp(
+            F.concat(year_c, F.lit(" "), F.regexp_replace(ts_raw, " +", " ")),
+            F.lit("yyyy MMM d HH:mm:ss"),
+        )
+        iso = F.coalesce(
+            F.try_to_timestamp(ts_raw, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+            F.try_to_timestamp(ts_raw, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+            F.try_to_timestamp(ts_raw, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+            F.try_to_timestamp(ts_raw, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        )
+        parsed_ts = F.when(ts_raw.rlike(r"^\d{4}-"), iso).otherwise(
+            F.when(ts_raw.isNotNull(), bsd)
+        )
+        df = put_field(df, "log.syslog.timestamp", parsed_ts)
         orig_msg = field_col(df, "message")
         if orig_msg is None:
             orig_msg = F.lit(None).cast("string")

@@ -469,3 +469,44 @@ def test_community_id_golden_pcap_logs(spark, fname):
         if r.cid != r.expected
     ]
     assert not bad, f"{len(bad)} mismatches; first: {bad[:3]}"
+
+
+def test_syslog_timestamp_parsing(spark):
+    """3164 BSD timestamps (year-less, year injected like
+    syslog/message.go:101-110; default_year pins it) and 5424 ISO
+    timestamps parse into log.syslog.timestamp."""
+    import datetime as dt
+
+    df = _df(
+        spark,
+        [
+            ("<34>Oct  1 02:03:04 host su[1]: hi",),
+            ("<165>1 2023-07-11T22:14:15.003Z h app - ID47 - msg",),
+        ],
+        "message string",
+    )
+    out = compile_one({"syslog": {"default_year": 2024}})(df)
+    rows = out.collect()
+    t0 = rows[0]["log"]["syslog"]["timestamp"]
+    assert (t0.year, t0.month, t0.day, t0.hour) == (2024, 10, 1, 2)
+    t1 = rows[1]["log"]["syslog"]["timestamp"]
+    assert t1 == dt.datetime(2023, 7, 11, 22, 14, 15, 3000)
+
+
+def test_timestamp_go_layout_battery(spark):
+    """Extended Go stdlib layouts (RFC1123Z/RFC822Z/ANSIC/StampMilli)."""
+    cases = [
+        ("Tue, 02 Jan 2024 15:04:05 -0700", "Mon, 02 Jan 2006 15:04:05 -0700"),
+        ("02 Jan 24 15:04 -0700", "02 Jan 06 15:04 -0700"),
+        ("Tue Jan  2 15:04:05 2024", "Mon Jan _2 15:04:05 2006"),
+        ("Jan  2 15:04:05.123", "Jan _2 15:04:05.000"),
+        ("2024/01/02 15:04:05", "2006/01/02 15:04:05"),
+    ]
+    for val, layout in cases:
+        df = _df(spark, [(val,)], "t string")
+        out = compile_one(
+            {"timestamp": {"field": "t", "layouts": [layout], "target_field": "ts"}}
+        )(df)
+        r = out.collect()[0]
+        assert r.ts is not None, (val, layout)
+        assert r._error is None, (val, layout, r._error)
