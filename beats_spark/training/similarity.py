@@ -434,7 +434,10 @@ def ivf_topk(
     from pyspark.sql.window import Window
 
     cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
-    corpus = df.select(
+    # spread the (often single-partition) corpus before the per-row
+    # cell-assignment folds
+    par = df.sparkSession.sparkContext.defaultParallelism
+    corpus = df.repartition(par).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
         F.element_at(_cell_assign(F.col(vec_col), cents, 1), 1).alias("cell"),
@@ -530,7 +533,9 @@ def cosine_dup_pairs(
             for t, planes in enumerate(tables)
         ]
     # persist: both sides of the pair self-join read this — without it
-    # the hyperplane projections compute twice
+    # the hyperplane projections compute twice. Repartition first: the
+    # sketch folds are the CPU stage and a small parquet is one task.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     buckets = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
