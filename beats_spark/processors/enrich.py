@@ -197,11 +197,33 @@ class Fingerprint(Processor):
         elif encoding == "base64":
             out = F.base64(F.unhex(digest_hex))
         elif encoding == "base32":
-            raise ValueError("fingerprint: base32 encoding not supported natively")
+            # no native base32; Arrow UDF over the hex digest
+            # (fingerprint/fingerprint.go supports hex/base32/base64)
+            out = _b32_of_hex_udf()(digest_hex)
         else:
             raise ValueError(f"fingerprint: unknown encoding {encoding}")
         df = _set_error(df, missing, "fingerprint: missing field")
         return put_field(df, target, F.when(~missing, out))
+
+
+def _b32_of_hex_udf():
+    """hex digest string → RFC4648 base32 (Go's base32.StdEncoding)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    def _conv(s):
+        import base64 as _b64
+
+        return s.map(
+            lambda h: None if h is None else _b64.b32encode(bytes.fromhex(h)).decode()
+        )
+
+    _conv.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_conv, "string")
 
 
 # IANA transport names (communityid.go:264-276) and the ICMP

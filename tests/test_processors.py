@@ -510,3 +510,65 @@ def test_timestamp_go_layout_battery(spark):
         r = out.collect()[0]
         assert r.ts is not None, (val, layout)
         assert r._error is None, (val, layout, r._error)
+
+
+def test_dns_pre_resolved_lookup(spark):
+    """dns processor (dns/dns.go): forward/reverse via a pre-resolved
+    table (no live I/O in executors); join miss => NULL answer."""
+    events = _df(spark, [("api.example.com",), ("unknown.host",)], "host string")
+    table = spark.createDataFrame(
+        [("api.example.com", "10.0.0.5")], "query string, answer string"
+    )
+    out = compile_one(
+        {"dns": {"table": table, "fields": {"host": "host_ip"}}}
+    )(events)
+    rows = {r.host: r.host_ip for r in out.collect()}
+    assert rows == {"api.example.com": "10.0.0.5", "unknown.host": None}
+
+
+def test_timeseries_instance_hash(spark):
+    """timeseries processor: same dimensions => same instance hash,
+    different dimensions => different; dimension order irrelevant."""
+    df = _df(
+        spark,
+        [("hostA", "cpu"), ("hostA", "cpu"), ("hostB", "cpu")],
+        "host string, metricset string",
+    )
+    out = compile_one({"timeseries": {"fields": ["metricset", "host"]}})(df)
+    vals = [r["timeseries"]["instance"] for r in out.collect()]
+    assert vals[0] == vals[1] != vals[2]
+    out2 = compile_one({"timeseries": {"fields": ["host", "metricset"]}})(df)
+    assert out2.collect()[0]["timeseries"]["instance"] == vals[0]
+
+
+def test_fingerprint_base32(spark):
+    import base64
+    import hashlib
+
+    df = _df(spark, [("v1",)], "a string")
+    out = compile_one(
+        {"fingerprint": {"fields": ["a"], "target_field": "fp", "encoding": "base32"}}
+    )(df)
+    expected = base64.b32encode(hashlib.sha256(b"|a|v1|").digest()).decode()
+    assert out.collect()[0].fp == expected
+
+
+def test_script_pandas_escape_hatch(spark):
+    """script processor: vectorized pandas_fn + explicit schema via
+    mapInPandas (the JS-engine replacement; see README migration
+    recipe)."""
+    df = _df(spark, [("hello",), ("worldly",)], "message string")
+
+    def fn(b):
+        return b.assign(msg_len=b["message"].str.len())
+
+    out = compile_one(
+        {"script": {"pandas_fn": fn, "schema": "message string, msg_len int"}}
+    )(df)
+    rows = {r.message: r.msg_len for r in out.collect()}
+    assert rows == {"hello": 5, "worldly": 7}
+    # missing schema/fn raises with the migration pointer
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="Migrating"):
+        compile_one({"script": {}})(df)
