@@ -142,6 +142,12 @@ def kafka_partition_column(
             )
         else:
             h = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(_U32))
+        # a NULL field/key propagates NULL through the fold — fall back
+        # to the spread pseudo-random partition (the reference's
+        # rand-on-hash-failure path, partition.go makeFieldsHashPartitioner)
+        h = F.coalesce(
+            h, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(_U32))
+        )
         return F.pmod(h.bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(num_partitions)).cast(
             "int"
         )

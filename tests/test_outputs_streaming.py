@@ -342,6 +342,13 @@ def test_kafka_partition_modes(spark):
         ).collect()
     ]
     assert all(0 <= p < n_parts for p in rnd)
+    # a NULL hash field falls back to a valid spread partition (the
+    # reference's rand-on-failure), never NULL
+    ndf = spark.createDataFrame([(None, 1)], "src string, n long")
+    got_null = ndf.withColumn(
+        "p", kafka_partition_column(ndf, n_parts, hash_fields=["src"])
+    ).collect()[0].p
+    assert got_null is not None and 0 <= got_null < n_parts
 
 
 def test_streaming_multiline_count_and_while(spark, tmp_path):
