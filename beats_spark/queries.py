@@ -672,17 +672,23 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads synthesized from documents
-    text, sniffed + feature-extracted via mapInPandas.
+    text (PNG magic planted, as q27), feature-extracted via mapInPandas
+    (training/multimodal.extract_features).
 
-    Output is scalar-only: the feat array<float> is reduced to its
-    dimension and a 4-dp L1 norm (the driver's pandas canonicalization
-    cannot sort/hash list cells)."""
+    Oracle-checked (round-3 verdict item 1): the checksum is the
+    engine-portable poly fold (acc*31+b) mod 2^31-1 and the feat
+    reduction is an integer ppm sum — the DuckDB twin re-derives both
+    from hex-extracted payload bytes, so rows+schema+hash all match.
+    feat[j] itself is ppm_j/1e6, so round(feat*1e6) recovers the exact
+    integer on both engines (round-trip exact for ppm < 2^52)."""
     from beats_spark.training.multimodal import extract_features
 
-    docs = _documents(spark, sf_dir).limit(50)
+    docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 50)
     media = docs.select(
         F.col("doc_id").cast("string").alias("key"),
-        F.concat(F.lit("\x89PNG\r\n\x1a\n"), F.col("text")).cast("binary").alias("media"),
+        F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), F.col("text").cast("binary")).alias(
+            "media"
+        ),
     )
     feats = extract_features(media)
     return feats.select(
@@ -690,15 +696,45 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "n_bytes",
         "checksum",
-        F.size("feat").alias("feat_dim"),
-        F.round(
-            F.aggregate(
-                "feat", F.lit(0.0), lambda acc, x: acc + x.cast("double")
-            ),
-            4,
-        ).alias("feat_l1"),
+        F.size("feat").cast("long").alias("feat_dim"),
+        F.aggregate(
+            "feat",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.round(x.cast("double") * 1e6).cast("long"),
+        ).alias("feat_l1_ppm"),
         "decode_error",
     ).orderBy("key")
+
+
+def q_media_features_oracle() -> str:
+    """DuckDB twin of q19: rebuild the payload (PNG magic || utf8 text),
+    extract bytes via hex pairs, fold the same poly checksum and the
+    same 8-lane integer ppm sums."""
+    byte_i = "('0x' || substring(h, 2*i-1, 2))::BIGINT"
+    lane_sum = (
+        "list_sum(list_transform(range(1, n+1), "
+        f"i -> CASE WHEN (i-1) % 8 = j THEN {byte_i} ELSE 0::BIGINT END))"
+    )
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS key,
+         hex('\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)) AS h,
+         8 + octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id < 50),
+f AS (
+  SELECT key, n,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(range(1, n+1), i -> {byte_i})),
+           (acc, b) -> (acc*31 + b) % 2147483647) AS checksum,
+         list_transform(range(0, 8), j -> {lane_sum}) AS lane
+  FROM m)
+SELECT key, 'image' AS kind, CAST(n AS BIGINT) AS n_bytes, checksum,
+       CAST(8 AS BIGINT) AS feat_dim,
+       CAST(list_sum(list_transform(lane,
+         a -> (1000000 * a) // (255 * greatest(n // 8, 1)))) AS BIGINT) AS feat_l1_ppm,
+       CAST(NULL AS VARCHAR) AS decode_error
+FROM f ORDER BY key"""
 
 
 # --- q26: IVF-style coarse-quantized ANN (oracle-checked) --------------------
@@ -1017,6 +1053,7 @@ def _base_oracles() -> dict[str, str]:
         "q16_minhash_lsh": q_minhash_lsh_oracle(),
         "q17_simhash": q_simhash_oracle(),
         "q18_lsh_topk": q_lsh_topk_oracle(),
+        "q19_media_features": q_media_features_oracle(),
         "q26_ivf_topk": q_ivf_topk_oracle(),
         "q27_media_sniff": q_media_sniff_oracle(),
         "q28_embedding_dups": q_embedding_dups_oracle(),

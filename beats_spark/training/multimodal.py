@@ -37,16 +37,32 @@ def register_decoder(kind: str, fn: Callable[[bytes], list[float]]) -> None:
     _DECODERS[kind] = fn
 
 
+def poly_checksum(payload: bytes) -> int:
+    """Engine-portable payload checksum: left fold (acc*31 + byte) mod
+    2^31-1. Chosen over zlib.crc32 so a SQL oracle (DuckDB list_reduce
+    over hex-extracted bytes) reproduces it bit-exactly — every
+    intermediate stays < 2^36, safe in int64 on any engine."""
+    acc = 0
+    for byte in payload:
+        acc = (acc * 31 + byte) % 2147483647
+    return acc
+
+
 def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in: byte-histogram moments. Replace via
-    register_decoder in a real deployment."""
+    """Deterministic stand-in: byte-histogram lane sums, ppm-quantized.
+
+    feat[j] = ppm_j / 1e6 with ppm_j = (1_000_000 * sum of bytes at
+    positions ≡ j mod dim) // (255 * max(len//dim, 1)) — pure integer
+    arithmetic up to the final exact division, so any engine (Python,
+    Spark, DuckDB) re-derives the identical doubles; no banker-rounding
+    dependence. Replace via register_decoder in a real deployment."""
     if not payload:
         return [0.0] * dim
     acc = [0] * dim
     for i, byte in enumerate(payload):
         acc[i % dim] += byte
     n = max(len(payload) // dim, 1)
-    return [round(a / (255.0 * n), 6) for a in acc]
+    return [((1_000_000 * a) // (255 * n)) / 1e6 for a in acc]
 
 
 def _real_decode(kind: str):
@@ -108,8 +124,6 @@ def extract_features(
     balanced across executors (media rows are fat; row-count-based
     splits beat byte-based here).
     """
-    import zlib
-
     import pandas as pd
 
     from beats_spark._pickle import ensure_udf_portable
@@ -124,13 +138,17 @@ def extract_features(
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             keys, kinds, n_bytes, checksums, feats, errs = [], [], [], [], [], []
-            for _, row in b.iterrows():
-                payload = bytes(row[media_col]) if row[media_col] is not None else b""
-                kind = row[kind_col] if kind_col else default_kind
-                keys.append(row[key_col])
+            key_vals = b[key_col].tolist()
+            media_vals = b[media_col].tolist()
+            kind_vals = b[kind_col].tolist() if kind_col else None
+            for idx in range(len(b)):
+                raw = media_vals[idx]
+                payload = bytes(raw) if raw is not None else b""
+                kind = kind_vals[idx] if kind_vals is not None else default_kind
+                keys.append(key_vals[idx])
                 kinds.append(kind)
                 n_bytes.append(len(payload))
-                checksums.append(zlib.crc32(payload))
+                checksums.append(poly_checksum(payload))
                 try:
                     feats.append(_real_decode(kind)(payload))
                     errs.append(None)

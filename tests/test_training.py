@@ -183,9 +183,15 @@ def test_multimodal_sniff_and_features(spark):
     # deterministic: rerun produces identical features
     feats2 = {r.key: r.feat for r in extract_features(df, default_kind="image").collect()}
     assert feats2["png1"] == by_key["png1"].feat
-    import zlib
+    from beats_spark.training.multimodal import poly_checksum
 
-    assert by_key["blob"].checksum == zlib.crc32(bytes(rows[2][1]))
+    assert by_key["blob"].checksum == poly_checksum(bytes(rows[2][1]))
+    # ppm quantization survives the float32 schema: the integer ppm is
+    # recoverable via round(v*1e6) with margin (0.5 ulp of v<8.39 scales
+    # to <0.48 ppm), which is what q19's oracle-checked reduction relies on
+    assert all(
+        abs(v * 1e6 - round(v * 1e6)) < 0.49 for v in by_key["png1"].feat
+    )
 
 
 def test_token_window_dedup_finds_planted_dups(spark):
