@@ -108,11 +108,8 @@ def pipeline_config_from_dict(cfg: dict[str, Any]) -> dict[str, Any]:
     inputs = cfg.get("filebeat", {}).get("inputs") or cfg.get(
         "filebeat.inputs"
     ) or cfg.get("inputs") or []
-    include, exclude = [], []
     readers = []
     for inp in inputs:
-        include.extend(inp.get("include_lines") or [])
-        exclude.extend(inp.get("exclude_lines") or [])
         readers.append(
             {
                 "paths": inp.get("paths") or [],
@@ -132,6 +129,19 @@ def pipeline_config_from_dict(cfg: dict[str, Any]) -> dict[str, Any]:
                 "tags": inp.get("tags") or [],
             }
         )
+    # include/exclude_lines are strictly per-input in the reference
+    # (filebeat/input/log/config.go): each reader-backed `inputs` entry
+    # (has paths) carries its own copy, applied inside read_input —
+    # unioning those at pipeline level would re-apply input B's
+    # excludes to input A's lines. Only path-less input entries (the
+    # pre-read-frame mode, where read_input never runs) promote their
+    # filters to pipeline level, alongside explicit top-level keys.
+    include = list(cfg.get("include_lines") or [])
+    exclude = list(cfg.get("exclude_lines") or [])
+    for inp, rd in zip(inputs, readers):
+        if not rd["paths"]:
+            include.extend(inp.get("include_lines") or [])
+            exclude.extend(inp.get("exclude_lines") or [])
     out: dict[str, Any] = {
         "payload_field": cfg.get("payload_field", "message"),
         "include_lines": include,

@@ -105,6 +105,38 @@ class GrokError(ValueError):
     pass
 
 
+def _neutralize_captures(text: str) -> str:
+    """Rewrite bare capturing '(' to '(?:' in pattern text so user
+    patterns / pattern_definitions containing their own groups cannot
+    shift the compiler's regexp_extract group numbering. Escape- and
+    character-class-aware: '\\(' and '[(]' stay literal; '(?...)'
+    constructs pass through."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    in_class = False
+    while i < n:
+        c = text[i]
+        if c == "\\" and i + 1 < n:
+            out.append(text[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            out.append(c)
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "(" and (i + 1 >= n or text[i + 1] != "?"):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def compile_grok(
     pattern: str, extra_patterns: dict[str, str] | None = None
 ) -> tuple[str, list[tuple[str, str | None]]]:
@@ -139,9 +171,23 @@ def compile_grok(
             inner = expand(body, depth + 1)
             return f"(?:{inner})"
 
-        return _GROK_REF.sub(one, pat)
+        # %{...} refs contain no parens, so neutralizing the whole text
+        # first only touches literal segments and library/user bodies —
+        # the compiler's own capture parens are emitted afterwards
+        return _GROK_REF.sub(one, _neutralize_captures(pat))
 
-    return expand(pattern, 0), captures
+    regex = expand(pattern, 0)
+    try:
+        n_groups = re.compile(regex).groups
+    except re.error:
+        n_groups = None  # Java-only construct; group audit unavailable
+    if n_groups is not None and n_groups != len(captures):
+        raise GrokError(
+            f"grok: expanded regex has {n_groups} capture groups but the "
+            f"compiler emitted {len(captures)} — a pattern injected its own "
+            "capturing '(' (use '(?:' for grouping)"
+        )
+    return regex, captures
 
 
 def grok_columns(

@@ -82,23 +82,32 @@ def _fnv1a_fold(bytes_arr: Column, init: Column) -> Column:
 
 
 def _utf8_bytes(col: Column) -> Column:
-    """array<long> of the UTF-8 bytes of a string column."""
+    """array<long> of the UTF-8 bytes of a string column. Empty string
+    ⇒ empty array (NOT sequence(1,0), which Spark evaluates as the
+    DESCENDING [1,0]) so the FNV fold of "" returns the offset basis,
+    matching the reference's zero-iteration hash.Write."""
     hx = F.hex(F.encode(col.cast("string"), "utf-8"))
-    return F.transform(
-        F.sequence(F.lit(1), (F.length(hx) / 2).cast("int")),
+    n = (F.length(hx) / 2).cast("int")
+    return F.when(n > 0, F.transform(
+        F.sequence(F.lit(1), n),
         lambda i: F.conv(F.substring(hx, i * 2 - 1, 2), 16, 10).cast("long"),
-    )
+    )).otherwise(F.array().cast("array<long>"))
 
 
-def _int_le_bytes(col: Column) -> Column:
-    """array<long> of the 8 little-endian bytes of an int64 (the
-    binary.Write LittleEndian case of HashFieldValue)."""
+def _int_le_bytes(col: Column, width: int = 8) -> Column:
+    """array<long> of the `width` little-endian bytes of an integer
+    column — binary.Write(LittleEndian) in HashFieldValue writes the
+    value's NATIVE width (int32 ⇒ 4 bytes, int16 ⇒ 2, int8 ⇒ 1), so
+    the byte count must follow the column type, not a fixed 8."""
     return F.array(
         *[
             F.shiftright(col.cast("long"), i * 8).bitwiseAND(F.lit(255)).cast("long")
-            for i in range(8)
+            for i in range(width)
         ]
     )
+
+
+_INT_WIDTHS = {"tinyint": 1, "smallint": 2, "int": 4, "bigint": 8}
 
 
 def kafka_partition_column(
@@ -112,11 +121,14 @@ def kafka_partition_column(
     """Per-event partition id, the outputs/kafka/partition.go modes:
 
     - hash (default): FNV-1a 32 over the configured `hash` fields
-      (strings as UTF-8 bytes, integers as 8-byte little-endian —
-      HashFieldValue), else over the message key; partition =
+      (strings as UTF-8 bytes, integers as native-width little-endian
+      bytes — HashFieldValue), else over the message key; partition =
       (hash & 0x7FFFFFFF) % n (Hash2Partition). Null key/field rows
       get a spread pseudo-random partition like the reference's
-      rand fallback.
+      rand fallback. Documented divergence: float fields hash Spark's
+      string rendering of the value, not Go strconv.FormatFloat('g',
+      bitSize=32) — configs hashing float fields should cast to
+      int/string upstream for cross-engine stability.
     - random: a new pseudo-random partition every `group_events` rows.
       The reference draws from each producer's RNG; the batch analog
       derives it from the row group id (deterministic ⇒ testable).
@@ -130,8 +142,8 @@ def kafka_partition_column(
             for f in hash_fields:
                 dt = dict(df.dtypes).get(f)
                 col = F.col(f"`{f}`")
-                if dt in ("tinyint", "smallint", "int", "bigint"):
-                    h = _fnv1a_fold(_int_le_bytes(col), h)
+                if dt in _INT_WIDTHS:
+                    h = _fnv1a_fold(_int_le_bytes(col, _INT_WIDTHS[dt]), h)
                 else:
                     h = _fnv1a_fold(_utf8_bytes(col), h)
         elif key_col is not None:

@@ -878,21 +878,27 @@ FROM t GROUP BY status ORDER BY status"""
 
 def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full embedding-dedup pipeline (similarity.cosine_dup_pairs):
-    sign-sketch bucket candidates (4 tables × 8 mixer planes) → exact
+    sign-sketch bucket candidates (4 tables × 12 mixer planes) → exact
     cosine verify >= 0.42. q23 oracle-checks the exact scorer; this
-    checks the LSH candidate generation + verification composition."""
+    checks the LSH candidate generation + verification composition.
+
+    n_planes=12 ⇒ 4096 buckets/table: >= recommended_planes(n) for the
+    sf0.01/sf0.1 corpora (the oracle SQL is plane-count-generic, so the
+    parameter can track log₂(n) without touching the compare); the
+    candidate-volume linearity is asserted by
+    test_dup_candidate_volume_scales_linearly."""
     from beats_spark.training import similarity
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.cosine_dup_pairs(
-        embs, threshold=0.42, dim=64, n_planes=8, n_tables=4, mixer_planes=True
+        embs, threshold=0.42, dim=64, n_planes=12, n_tables=4, mixer_planes=True
     ).orderBy("id_a", "id_b")
 
 
 def q_embedding_dups_oracle() -> str:
     from beats_spark.training.similarity import _MIXER_DUP_OFFSET, mix_sign_sql
 
-    n_planes, n_tables = 8, 4
+    n_planes, n_tables = 12, 4
     total = n_planes * n_tables
     sign = mix_sign_sql(f"{_MIXER_DUP_OFFSET} + q * 64 + i - 1")
     dots = (

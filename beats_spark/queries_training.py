@@ -70,7 +70,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_stats_oracle() -> str:
     hits = {
         lang: (
-            f"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"len(list_filter(string_split_regex(regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+'), "
             f"w -> w IN ({sql})))"
         )
         for lang, sql in _SW_SQL.items()
@@ -89,7 +89,7 @@ def q_text_stats_oracle() -> str:
     return f"""
 WITH t AS (
   SELECT {lang_pred} AS lang_pred,
-         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_words,
          length(text) AS n_chars,
          {bpe} AS n_bpe,
          {hits['en']} AS en_sw
@@ -146,7 +146,7 @@ def q_jaccard_pairs_oracle() -> str:
     )
     return f"""
 WITH w AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+  SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
   FROM documents WHERE doc_id < 40),
 sh AS (SELECT doc_id, {sh} AS s FROM w),
 pairs AS (
@@ -292,10 +292,10 @@ def q_quality_oracle() -> str:
 WITH t AS (
   SELECT source,
          length(text) AS n_chars,
-         len(string_split_regex(trim(text), '\\s+')) AS n_words,
+         len(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS n_words,
          len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS n_punct,
          len(regexp_extract_all(text, '[0-9]')) AS n_digits,
-         len(list_filter(list_transform(string_split_regex(trim(text), '\\s+'),
+         len(list_filter(list_transform(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
                                         w -> lower(w)),
                          w -> w IN ({sw}))) AS en_sw
   FROM documents),

@@ -106,13 +106,24 @@ def read_lines(
         "utf8", "ascii", "usascii",
     ) and line_terminator in ("auto", "line_feed")
     if fast:
-        # Hadoop's line reader already handles LF / CR+LF
+        # Hadoop's line reader already handles LF / CR+LF.
+        # Offsets must survive multi-split files: Spark does NOT
+        # contract that partition index order follows split order
+        # within a file, so ordering by monotonically_increasing_id
+        # alone could misorder lines of a file larger than
+        # spark.sql.files.maxPartitionBytes. The _metadata hidden
+        # column's file_block_start orders the splits; the monotonic id
+        # orders rows WITHIN a split (one split never spans partitions,
+        # and ids increase with read order inside a partition).
         df = spark.read.text(paths).select(
             F.col("value").alias("message"),
-            F.input_file_name().alias("source"),
+            F.col("_metadata.file_path").alias("source"),
+            F.col("_metadata.file_block_start").alias("_block_start"),
         )
-        w = Window.partitionBy("source").orderBy(F.monotonically_increasing_id())
-        df = df.withColumn("offset", F.row_number().over(w))
+        w = Window.partitionBy("source").orderBy(
+            "_block_start", F.monotonically_increasing_id()
+        )
+        df = df.withColumn("offset", F.row_number().over(w)).drop("_block_start")
     else:
         df = _read_lines_decoded(spark, paths, encoding, line_terminator)
     if max_bytes is not None:
@@ -139,9 +150,14 @@ def _read_lines_decoded(
 ) -> DataFrame:
     """Per-file decode path (readfile/encode.go): whole-file binary →
     JVM charset decode → terminator split → posexplode with 1-based
-    line-ordinal offsets. The exotic-charset battery needs the legacy
-    JVM charset resolution (Spark 4 otherwise allows only the UTF
-    family)."""
+    line-ordinal offsets.
+
+    SESSION-LEVEL side effect, documented (ADVICE r02): the exotic
+    charset battery needs spark.sql.legacy.javaCharsets=true (Spark 4
+    otherwise restricts encode/decode to the UTF family). beats_spark's
+    own get_spark() sets it at construction; for foreign sessions this
+    reader sets it here and leaves it set — it widens, never changes,
+    decode behavior for valid UTF charset names."""
     spark.conf.set("spark.sql.legacy.javaCharsets", "true")
     charset = java_charset(encoding)
     text = F.decode(F.col("content"), charset)

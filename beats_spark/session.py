@@ -53,6 +53,11 @@ def get_spark(
         # partitioned fan-out writes: overwrite only the partitions a
         # rerun touches (idempotent chunk replay, see checkpoint.py)
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # the exotic-charset battery (readers/lines.py) needs legacy JVM
+        # charset resolution; set at construction so the reader is not a
+        # session-mutating side effect (Spark 4 default allows only the
+        # UTF family in encode/decode)
+        .config("spark.sql.legacy.javaCharsets", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -493,9 +493,21 @@ def _mixer_sign_bits(
     return out
 
 
-def cosine_dup_pairs(
+def recommended_planes(n_rows: int, floor: int = 12) -> int:
+    """LSH plane count that keeps the candidate volume ~linear in the
+    corpus: with p planes a table has 2^p buckets, so expected random
+    collisions are ~n²/2^p pairs per table — choosing p ≈ log₂(n)
+    makes that ~n. Growing the corpus 100× costs ~7 more planes (each
+    plane is one more codegen dot product per row), not a quadratic
+    blow-up in the verify join."""
+    p = floor
+    while (1 << p) < max(n_rows, 1):
+        p += 1
+    return p
+
+
+def dup_candidate_pairs(
     df: DataFrame,
-    threshold: float = 0.95,
     dim: int = 64,
     n_planes: int = 14,
     n_tables: int = 6,
@@ -503,12 +515,16 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     mixer_planes: bool = False,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= threshold) via LSH
-    candidate generation + exact verification — the embedding analog of
-    MinHash dedup. mixer_planes=True swaps the Gaussian hyperplanes for
-    ±1 integer-mixer planes so a SQL oracle reproduces the exact
-    candidate set (the bucket arithmetic is then pure-integer +
-    deterministic double folds on both engines)."""
+    """LSH candidate stage of cosine_dup_pairs: (id_a, id_b, va, vb)
+    pairs that share a full n_planes signature in at least one of
+    n_tables hyperplane tables, deduped before the (expensive) exact
+    verify. Exposed separately so scale tests can measure candidate
+    volume directly.
+
+    Sizing rule (100 TB): n_planes must grow with log₂(n_rows) —
+    see recommended_planes(). A fixed small plane count (e.g. 8 ⇒ 256
+    buckets/table) is quadratic at scale: n²/2^p random collisions per
+    table would carry full vectors into the verify join."""
     if mixer_planes:
         cols = [
             F.concat(
@@ -543,10 +559,42 @@ def cosine_dup_pairs(
     ).persist()
     a = buckets.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
     b = buckets.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
-    pairs = (
+    return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 14,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mixer_planes: bool = False,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold) via LSH
+    candidate generation + exact verification — the embedding analog of
+    MinHash dedup. mixer_planes=True swaps the Gaussian hyperplanes for
+    ±1 integer-mixer planes so a SQL oracle reproduces the exact
+    candidate set (the bucket arithmetic is then pure-integer +
+    deterministic double folds on both engines).
+
+    Scale note: pass n_planes >= recommended_planes(n_rows) — the
+    candidate stage is ~n²/2^n_planes pairs per table, so planes must
+    track log₂(n) for the verify join to stay linear (see
+    dup_candidate_pairs / test_dup_candidate_volume_scales_linearly)."""
+    pairs = dup_candidate_pairs(
+        df,
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        id_col=id_col,
+        vec_col=vec_col,
+        mixer_planes=mixer_planes,
     )
     sim = cosine(F.col("va"), F.col("vb"))
     return (

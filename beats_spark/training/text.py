@@ -21,18 +21,26 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 _WORD_SEP = r"\s+"
 
 
+def _ws_trim(col: Column) -> Column:
+    """Strip ALL leading/trailing whitespace — F.trim strips only
+    spaces, which would leave \\t/\\n edges and make token_count
+    diverge from size(words()) (ADVICE r02). DuckDB oracles use the
+    same regexp_replace(..., 'g')."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def words(col: Column) -> Column:
     """Whitespace tokenization; empty strings filtered (split on a
     leading/trailing separator yields empties)."""
-    return F.filter(F.split(F.trim(col), _WORD_SEP), lambda w: w != "")
+    return F.filter(F.split(_ws_trim(col), _WORD_SEP), lambda w: w != "")
 
 
 def token_count(col: Column) -> Column:
-    """Whitespace token count — HOF-free: after trim, split-on-\\s+
-    yields an empty token ONLY for the empty string, so the filter in
-    words() reduces to one when() (HOF lambdas evaluate interpreted;
-    this runs on every doc of the primary scan)."""
-    t = F.trim(col)
+    """Whitespace token count — HOF-free: after a full whitespace trim,
+    split-on-\\s+ yields an empty token ONLY for the empty string, so
+    the filter in words() reduces to one when() (HOF lambdas evaluate
+    interpreted; this runs on every doc of the primary scan)."""
+    t = _ws_trim(col)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, _WORD_SEP))
     )

@@ -153,3 +153,27 @@ def test_input_parsers_fields_tags(spark, tmp_path):
     cfg2 = dict(cfg, fields_under_root=True)
     out2 = read_input(spark, cfg2)
     assert out2.collect()[0]["team"] == "ingest"
+
+
+def test_line_filters_stay_per_input():
+    """ADVICE r02: reader-backed inputs keep include/exclude_lines to
+    themselves (read_input applies them); only path-less entries
+    promote filters to pipeline level."""
+    from beats_spark.config import pipeline_config_from_dict
+
+    cfg = pipeline_config_from_dict(
+        {
+            "inputs": [
+                {"paths": ["/a/*.log"], "exclude_lines": ["^DBG-A"]},
+                {"paths": ["/b/*.log"], "exclude_lines": ["^DBG-B"]},
+            ]
+        }
+    )
+    assert cfg["exclude_lines"] == [] and cfg["include_lines"] == []
+    assert cfg["inputs"][0]["exclude_lines"] == ["^DBG-A"]
+    assert cfg["inputs"][1]["exclude_lines"] == ["^DBG-B"]
+    # path-less entry (pre-read-frame mode): filters promote
+    cfg2 = pipeline_config_from_dict(
+        {"inputs": [{"exclude_lines": ["CORRUPT"]}]}
+    )
+    assert cfg2["exclude_lines"] == ["CORRUPT"]

@@ -116,3 +116,34 @@ def test_outer_capture_of_composite_orders_groups():
         '1.2.3.4 - bob [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 5',
     )
     assert m and m.group(2) == "1.2.3.4"  # nested clientip = group 2
+
+
+def test_bare_paren_in_literal_text_is_neutralized():
+    """ADVICE r02: a bare capturing '(' in pattern text must not shift
+    the compiler's group numbering."""
+    regex, caps = compile_grok(r"(a|b) %{WORD:w} \( [(] end")
+    assert [c[0] for c in caps] == ["w"]
+    import re
+
+    m = re.match(regex, r"a word ( ( end")
+    assert m and m.group(1) == "word"
+
+
+def test_bare_paren_in_pattern_definitions_is_neutralized():
+    regex, caps = compile_grok(
+        "%{MYPAT:v}", extra_patterns={"MYPAT": r"(x+|y+)z"}
+    )
+    assert [c[0] for c in caps] == ["v"]
+    import re
+
+    rx = re.compile(regex)
+    assert rx.groups == 1
+    assert rx.match("xxz").group(1) == "xxz"
+
+
+def test_escape_and_class_parens_survive():
+    regex, _ = compile_grok(r"\(%{INT:n}[)(]")
+    import re
+
+    m = re.match(regex, "(42(")
+    assert m and m.group(1) == "42"

@@ -211,3 +211,34 @@ def test_read_lines_multiple_paths(spark, tmp_path):
     c.write_bytes("é1\n".encode("latin-1"))
     out2 = read_lines(spark, [str(c)], encoding="latin1")
     assert [r.message for r in out2.collect()] == ["é1"]
+
+
+def test_fast_path_offsets_survive_multi_split_files(spark, tmp_path):
+    """Verdict-r02 item 6: line ordinals must be correct when a file
+    spans multiple input splits (partition index order is NOT
+    contracted to follow split order) — offsets now order by
+    _metadata.file_block_start before the monotonic id."""
+    from beats_spark.readers.lines import read_lines
+
+    f = tmp_path / "big.log"
+    n = 5000
+    f.write_text("".join(f"line-{i:06d} {'x' * 40}\n" for i in range(1, n + 1)))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    old_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        df = read_lines(spark, str(f))
+        # prove the setup forced multiple splits of the one file
+        n_parts = df.select("message").rdd.getNumPartitions()
+        assert n_parts > 1, "test did not exercise the multi-split path"
+        rows = df.select("offset", "message").collect()
+        assert len(rows) == n
+        for r in rows:
+            assert r.message.startswith(f"line-{r.offset:06d} "), (
+                r.offset,
+                r.message[:20],
+            )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old_cost)

@@ -309,3 +309,39 @@ def test_token_window_lead_equals_hof_form(spark):
     for r in groups.collect():
         got[r.wh] += r.n_docs
     assert got == want
+
+
+def test_dup_candidate_volume_scales_linearly(spark):
+    """Verdict-r02 item 3: with n_planes sized by recommended_planes
+    AT EACH CORPUS SIZE, doubling the LSH corpus grows the
+    candidate-pair volume ~linearly (<= 2.5x), not quadratically — the
+    property that keeps cosine_dup_pairs' verify join alive at 100 TB.
+    (At FIXED planes, random collisions are n²/2^p per table, so
+    doubling n measurably quadruples them — that is the failure mode
+    the sizing rule exists to prevent.)"""
+    from beats_spark.training.similarity import (
+        dup_candidate_pairs,
+        recommended_planes,
+    )
+
+    embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n2 = embs.count()
+    n1 = n2 // 2
+    # low floor so the rule (p ~ log2 n) actually differentiates the
+    # two scales: 1000 -> 10 planes, 2000 -> 11 planes
+    p1, p2 = recommended_planes(n1, floor=8), recommended_planes(n2, floor=8)
+    assert p2 == p1 + 1
+
+    def candidates(frame, planes):
+        return dup_candidate_pairs(
+            frame, dim=64, n_planes=planes, n_tables=4, mixer_planes=True
+        ).count()
+
+    c1 = candidates(embs.filter(F.col("vec_id") < n1), p1)
+    c2 = candidates(embs, p2)
+    # random-collision model: n²/2^p halves per doubling when p grows by
+    # 1 -> expected ratio ~2; +16 absolute slack for the planted
+    # near-dup pairs, a fixed set that can concentrate in either half
+    assert c2 <= 2.5 * c1 + 16, (c1, c2)
+    # and the fixed-plane default floor is already >= the corpus rule
+    assert recommended_planes(n2) >= 11
