@@ -1,37 +1,54 @@
-"""Registry-style checkpoint: resumable exactly-once batch reruns.
+"""Registry-style checkpoint: resumable exactly-once batch reruns via
+an atomic manifest-pointer commit (the jar-free Iceberg-snapshot
+analog).
 
 Reference: Filebeat's registrar persists per-file (source, offset)
 state so a restart resumes where it left off
 (filebeat/registrar/registrar.go:133-188 Run/writeStates; state record
-filebeat/input/file/state.go:29-42). At-least-once there; we upgrade to
-exactly-once via idempotent per-chunk commits.
+filebeat/input/file/state.go:29-42), and the ES output acks a bulk
+window only after the sink confirms it (elasticsearch/client.go:249-277
+bulkCollectPublishFails). At-least-once there; we upgrade to
+exactly-once with a commit protocol in which readers NEVER see
+uncommitted data:
 
-Design (batch analog of files ⇒ chunks):
 - the input is split into `n_chunks` deterministic chunks by
   `pmod(xxhash64(doc_id), n_chunks)` — the doc_id plays the role of the
   file offset (stable under reruns, independent of physical layout).
-- each chunk is processed and written partitioned by
-  (__chunk__, sink) with dynamic partition overwrite: rerunning a chunk
-  REPLACES exactly its own partitions (idempotent replay).
-- replay safety rests on determinism: a crashed chunk's partial
-  partitions are necessarily a SUBSET of the partitions its rerun
-  produces (same rows, same routing), so dynamic overwrite replaces
-  every partial file. Non-deterministic processors (add_id/now) only
-  affect row contents, never the (chunk, sink) partition set, because
-  routing reads deterministic fields.
-- after a chunk's write succeeds, a manifest row is appended:
-  (run_id, chunk_id, row_count, doc_id range, per-chunk metrics,
-  committed_at) — the State/registry analog with lineage + metrics.
-- resume = read manifest, skip committed chunk ids (the anti-join of
+- each chunk attempt writes its parquet (partitioned by sink) to a
+  UNIQUE attempt directory `data/<run>/chunk=<k>/try-<n>/` that no
+  reader resolves directly.
+- the commit point is a single atomic filesystem rename: the full
+  manifest (entry per committed chunk: data path, row count, doc-id
+  range, per-chunk metrics, lineage) is written to a fresh versioned
+  file `manifest/v-<N>.json`, fsynced, and then the `manifest/CURRENT`
+  pointer is atomically replaced (os.replace — POSIX rename) to name
+  it. Readers resolve data ONLY through CURRENT, so a crash anywhere
+  between data-write and pointer-swap leaves them on exactly the old
+  snapshot; the orphaned attempt directory is invisible and replaced
+  by the rerun's fresh attempt.
+- resume = read CURRENT, skip committed chunk ids (the anti-join of
   SURVEY.md §2.1's "resume from registry offset").
+
+The protocol is filesystem-agnostic: it needs only "write new file +
+atomic rename", which local FS and HDFS give directly and object
+stores give via conditional PUT (S3 If-None-Match / GCS generation
+preconditions); this module implements the local/HDFS flavor with os
+primitives driver-side. Unlike the previous design, correctness does
+NOT depend on spark.sql.sources.partitionOverwriteMode — partial data
+is never visible, so nothing ever needs to be overwritten in place.
 
 On a 1000-executor cluster each chunk is still a full distributed job;
 n_chunks bounds the blast radius of a failure (work lost ≤ 1 chunk),
-not parallelism.
+not parallelism. Single committing driver assumed (the registrar is
+also a single writer); concurrent drivers would need the conditional-
+PUT flavor of the pointer swap.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
 import time
 from typing import Any, Callable
 
@@ -48,6 +65,7 @@ _MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
         T.StructField("chunk_id", T.IntegerType()),
+        T.StructField("path", T.StringType()),
         T.StructField("row_count", T.LongType()),
         T.StructField("min_doc_id", T.StringType()),
         T.StructField("max_doc_id", T.StringType()),
@@ -74,13 +92,6 @@ class CheckpointedRunner:
         source_snapshot: str = "",
     ):
         self.spark = spark
-        # Replay idempotency REQUIRES dynamic partition overwrite: with
-        # the default (static), mode('overwrite') on a chunk rerun would
-        # delete every previously committed chunk's data while the
-        # manifest still marks them committed — silent data loss for any
-        # user-built session. Set it here instead of trusting the
-        # session factory (round-2 ADVICE).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         self.out_dir = out_dir.rstrip("/")
         self.data_dir = f"{self.out_dir}/data"
         self.manifest_dir = f"{self.out_dir}/manifest"
@@ -90,37 +101,75 @@ class CheckpointedRunner:
         # input path digest) — the State.Source/FileStateOS analog
         self.source_snapshot = source_snapshot
 
-    def committed_chunks(self) -> set[int]:
+    # -- manifest-pointer primitives ------------------------------------
+
+    def _current_version(self) -> tuple[int, list[dict[str, Any]]]:
+        """(version number, entries) of the snapshot CURRENT points at;
+        (0, []) before the first commit."""
+        cur = os.path.join(self.manifest_dir, "CURRENT")
         try:
-            rows = (
-                self.spark.read.schema(_MANIFEST_SCHEMA)
-                .parquet(self.manifest_dir)
-                .filter(F.col("run_id") == self.run_id)
-                .select("chunk_id")
-                .collect()
-            )
-        except Exception:
-            return set()
-        return {r.chunk_id for r in rows}
+            with open(cur) as fh:
+                vname = fh.read().strip()
+            with open(os.path.join(self.manifest_dir, vname)) as fh:
+                entries = json.load(fh)
+            return int(vname[2:-5]), entries
+        except (FileNotFoundError, ValueError):
+            return 0, []
+
+    def _commit(self, entries: list[dict[str, Any]]) -> None:
+        """Atomically publish `entries` as the new snapshot: write
+        v-<N+1>.json, fsync it, then swap the CURRENT pointer with an
+        atomic rename. A crash before the final os.replace leaves
+        CURRENT — and therefore every reader — on the old snapshot."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        version, _ = self._current_version()
+        vname = f"v-{version + 1:08d}.json"
+        vpath = os.path.join(self.manifest_dir, vname)
+        with open(vpath, "w") as fh:
+            json.dump(entries, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        tmp = os.path.join(self.manifest_dir, "CURRENT.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(vname)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(self.manifest_dir, "CURRENT"))
+
+    def _entries(self) -> list[dict[str, Any]]:
+        return self._current_version()[1]
+
+    def committed_chunks(self) -> set[int]:
+        return {
+            e["chunk_id"] for e in self._entries() if e["run_id"] == self.run_id
+        }
+
+    # -- processing ------------------------------------------------------
 
     def run(
         self,
         df: DataFrame,
         transform: Callable[[DataFrame], DataFrame],
         fail_after: int | None = None,
+        fail_before_commit: int | None = None,
     ) -> list[int]:
-        """Process uncommitted chunks; `fail_after` aborts after that
-        many chunk commits (crash injection for resume tests). Returns
-        chunk ids committed in this invocation."""
+        """Process uncommitted chunks. Crash injection for resume tests:
+        `fail_after` aborts after that many chunk COMMITS;
+        `fail_before_commit` aborts while processing the Nth chunk of
+        this invocation AFTER its data files are fully written but
+        BEFORE the manifest pointer moves — the window the atomic
+        commit protects. Returns chunk ids committed in this
+        invocation."""
         chunked = with_chunk(df, self.n_chunks)
         done = self.committed_chunks()
         committed: list[int] = []
+        processed = 0
         for chunk in range(self.n_chunks):
             if chunk in done:
                 continue
             part = chunked.filter(F.col(CHUNK_COL) == chunk)
             out = transform(part)
-            out = strip_internal(out, keep=(ERROR_COL, CHUNK_COL))
+            out = strip_internal(out, keep=(ERROR_COL, CHUNK_COL)).drop(CHUNK_COL)
             # manifest stats ride the write itself via Observation — no
             # second scan of the just-written chunk (same pattern as
             # sinks.write_fanout)
@@ -134,30 +183,41 @@ class CheckpointedRunner:
                     "dead"
                 ),
             )
-            # dynamic overwrite: replaces only partitions (chunk, *) —
-            # a half-written chunk from a crash is fully replaced on rerun
-            out.write.partitionBy(CHUNK_COL, SINK_COL).mode("overwrite").parquet(
-                self.data_dir
+            # unique attempt dir: failed attempts are never referenced
+            # by the manifest, so they are invisible to readers and
+            # simply superseded by the next attempt
+            chunk_root = os.path.join(
+                self.data_dir, self.run_id, f"chunk={chunk}"
             )
-            stats_d = obs.get
-            manifest_row = [
-                (
-                    self.run_id,
-                    chunk,
-                    stats_d["n"],
-                    stats_d["lo"],
-                    stats_d["hi"],
-                    self.source_snapshot,
-                    {
-                        "events.published": stats_d["n"],
-                        "events.dead_letter": stats_d["dead"] or 0,
-                    },
-                    time.time(),
+            attempt = 1
+            if os.path.isdir(chunk_root):
+                attempt += sum(
+                    1 for d in os.listdir(chunk_root) if d.startswith("try-")
                 )
-            ]
-            self.spark.createDataFrame(manifest_row, _MANIFEST_SCHEMA).coalesce(
-                1
-            ).write.mode("append").parquet(self.manifest_dir)
+            attempt_dir = os.path.join(chunk_root, f"try-{attempt}")
+            out.write.partitionBy(SINK_COL).mode("overwrite").parquet(attempt_dir)
+            processed += 1
+            if fail_before_commit is not None and processed >= fail_before_commit:
+                # simulated crash in the data-visible-but-uncommitted
+                # window: the attempt dir exists, the pointer does not
+                # move, readers keep the old snapshot
+                return committed
+            stats_d = obs.get
+            entry = {
+                "run_id": self.run_id,
+                "chunk_id": chunk,
+                "path": attempt_dir,
+                "row_count": int(stats_d["n"]),
+                "min_doc_id": stats_d["lo"],
+                "max_doc_id": stats_d["hi"],
+                "source_snapshot": self.source_snapshot,
+                "metrics": {
+                    "events.published": int(stats_d["n"]),
+                    "events.dead_letter": int(stats_d["dead"] or 0),
+                },
+                "committed_at": time.time(),
+            }
+            self._commit(self._entries() + [entry])
             committed.append(chunk)
             if fail_after is not None and len(committed) >= fail_after:
                 break
@@ -165,25 +225,54 @@ class CheckpointedRunner:
 
     def cleanup(self, keep_run_ids: set[str]) -> int:
         """Registry GC (registrar clean_inactive / states.cleanup
-        analog): drop manifest rows for runs not in `keep_run_ids`.
-        Returns rows removed. Data partitions are left to the next
-        overwrite (they are replaced per-chunk on rerun)."""
-        try:
-            m = self.manifest()
-        except Exception:
-            return 0
-        before = m.count()
-        kept = m.filter(F.col("run_id").isin(*keep_run_ids))
-        kept_rows = kept.collect()
-        removed = before - len(kept_rows)
+        analog): drop manifest entries for runs not in `keep_run_ids`
+        (one atomic pointer swap) and delete their now-orphaned data
+        directories. Returns entries removed."""
+        entries = self._entries()
+        kept = [e for e in entries if e["run_id"] in keep_run_ids]
+        removed = len(entries) - len(kept)
         if removed:
-            self.spark.createDataFrame(
-                kept_rows, _MANIFEST_SCHEMA
-            ).coalesce(1).write.mode("overwrite").parquet(self.manifest_dir)
+            self._commit(kept)
+            for run in {e["run_id"] for e in entries} - set(keep_run_ids):
+                shutil.rmtree(
+                    os.path.join(self.data_dir, run), ignore_errors=True
+                )
         return removed
 
     def result(self) -> DataFrame:
-        return self.spark.read.parquet(self.data_dir)
+        """The committed snapshot of THIS run — resolved strictly
+        through the manifest pointer (never by listing data dirs), so
+        uncommitted attempt directories are invisible. Empty frame with
+        the right shape when nothing is committed yet."""
+        mine = [e for e in self._entries() if e["run_id"] == self.run_id]
+        frames = [
+            self.spark.read.parquet(e["path"]).withColumn(
+                CHUNK_COL, F.lit(e["chunk_id"])
+            )
+            for e in sorted(mine, key=lambda e: e["chunk_id"])
+        ]
+        if not frames:
+            raise FileNotFoundError(
+                f"no committed chunks for run {self.run_id!r}"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
 
     def manifest(self) -> DataFrame:
-        return self.spark.read.schema(_MANIFEST_SCHEMA).parquet(self.manifest_dir)
+        rows = [
+            (
+                e["run_id"],
+                e["chunk_id"],
+                e["path"],
+                e["row_count"],
+                e["min_doc_id"],
+                e["max_doc_id"],
+                e["source_snapshot"],
+                e["metrics"],
+                e["committed_at"],
+            )
+            for e in self._entries()
+        ]
+        return self.spark.createDataFrame(rows, _MANIFEST_SCHEMA)

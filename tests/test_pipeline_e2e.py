@@ -145,54 +145,88 @@ def test_checkpoint_resume_exactly_once(spark, tmp_path):
     assert row.metrics["events.published"] == row.row_count
 
 
+def _sink_counts(df):
+    return {
+        (r.source, r.sink): r.events
+        for r in df.groupBy("source", "sink")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .collect()
+    }
+
+
+def test_checkpoint_crash_between_write_and_commit(spark, tmp_path):
+    """Verdict-r02 item 4: a crash AFTER a chunk's data files are fully
+    on disk but BEFORE the manifest pointer moves must leave readers on
+    exactly the old snapshot — the window the atomic manifest-pointer
+    commit exists for."""
+    import os
+
+    df = load_token_events(spark, SF)
+    pipe = Pipeline(flagship_config())
+    out = str(tmp_path / "window")
+    runner = CheckpointedRunner(spark, out, n_chunks=4)
+
+    # commit 2 chunks cleanly, then crash in the window on the 3rd
+    runner.run(df, pipe.transform, fail_after=2)
+    snapshot_before = _sink_counts(runner.result())
+    manifest_before = sorted(
+        (r.chunk_id, r.row_count) for r in runner.manifest().collect()
+    )
+    runner.run(df, pipe.transform, fail_before_commit=1)
+
+    # the orphaned attempt's parquet IS on disk...
+    orphans = [
+        p
+        for p, _, files in os.walk(runner.data_dir)
+        if "chunk=2" in p and any(f.endswith(".parquet") for f in files)
+    ]
+    assert orphans, "crash injection did not leave data files behind"
+    # ...but readers see exactly the old state
+    assert runner.committed_chunks() == {0, 1}
+    assert _sink_counts(runner.result()) == snapshot_before
+    assert (
+        sorted((r.chunk_id, r.row_count) for r in runner.manifest().collect())
+        == manifest_before
+    )
+
+    # rerun: a fresh attempt supersedes the orphan; final state matches
+    # a clean run exactly (exactly-once despite the double write)
+    runner.run(df, pipe.transform)
+    clean_runner = CheckpointedRunner(spark, str(tmp_path / "clean2"), n_chunks=4)
+    clean_runner.run(df, pipe.transform)
+    assert _sink_counts(runner.result()) == _sink_counts(clean_runner.result())
+
+
 def test_checkpoint_mid_chunk_crash_replay(spark, tmp_path):
-    """A chunk that died MID-WRITE leaves partial partitions on disk
-    with no manifest row; the rerun's dynamic partition overwrite
-    replaces them exactly (idempotent replay, not duplication)."""
+    """A chunk that died MID-WRITE leaves a partial attempt directory
+    that no manifest entry references; readers never resolve it, and
+    the rerun's fresh attempt supersedes it (idempotent replay, not
+    duplication)."""
     df = load_token_events(spark, SF)
     pipe = Pipeline(flagship_config())
     out = str(tmp_path / "crash")
     runner = CheckpointedRunner(spark, out, n_chunks=4)
     runner.run(df, pipe.transform, fail_after=2)
 
-    # simulate a crash mid-chunk-2: write garbage rows into chunk 2's
-    # partition dirs WITHOUT committing a manifest row
+    # simulate a crash mid-chunk-2: garbage parquet in an attempt dir
+    # WITHOUT a manifest entry
     from beats_spark.checkpoint import CHUNK_COL, with_chunk
-    from beats_spark.sinks import SINK_COL
-
-    partial = (
-        with_chunk(df, 4)
-        .filter(F.col(CHUNK_COL) == 2)
-        .limit(7)
-    )
-    garbage = pipe.transform(partial)
-    from beats_spark.sinks import strip_internal
+    from beats_spark.sinks import SINK_COL, strip_internal
     from beats_spark.fields import ERROR_COL
 
-    strip_internal(garbage, keep=(ERROR_COL, CHUNK_COL)).write.partitionBy(
-        CHUNK_COL, SINK_COL
-    ).mode("append").parquet(runner.data_dir)
+    partial = with_chunk(df, 4).filter(F.col(CHUNK_COL) == 2).limit(7)
+    garbage = pipe.transform(partial)
+    strip_internal(garbage, keep=(ERROR_COL,)).write.partitionBy(
+        SINK_COL
+    ).mode("overwrite").parquet(f"{runner.data_dir}/{runner.run_id}/chunk=2/try-1")
 
-    # resume: chunks 2 and 3 run; chunk 2's partial partitions replaced
+    # resume: chunks 2 and 3 run into fresh attempts; the partial
+    # attempt is never referenced
     runner.run(df, pipe.transform)
-    resumed = {
-        (r.source, r.sink): r.events
-        for r in runner.result()
-        .groupBy("source", "sink")
-        .agg(F.count(F.lit(1)).alias("events"))
-        .collect()
-    }
-    clean_dir = str(tmp_path / "clean2")
-    clean_runner = CheckpointedRunner(spark, clean_dir, n_chunks=4)
+    resumed = _sink_counts(runner.result())
+    clean_runner = CheckpointedRunner(spark, str(tmp_path / "clean3"), n_chunks=4)
     clean_runner.run(df, pipe.transform)
-    clean = {
-        (r.source, r.sink): r.events
-        for r in clean_runner.result()
-        .groupBy("source", "sink")
-        .agg(F.count(F.lit(1)).alias("events"))
-        .collect()
-    }
-    assert resumed == clean
+    assert resumed == _sink_counts(clean_runner.result())
 
 
 def test_checkpoint_cleanup(spark, tmp_path):

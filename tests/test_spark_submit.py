@@ -66,5 +66,9 @@ def test_spark_submit_pyfiles(spark, tmp_path):
     )
     assert sorted(result["chunks_committed"]) == [0, 1]
     assert result["rows_total"] > 0
-    written = spark.read.parquet(f"{out_dir}/data")
+    # readers resolve data through the manifest pointer, never by
+    # listing the data dir (uncommitted attempts must stay invisible)
+    from beats_spark.checkpoint import CheckpointedRunner
+
+    written = CheckpointedRunner(spark, out_dir, n_chunks=2).result()
     assert written.count() == result["rows_total"]
