@@ -383,6 +383,108 @@ def ivf_centroids(dim: int, k_cells: int) -> list[list[float]]:
     ]
 
 
+def train_centroids(
+    df: DataFrame,
+    dim: int,
+    k_cells: int,
+    iters: int = 4,
+    sample_n: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF coarse centroids — the k-means||-style pass that turns
+    ivf_topk's plan-shape demo into the real 100 TB ANN path (round-2
+    verdict item 5). Fully deterministic (no RNG):
+
+    1. Seed: a hash-ordered oversample (xxhash64(id) plays the role of
+       k-means||'s random draw — pseudo-random but reproducible), then
+       farthest-first traversal down to k_cells on the driver (the
+       classic 2-approximation used as the k-means|| reduce step).
+    2. Lloyd iterations distributed: centroids live in a broadcast
+       DataFrame (data, not plan literals — k·dim literal arrays would
+       bloat task binaries), assignment is a broadcast cross join with
+       a min-(dist, cell) struct aggregate, new means via posexplode →
+       per-(cell, pos) avg. Shuffle volume per iteration is n·dim
+       scalar rows — linear, no all-pairs anywhere.
+
+    Empty cells keep their previous centroid. Returns list[list[float]]
+    ready for ivf_topk(centroids=...)."""
+    import numpy as np
+
+    spark = df.sparkSession
+    n_sample = sample_n or max(8 * k_cells, 256)
+    pts = [
+        [float(x) for x in r.v]
+        for r in df.select(
+            F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h")
+        )
+        .orderBy("h")
+        .limit(n_sample)
+        .collect()
+    ]
+    if len(pts) < k_cells:
+        raise ValueError(f"need >= {k_cells} vectors to train, got {len(pts)}")
+    arr = np.asarray(pts, dtype=np.float64)
+    cents = [arr[0]]
+    d2 = ((arr - arr[0]) ** 2).sum(axis=1)
+    for _ in range(k_cells - 1):
+        nxt = int(d2.argmax())
+        cents.append(arr[nxt])
+        d2 = np.minimum(d2, ((arr - arr[nxt]) ** 2).sum(axis=1))
+    centroids = np.stack(cents)
+
+    corpus = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist()
+    )
+    corpus.count()
+    try:
+        for _ in range(iters):
+            cdf = spark.createDataFrame(
+                [(ci, [float(x) for x in c]) for ci, c in enumerate(centroids)],
+                "cell int, cent array<double>",
+            )
+            dist = F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.col("cent"),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+            assigned = (
+                corpus.crossJoin(F.broadcast(cdf))
+                .select(
+                    "id",
+                    "v",
+                    F.struct(dist.alias("d"), F.col("cell").alias("c")).alias("dc"),
+                )
+                .groupBy("id")
+                .agg(F.min("dc").alias("dc"), F.first("v").alias("v"))
+                .select(F.col("dc.c").alias("cell"), "v")
+            )
+            means = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cell")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.array_agg(F.struct("pos", "m"))),
+                        lambda s: s.getField("m"),
+                    ).alias("cent")
+                )
+                .collect()
+            )
+            for r in means:
+                centroids[r.cell] = np.asarray(r.cent, dtype=np.float64)
+    finally:
+        corpus.unpersist()
+    return [[float(x) for x in c] for c in centroids]
+
+
 def _cell_assign(vec: Column, cents: list[list[float]], n_probe: int = 1) -> Column:
     """Array of the `n_probe` nearest cell ids by dot product (ties →
     lower cell id). Sequential-fold dots → cross-engine deterministic."""

