@@ -394,3 +394,150 @@ def test_streaming_multiline_count_and_while(spark, tmp_path):
     got_w = run({"type": "while_pattern", "pattern": "^x"}, wrows, "whl")
     # run of x1,x2 closed by 'solo'; 'solo' closed by x3; x3,x4 pending
     assert [r.message for r in got_w] == ["x1\nx2", "solo"]
+
+
+def test_streaming_composition_kill_restart_exactly_once(spark, tmp_path):
+    """Verdict-r02 item 8, the streaming twin of
+    test_checkpoint_resume_exactly_once: one streaming job chaining
+    stateful multiline -> dissect chain -> rate_limit -> routed fan-out,
+    killed mid-stream and restarted on the same checkpoint. Per-sink
+    counts must equal the corpus truth exactly once — including a
+    multiline bundle whose continuation lines arrive only AFTER the
+    restart (state store carries the pending bundle across the kill)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from beats_spark.pipeline import Pipeline
+    from beats_spark.streaming import streaming_multiline
+
+    # corpus: event i = head "EVT <i> level=<lvl>" + (i % 4) continuation
+    # lines. Event 24 spans the f2/f3 file boundary (2 continuations in
+    # each). A sentinel head at the end stays pending by design (no
+    # timeout under availableNow) and is excluded from expectations.
+    def event(i):
+        lvl = "error" if i % 3 == 0 else "info"
+        return [f"EVT {i} level={lvl}"] + [f"  at frame {j}" for j in range(i % 4)]
+
+    lines = []
+    for i in range(1, 25):
+        lines.extend(event(i))
+    split_f1 = len([l for i in range(1, 13) for l in event(i)])
+    # event 24 has 24%4=0 continuations; give it 4 explicit ones split 2/2
+    lines.extend(["  at frame x0", "  at frame x1", "  at frame x2", "  at frame x3"])
+    split_f2 = len(lines) - 2  # last 2 continuations go to f3
+    for i in range(25, 37):
+        lines.extend(event(i))
+    lines.append("EVT 999 level=end")  # pending sentinel
+
+    rows = [(("srcA"), off + 1, l) for off, l in enumerate(lines)]
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    schema = "source string, offset long, message string"
+
+    def write_wave(name, chunk):
+        # the file-stream source lists FLAT files; a .parquet *directory*
+        # (what .write.parquet makes) would be invisible to it — write to
+        # a scratch dir, then move the single part file into src_dir
+        import shutil
+
+        scratch = tmp_path / ("_w_" + name)
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(scratch))
+        part = next(p for p in scratch.iterdir() if p.name.endswith(".parquet"))
+        shutil.copy(str(part), str(src_dir / name))
+        time.sleep(0.2)  # distinct modtimes: file order == write order
+
+    write_wave("f1.parquet", rows[:split_f1])
+    write_wave("f2.parquet", rows[split_f1:split_f2])
+
+    out_dir = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    pipe = Pipeline(
+        {
+            "payload_field": "head",
+            "processors": [
+                {
+                    "dissect": {
+                        "tokenizer": "EVT %{evt_id} level=%{level}",
+                        "field": "head",
+                        "target_prefix": "",
+                    }
+                },
+                {
+                    "rate_limit": {
+                        "limit": "100000/s",
+                        "order_by": "first_offset",
+                    }
+                },
+            ],
+            "routing": {
+                "rules": [
+                    {"sink": "errors", "when": {"equals": {"level": "error"}}}
+                ],
+                "default": "events",
+            },
+        }
+    )
+
+    def process(batch_df, batch_id):
+        if not batch_df.count():
+            return
+        with_head = batch_df.withColumn(
+            "head", F.substring_index("message", "\n", 1)
+        )
+        routed = pipe.transform(with_head)
+        # idempotent-by-batch-id sink: a replayed micro-batch rewrites
+        # its own directory instead of appending duplicates
+        routed.select(
+            "evt_id", "level", "n_lines", "sink"
+        ).write.mode("overwrite").parquet(str(out_dir / f"batch={batch_id}"))
+
+    def start(available_now):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        bundles = streaming_multiline(
+            stream, {"pattern": r"^\s", "match": "after"}, timeout_ms=None
+        )
+        w = (
+            bundles.writeStream.foreachBatch(process)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if available_now:
+            w = w.trigger(availableNow=True)
+        else:
+            w = w.trigger(processingTime="500 milliseconds")
+        return w.start()
+
+    # phase 1: continuous trigger, killed once the first output lands
+    q = start(available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if out_dir.exists() and any(out_dir.iterdir()):
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    # wave 2 lands while the job is DOWN; restart on the same checkpoint
+    write_wave("f3.parquet", rows[split_f2:])
+    q2 = start(available_now=True)
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(str(out_dir / "batch=*"))
+    # exactly-once: every event id exactly once, none lost
+    ids = [r.evt_id for r in got.select("evt_id").collect()]
+    assert sorted(ids, key=int) == [str(i) for i in range(1, 37)], sorted(ids)
+    assert len(ids) == len(set(ids))
+    # per-sink counts match corpus truth (i % 3 == 0 -> errors)
+    by_sink = {r.sink: r.n for r in got.groupBy("sink").agg(F.count("*").alias("n")).collect()}
+    assert by_sink == {"errors": 12, "events": 24}, by_sink
+    # the kill-spanning bundle (event 24) reassembled completely:
+    # 1 head + 4 continuations, 2 of which arrived after the restart
+    n24 = got.filter(F.col("evt_id") == "24").collect()
+    assert len(n24) == 1 and n24[0].n_lines == 5, n24
