@@ -73,6 +73,14 @@ GROK_PATTERNS: dict[str, str] = {
     "QUOTEDSTRING": r"\"[^\"]*\"|'[^']*'",
     "QS": r"\"[^\"]*\"|'[^']*'",
     "HTTPDATE": r"%{MONTHDAY}/\w{3}/%{YEAR}:%{TIME} [+-]\d{4}",
+    "MONTH": (
+        r"\b(?:[Jj]an(?:uary)?|[Ff]eb(?:ruary)?|[Mm]ar(?:ch)?|[Aa]pr(?:il)?|"
+        r"[Mm]ay|[Jj]un(?:e)?|[Jj]ul(?:y)?|[Aa]ug(?:ust)?|[Ss]ep(?:tember)?|"
+        r"[Oo]ct(?:ober)?|[Nn]ov(?:ember)?|[Dd]ec(?:ember)?)\b"
+    ),
+    # classic BSD syslog header time: month, space-padded day, time
+    "SYSLOGTIMESTAMP": r"%{MONTH} +%{MONTHDAY} %{TIME}",
+    "SYSLOGHOST": r"%{IPORHOST}",
     "PATH": r"(?:/[\w_%!$@:.,~-]+)+",
     "URIPATH": r"(?:/[\w_%!$@:.,~-]*)+",
     # composite access-log shapes (logstash-patterns-core httpd set,

@@ -1,0 +1,215 @@
+"""Grok golden-corpus replay (verdict-r02 item 9).
+
+The reference ships its grok work in filebeat module ingest pipelines
+(`filebeat/module/*/ingest/*.yml`) together with test logs and the
+pipeline's expected output (`module/*/test/*.log-expected.json`) — the
+same consume-at-test-time strategy the dissect suite uses with
+`dissect_tests.json`. Here we load the module pipelines' OWN grok
+configs (patterns + pattern_definitions, via yaml) straight from the
+reference tree, replay the module test logs through our Grok
+processor, and compare every grok-captured field against the expected
+events.
+
+Covered corpora:
+- apache/access (5 logs, 25 events): COMBINEDAPACHELOG-shaped vhost /
+  common / combined / ssl-request variants, 4-pattern first-match-wins
+  (`module/apache/access/ingest/pipeline.yml:10-27`).
+- system/syslog (4 logs, 108 events): SYSLOGTIMESTAMP / ISO8601
+  headers + GREEDYMULTILINE pattern_definitions, with the module's
+  multiline config (`^\\s` match:after, `config/syslog.yml`) replayed
+  through our batch merge_lines first for the darwin fixtures
+  (`module/system/syslog/ingest/files.yml:6-18`).
+
+Comparison policy: for every field the grok stage captures non-null,
+if the key survives into the expected event (later pipeline stages
+rename/remove some), values must match exactly (ints compared as
+ints via the pattern's :long casts). Keys the pipeline deletes
+(apache.access.time, _tmp.url_orig — checked against url.original
+instead) are exempted explicitly. A minimum-assertion floor keeps the
+test from passing vacuously.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+import pytest
+import yaml
+from pyspark.sql import functions as F
+
+from beats_spark.fields import field_col
+from beats_spark.processors import compile_one
+
+MODULES = pathlib.Path("/root/reference/filebeat/module")
+
+
+def _grok_cfgs(pipeline_yaml: pathlib.Path) -> list[dict]:
+    doc = yaml.safe_load(pipeline_yaml.read_text())
+    return [p["grok"] for p in doc["processors"] if "grok" in p]
+
+
+def _expected(log: pathlib.Path) -> list[dict]:
+    return json.loads((log.parent / (log.name + "-expected.json")).read_text())
+
+
+def _run_grok(spark, messages: list[str], grok_cfg: dict, fields: list[str]):
+    """Replay messages through the Grok processor; return per-row
+    {field: value} dicts for the requested capture fields."""
+    cfg = {
+        "field": "message",
+        "patterns": grok_cfg["patterns"],
+        "target_prefix": "",
+    }
+    if grok_cfg.get("pattern_definitions"):
+        cfg["pattern_definitions"] = grok_cfg["pattern_definitions"]
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(messages)], "idx long, message string"
+    )
+    out = compile_one({"grok": cfg})(df)
+    cols = [F.col("idx")] + [
+        field_col(out, f).alias(f"f{i}") for i, f in enumerate(fields)
+    ]
+    rows = sorted(out.select(*cols).collect(), key=lambda r: r.idx)
+    assert len(rows) == len(messages)
+    return [{f: r[f"f{i}"] for i, f in enumerate(fields)} for r in rows]
+
+
+def _check(got: list[dict], expected: list[dict], exempt: set[str]) -> int:
+    """Every non-null captured value whose key survives into the
+    expected event must match it exactly; returns #assertions made."""
+    n = 0
+    assert len(got) == len(expected)
+    for i, (g, e) in enumerate(zip(got, expected)):
+        for k, v in g.items():
+            if v is None:
+                continue
+            if k in e:
+                assert v == e[k], f"row {i}: {k}: got {v!r} want {e[k]!r}"
+                n += 1
+            else:
+                assert k in exempt, (
+                    f"row {i}: grok captured {k}={v!r} but the expected "
+                    f"event has no such key and it is not pipeline-removed"
+                )
+    return n
+
+
+APACHE_FIELDS = [
+    "destination.domain",
+    "source.ip",
+    "source.address",
+    "user.name",
+    "http.request.method",
+    "http.version",
+    "http.response.status_code",
+    "http.response.body.bytes",
+    "http.request.referrer",
+    "user_agent.original",
+    "apache.access.ssl.protocol",
+    "apache.access.ssl.cipher",
+    "apache.access.time",
+    "_tmp.url_orig",
+]
+# apache.access.time → @timestamp via date then removed; _tmp.url_orig
+# → uri_parts then removed (url.original checked separately below);
+# source.address sometimes replaced by its source.ip/source.domain
+# re-grok + null-cleanup; "-" referrer/agent removed on some fixtures.
+APACHE_EXEMPT = {
+    "apache.access.time",
+    "_tmp.url_orig",
+    "source.address",
+    "http.request.referrer",
+    "user_agent.original",
+}
+
+
+def test_grok_golden_apache_access(spark):
+    pipeline = MODULES / "apache/access/ingest/pipeline.yml"
+    (grok_cfg, addr_cfg) = _grok_cfgs(pipeline)
+    logs = sorted((MODULES / "apache/access/test").glob("*.log"))
+    assert len(logs) == 5
+    total = 0
+    for log in logs:
+        messages = log.read_text().splitlines()
+        expected = _expected(log)
+        got = _run_grok(spark, messages, grok_cfg, APACHE_FIELDS)
+        total += _check(got, expected, APACHE_EXEMPT)
+        for i, (g, e) in enumerate(zip(got, expected)):
+            # every event must have matched SOME pattern: status_code or
+            # the ssl cipher is always captured on a match
+            assert (
+                g["http.response.status_code"] is not None
+                or g["apache.access.ssl.cipher"] is not None
+            ), f"{log.name} row {i}: no grok pattern matched"
+            # _tmp.url_orig flows to url.original via uri_parts
+            if g["_tmp.url_orig"] is not None and "url.original" in e:
+                assert g["_tmp.url_orig"] == e["url.original"], (log.name, i)
+    assert total >= 120, total  # non-vacuous: ~5 checked fields/event
+
+
+SYSLOG_FIELDS = [
+    "host.hostname",
+    "process.name",
+    "process.pid",
+    "system.syslog.timestamp",
+    "system.syslog.message",
+]
+# timestamp → @timestamp via date; system.syslog.message → message
+# rename (checked explicitly); host.hostname null-cleaned on some rows.
+SYSLOG_EXEMPT = {"system.syslog.timestamp", "system.syslog.message"}
+
+
+def test_grok_golden_system_syslog(spark):
+    from beats_spark.readers.multiline import merge_lines
+
+    files_yml = MODULES / "system/syslog/ingest/files.yml"
+    (grok_cfg,) = _grok_cfgs(files_yml)
+    logs = [
+        "suse-syslog.log",
+        "tz-offset.log",
+        "darwin-syslog-sample.log",
+        "darwin-syslog.log",
+    ]
+    total = 0
+    for name in logs:
+        log = MODULES / "system/syslog/test" / name
+        lines = log.read_text().splitlines()
+        expected = _expected(log)
+        if len(lines) != len(expected):
+            # darwin fixtures: the module input runs multiline
+            # pattern ^\s match:after first (config/syslog.yml). Replay
+            # with BYTE offsets so our bundle starts can be checked
+            # against the expected events' log.offset exactly (the
+            # darwin-syslog expected file is truncated to the first 100
+            # events of the 70 KB log — align by offset, then compare).
+            offs, pos = [], 0
+            for l in lines:
+                offs.append(pos)
+                pos += len(l.encode("utf-8")) + 1
+            ldf = spark.createDataFrame(
+                [("f", offs[i], l) for i, l in enumerate(lines)],
+                "source string, offset long, message string",
+            )
+            merged = merge_lines(ldf, {"pattern": r"^\s", "match": "after"})
+            bundles = sorted(
+                merged.select("first_offset", "message").collect(),
+                key=lambda r: r.first_offset,
+            )
+            assert len(bundles) >= len(expected), name
+            # bundle boundaries must agree with filebeat's harvester:
+            # event i begins at exactly the expected byte offset
+            for i, e in enumerate(expected):
+                assert bundles[i].first_offset == e["log.offset"], (name, i)
+            messages = [r.message for r in bundles[: len(expected)]]
+        else:
+            messages = lines
+        assert len(messages) == len(expected), name
+        got = _run_grok(spark, messages, grok_cfg, SYSLOG_FIELDS)
+        total += _check(got, expected, SYSLOG_EXEMPT)
+        for i, (g, e) in enumerate(zip(got, expected)):
+            assert g["system.syslog.timestamp"] is not None, (name, i)
+            # files.yml renames system.syslog.message → message
+            if "message" in e:
+                assert g["system.syslog.message"] == e["message"], (name, i)
+    assert total >= 150, total
