@@ -120,6 +120,104 @@ def generate_token_events(spark: SparkSession, n_rows: int, parts: int | None = 
     return spark.sql(_core_sql("spark", "id", "gen_base_"))
 
 
+# --- scale-probe synthetics (documents / embeddings) ------------------------
+#
+# The driver's documents/embeddings tables stop at sf0.1 (5k docs /
+# 2k vectors). The 10x scaling probe needs the SAME distribution at two
+# sizes, so these generators synthesize both probe points themselves
+# (pure integer-mixer arithmetic, deterministic, no external data) with
+# the driver tables' shape: ~31-word vocab, 10-80 word docs, 5 sources,
+# 10 embedding clusters, 64-dim ~U(-0.4,0.4) components, and a planted
+# 4% duplicate rate so dedup/near-dup outputs grow linearly with n.
+
+_DOC_VOCAB = (
+    "a agg batch big column customer data dup fast filter group hash "
+    "join key line merge order part query row scan slow small sort "
+    "spark stream table the value vector window"
+).split()
+
+_LANGS = ("en", "en", "zh", "es", "fr", "de", "en", "zh", "es", "fr")
+
+
+def _mix_col(idx):
+    """Full-value twin of similarity._mix_sign_col: h in [0, 2^31).
+    Same overflow-safe chain (every intermediate < 2^49)."""
+    from pyspark.sql import functions as F
+
+    h = (idx.cast("long") * F.lit(2654435761)) % F.lit(4294967296)
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = (h * F.lit(49157)) % F.lit(2147483647)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = (h * F.lit(48271)) % F.lit(2147483647)
+    return h
+
+
+def generate_documents(spark: SparkSession, n_docs: int, parts: int | None = None) -> DataFrame:
+    """Deterministic documents table (doc_id, text, lang, source,
+    n_chars) matching the driver table's shape. Every 25th doc repeats
+    the previous doc's content key → constant 4% exact-dup rate, so
+    minhash/simhash candidate volume is Θ(n)."""
+    from pyspark.sql import functions as F
+
+    rng = spark.range(
+        0, n_docs, numPartitions=parts or spark.sparkContext.defaultParallelism
+    )
+    ck = F.when(F.col("id") % 25 == 24, F.col("id") - 1).otherwise(F.col("id"))
+    vocab = F.array(*[F.lit(w) for w in _DOC_VOCAB])
+    nw = ck % 71 + 10
+
+    def _word(i):
+        return F.element_at(vocab, (_mix_col(ck * 131 + i) % 31 + 1).cast("int"))
+
+    text = F.array_join(F.transform(F.sequence(F.lit(1), nw), _word), " ")
+    return rng.select(
+        F.col("id").alias("doc_id"),
+        text.alias("text"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in _LANGS]), (ck % 10 + 1).cast("int")
+        ).alias("lang"),
+        F.concat(F.lit("src"), (F.col("id") % 5).cast("string")).alias("source"),
+        F.length(text).cast("long").alias("n_chars"),
+    )
+
+
+def generate_embeddings(
+    spark: SparkSession, n_vecs: int, dim: int = 64, parts: int | None = None
+) -> DataFrame:
+    """Deterministic embeddings table (vec_id, embedding:array<float>,
+    label) with 10 cluster centroids + per-vector noise; every 25th
+    vector duplicates the previous one (cos=1.0) so near-dup pair
+    counts grow linearly with n."""
+    from pyspark.sql import functions as F
+
+    rng = spark.range(
+        0, n_vecs, numPartitions=parts or spark.sparkContext.defaultParallelism
+    )
+    nk = F.when(F.col("id") % 25 == 24, F.col("id") - 1).otherwise(F.col("id"))
+    lbl = nk % 10  # label follows the content key so planted dups share a centroid
+
+    def _component(d):
+        cent = (
+            _mix_col(F.lit(7000003) + lbl * dim + d).cast("double")
+            / F.lit(2147483647.0)
+            - 0.5
+        ) * 0.5
+        noise = (
+            _mix_col(F.lit(9000017) + nk * dim + d).cast("double")
+            / F.lit(2147483647.0)
+            - 0.5
+        ) * 0.3
+        return (cent + noise).cast("float")
+
+    return rng.select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _component).alias(
+            "embedding"
+        ),
+        lbl.cast("int").alias("label"),
+    )
+
+
 # --- enrichment lookup (FIXTURES.md §2) -------------------------------------
 
 _OS = ("linux", "windows", "darwin")

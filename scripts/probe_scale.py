@@ -1,0 +1,124 @@
+"""10x scaling probe for the 5 most expensive catalog queries.
+
+Verdict-r02 item 10: direct evidence for the "survives 100x" claim.
+The driver tables stop at sf0.1, so the probe synthesizes its OWN two
+input points with identical distributions (beats_spark.datagen
+generate_documents / generate_embeddings / generate_token_events-style
+orders) at sf0.1-equivalent counts (x1) and 10x those counts, times
+each query at both (JIT-warmed at sf0.001, best-of-N, cache cleared
+between runs — the bench.py protocol), and reports the per-query
+scaling exponent alpha = log10(t_10x / t_x1):
+
+  alpha ~= 1.0  -> linear in input size (what a scan/shuffle op should be)
+  alpha  > 1.0  -> super-linear (quadratic would be 2.0)
+
+Note the x1 times include fixed scheduling/plan overhead that deflates
+alpha slightly; both raw times are reported so the ratio is auditable.
+
+Usage: python scripts/probe_scale.py [--runs 3] [--out PROBE_10X.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+# sf0.1-equivalent row counts (the bench scale)
+X1 = {"documents": 5_000, "embeddings": 2_000, "orders": 150_000}
+PROBE_QUERIES = [
+    "q16_minhash_lsh",
+    "q17_simhash",
+    "q24_token_window_dups",
+    "q26_ivf_topk",
+    "q28_embedding_dups",
+]
+
+
+def build_dir(spark: SparkSession, path: str, mult: int) -> None:
+    from pyspark.sql import functions as F
+
+    from beats_spark import datagen
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    datagen.generate_documents(spark, X1["documents"] * mult).write.parquet(
+        f"{path}/documents.parquet"
+    )
+    datagen.generate_embeddings(spark, X1["embeddings"] * mult).write.parquet(
+        f"{path}/embeddings.parquet"
+    )
+    # q24's loader only consumes o_orderkey (the token-table seed)
+    spark.range(1, X1["orders"] * mult + 1).select(
+        F.col("id").alias("o_orderkey")
+    ).write.parquet(f"{path}/orders.parquet")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default="PROBE_10X.json")
+    ap.add_argument("--tmp", default="/tmp/beats_spark_probe")
+    args = ap.parse_args()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("probe-10x")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from beats_spark.queries import catalog
+
+    cat = catalog()
+    d1 = f"{args.tmp}/x1"
+    d10 = f"{args.tmp}/x10"
+    t0 = time.perf_counter()
+    build_dir(spark, d1, 1)
+    build_dir(spark, d10, 10)
+    print(f"generated probe dirs in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    def timed(fn, d: str) -> float:
+        t = time.perf_counter()
+        fn(spark, d).collect()
+        elapsed = time.perf_counter() - t
+        spark.catalog.clearCache()
+        return elapsed
+
+    results: dict[str, dict] = {}
+    for name in PROBE_QUERIES:
+        fn = cat[name]
+        timed(fn, "/root/testdata/sf0.001")  # JIT/codegen warmup
+        t1 = min(timed(fn, d1) for _ in range(args.runs))
+        t10 = min(timed(fn, d10) for _ in range(args.runs))
+        alpha = math.log10(t10 / t1)
+        results[name] = {
+            "t_x1_sec": round(t1, 3),
+            "t_x10_sec": round(t10, 3),
+            "ratio": round(t10 / t1, 2),
+            "alpha": round(alpha, 3),
+        }
+        print(f"{name}: x1={t1:.2f}s x10={t10:.2f}s alpha={alpha:.3f}", flush=True)
+
+    out = {"x1_rows": X1, "mult": 10, "runs": args.runs, "queries": results}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out))
+    shutil.rmtree(args.tmp, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
