@@ -320,6 +320,131 @@ SELECT source, count(*) AS n_docs,
 FROM q GROUP BY source ORDER BY source"""
 
 
+# --- q30: duplicate clusters (connected components) --------------------------
+
+_WS_SQL = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters: docs sharing a RARE 3-gram
+    (global frequency exactly 2) are edges; connected components over
+    those edges assign every doc its cluster (min doc_id) + size.
+
+    Scale shape: the frequency cap bounds self-join fan-out at
+    f(f-1)/2 = 1 pair per gram — candidate volume is linear in the
+    gram count, never quadratic in docs; the CC loop shuffles only
+    (node, min) pairs per round (training/cluster.py)."""
+    from beats_spark.training import cluster, curate
+
+    docs = _docs(spark, sf_dir)
+    ex = docs.select(
+        F.col("doc_id"),
+        F.explode(curate.word_ngrams(F.col("text"), 3)).alias("g"),
+    )
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("f"))
+    rare = ex.join(freq.filter(F.col("f") == 2).select("g"), "g", "left_semi")
+    a = rare.select("g", F.col("doc_id").alias("id_a"))
+    b = rare.select("g", F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cluster.dup_clusters(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id", "n_members")
+        .orderBy("doc_id")
+    )
+
+
+def q_dup_clusters_oracle() -> str:
+    from beats_spark.training import curate
+
+    g3 = curate.ngram_sql(3)
+    return f"""
+WITH RECURSIVE w AS (
+  SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+sh AS (SELECT doc_id, unnest({g3}) AS g FROM w),
+freq AS (SELECT g FROM sh GROUP BY g HAVING count(*) = 2),
+p AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  JOIN freq r ON r.g = a.g),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS n_members
+FROM lab ORDER BY doc_id"""
+
+
+# --- q31: benchmark decontamination ------------------------------------------
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training decontamination: benchmark = every 17th doc
+    (doc_id % 17 == 3); flag corpus docs sharing any word 5-gram with
+    it. Benchmark gram set broadcast; corpus never shuffles on gram."""
+    from beats_spark.training import curate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    corpus = docs.filter(F.col("doc_id") % 17 != 3)
+    return curate.contamination(corpus, bench, n=5).orderBy("doc_id")
+
+
+def q_decontaminate_oracle() -> str:
+    from beats_spark.training import curate
+
+    g5 = curate.ngram_sql(5)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+g AS (SELECT doc_id, unnest({g5}) AS g FROM w),
+bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 3),
+corpus AS (SELECT * FROM g WHERE doc_id % 17 <> 3)
+SELECT c.doc_id, count(*) AS n_hits
+FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+
+# --- q32: deterministic train/val/test split ---------------------------------
+
+
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket split (96/2/2 by salted md5 of doc_id) — stable
+    under corpus growth and engine-portable, unlike randomSplit."""
+    from beats_spark.training import curate
+
+    docs = _docs(spark, sf_dir)
+    return (
+        curate.assign_split(docs)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+def q_split_oracle() -> str:
+    return """
+WITH b AS (
+  SELECT lang, n_chars,
+         ('0x' || substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+  FROM documents),
+s AS (SELECT CASE WHEN bk < 96 THEN 'train' WHEN bk < 98 THEN 'val'
+             ELSE 'test' END AS split, lang, n_chars FROM b)
+SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM s GROUP BY split, lang ORDER BY split, lang"""
+
+
 def catalog():
     return {
         "q11_dedup_exact": q_dedup_exact,
@@ -329,6 +454,9 @@ def catalog():
         "q15_multiline": q_multiline,
         "q24_token_window_dups": q_token_window_dups,
         "q25_quality": q_quality,
+        "q30_dup_clusters": q_dup_clusters,
+        "q31_decontaminate": q_decontaminate,
+        "q32_split": q_split,
     }
 
 
@@ -341,4 +469,7 @@ def oracles():
         "q15_multiline": q_multiline_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
         "q25_quality": q_quality_oracle(),
+        "q30_dup_clusters": q_dup_clusters_oracle(),
+        "q31_decontaminate": q_decontaminate_oracle(),
+        "q32_split": q_split_oracle(),
     }

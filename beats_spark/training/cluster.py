@@ -87,26 +87,32 @@ def connected_components(
     )
 
     def probe(e: DataFrame) -> tuple[int, int]:
+        # bit_xor, not sum: order-independent, can't overflow under
+        # ANSI mode (edges are distinct, so nothing self-cancels)
         r = e.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
-                F.sum(
-                    F.xxhash64(
-                        F.least("a", "b"), F.greatest("a", "b")
-                    )
+                F.bit_xor(
+                    F.xxhash64(F.least("a", "b"), F.greatest("a", "b"))
                 ),
                 F.lit(0),
             ).alias("h"),
         ).first()
         return (r["n"], r["h"])
 
-    edges = edges.persist()
+    # localCheckpoint, not persist: persist truncates re-EXECUTION but
+    # the logical plan still accretes every prior round, and Catalyst
+    # analysis cost grows super-linearly with plan depth — the loop
+    # must cut lineage each round. (On a real cluster with executor
+    # loss concerns, swap for reliable .checkpoint() to HDFS; the
+    # round structure is identical.)
+    edges = edges.localCheckpoint(eager=True)
     last = probe(edges)
     for _ in range(max_rounds):
-        nxt = _half_round(_half_round(edges, large=True), large=False)
-        nxt = nxt.persist()
-        sig = probe(nxt)  # materializes nxt before the unpersist below
-        edges.unpersist()
+        nxt = _half_round(
+            _half_round(edges, large=True), large=False
+        ).localCheckpoint(eager=True)
+        sig = probe(nxt)
         edges = nxt
         if sig == last:
             break
@@ -127,9 +133,6 @@ def connected_components(
         .groupBy("id")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
-    labels = labels.persist()
-    labels.count()
-    edges.unpersist()
     return labels
 
 

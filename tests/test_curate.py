@@ -1,0 +1,104 @@
+"""Curation ops (decontamination / splits / sampling) vs pure-Python
+oracles; catalog twins q30-q32 cover the DuckDB side."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from beats_spark.training import curate
+
+
+def _py_bucket(x, salt="split:", mod=100):
+    return int(hashlib.md5(f"{salt}{x}".encode()).hexdigest()[:8], 16) % mod
+
+
+def _py_ngrams(text: str, n: int) -> set[str]:
+    ws = [w for w in text.split() if w]
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_word_ngrams_matches_python(spark):
+    rows = [
+        (0, "a b c d e f"),
+        (1, "one two"),          # shorter than n -> empty
+        (2, "  x \t y  z w v "),  # whitespace edges
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(
+        "doc_id", curate.word_ngrams(F.col("text"), 3).alias("g")
+    ).collect()
+    got = {r["doc_id"]: set(r["g"]) for r in out}
+    assert got == {i: _py_ngrams(t, 3) for i, t in rows}
+
+
+def test_contamination_and_decontaminate(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "totally different words here entirely now"),
+            (3, "prefix alpha beta gamma delta suffix"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in curate.contamination(corpus, bench, n=5).collect()
+    }
+    # doc 1 contains both benchmark 5-grams' worth? bench has 1 distinct
+    # 5-gram; doc 1 contains it, doc 3 does not (different window), doc 2 clean
+    assert hits == {1: 1}
+    clean = sorted(
+        r["doc_id"] for r in curate.decontaminate(corpus, bench, n=5).collect()
+    )
+    assert clean == [2, 3]
+
+
+def test_assign_split_matches_python_md5(spark):
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    out = curate.assign_split(df).collect()
+
+    def expect(i):
+        b = _py_bucket(i)
+        return "train" if b < 96 else ("val" if b < 98 else "test")
+
+    for r in out:
+        assert r["split"] == expect(r["doc_id"]), r
+    # all three splits non-empty at n=300
+    assert {r["split"] for r in out} == {"train", "val", "test"}
+
+
+def test_split_stable_under_corpus_growth(spark):
+    small = curate.assign_split(
+        spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    )
+    big = curate.assign_split(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    )
+    s = {r["doc_id"]: r["split"] for r in small.collect()}
+    b = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(b[i] == s[i] for i in s)  # no doc migrates when corpus grows
+
+
+def test_hash_sample_deterministic_and_decorrelated(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r["doc_id"] for r in curate.hash_sample(df, percent=10).collect())
+    s2 = sorted(r["doc_id"] for r in curate.hash_sample(df, percent=10).collect())
+    assert s1 == s2
+    assert 120 <= len(s1) <= 280  # ~10% of 2000
+    # different salt -> different membership (decorrelated decisions)
+    s3 = sorted(
+        r["doc_id"]
+        for r in curate.hash_sample(df, percent=10, salt="other:").collect()
+    )
+    assert s3 != s1
+    # nested property: a 5% sample with the same salt is a subset of 10%
+    s5 = set(
+        r["doc_id"] for r in curate.hash_sample(df, percent=5).collect()
+    )
+    assert s5 <= set(s1)
