@@ -139,6 +139,40 @@ class CheckpointedRunner:
     def _entries(self) -> list[dict[str, Any]]:
         return self._current_version()[1]
 
+    # -- time travel (Iceberg snapshot-read analog) ----------------------
+
+    def versions(self) -> list[int]:
+        """Published snapshot versions, oldest → newest. Only versions
+        ≤ the one CURRENT names are published: a v-<N>.json written by
+        a crashed commit whose pointer swap never happened is NOT a
+        snapshot and never appears here — same metadata-pointer
+        semantics as Iceberg's version-hint/catalog pointer."""
+        cur, _ = self._current_version()
+        if cur == 0:
+            return []
+        found = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v-") and f.endswith(".json"):
+                try:
+                    n = int(f[2:-5])
+                except ValueError:
+                    continue
+                if 1 <= n <= cur:
+                    found.append(n)
+        return sorted(found)
+
+    def _entries_at(self, version: int | None) -> list[dict[str, Any]]:
+        if version is None:
+            return self._entries()
+        cur, _ = self._current_version()
+        if not 1 <= version <= cur:
+            raise ValueError(
+                f"version {version} is not a published snapshot "
+                f"(current = {cur})"
+            )
+        with open(os.path.join(self.manifest_dir, f"v-{version:08d}.json")) as fh:
+            return json.load(fh)
+
     def committed_chunks(self) -> set[int]:
         return {
             e["chunk_id"] for e in self._entries() if e["run_id"] == self.run_id
@@ -239,12 +273,16 @@ class CheckpointedRunner:
                 )
         return removed
 
-    def result(self) -> DataFrame:
+    def result(self, version: int | None = None) -> DataFrame:
         """The committed snapshot of THIS run — resolved strictly
         through the manifest pointer (never by listing data dirs), so
-        uncommitted attempt directories are invisible. Empty frame with
-        the right shape when nothing is committed yet."""
-        mine = [e for e in self._entries() if e["run_id"] == self.run_id]
+        uncommitted attempt directories are invisible. `version` time-
+        travels to an older published snapshot (as of that commit);
+        default is the current one. Empty frame with the right shape
+        when nothing is committed yet."""
+        mine = [
+            e for e in self._entries_at(version) if e["run_id"] == self.run_id
+        ]
         frames = [
             self.spark.read.parquet(e["path"]).withColumn(
                 CHUNK_COL, F.lit(e["chunk_id"])
@@ -260,7 +298,7 @@ class CheckpointedRunner:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
-    def manifest(self) -> DataFrame:
+    def manifest(self, version: int | None = None) -> DataFrame:
         rows = [
             (
                 e["run_id"],
@@ -273,6 +311,6 @@ class CheckpointedRunner:
                 e["metrics"],
                 e["committed_at"],
             )
-            for e in self._entries()
+            for e in self._entries_at(version)
         ]
         return self.spark.createDataFrame(rows, _MANIFEST_SCHEMA)

@@ -298,3 +298,35 @@ def test_pipeline_selector_per_event(spark):
     assert rows[2] == ("events", "pl-nginx")      # rule 1 (when matched)
     assert rows[3] == ("events", "pl-db")         # rule 2 via mappings
     assert rows[4] == ("events", None)            # mappings miss, no default
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    """Iceberg snapshot-read analog: every chunk commit is a published
+    version; result(version=v) reads the table as of that commit, and
+    a v-file orphaned by a crash before the pointer swap is NOT a
+    published snapshot."""
+    import json
+    import os
+
+    import pytest
+
+    df = load_token_events(spark, SF)
+    pipe = Pipeline(flagship_config())
+    out = str(tmp_path / "tt")
+    runner = CheckpointedRunner(spark, out, n_chunks=4)
+    runner.run(df, pipe.transform)
+    assert runner.versions() == [1, 2, 3, 4]
+    counts = [runner.result(version=v).count() for v in runner.versions()]
+    assert all(a < b for a, b in zip(counts, counts[1:]))  # grows per commit
+    assert counts[-1] == runner.result().count()
+    assert runner.manifest(version=2).count() == 2
+
+    # orphan from a crashed commit: file exists, pointer never moved
+    orphan = os.path.join(out, "manifest", "v-00000099.json")
+    with open(orphan, "w") as fh:
+        json.dump([], fh)
+    assert runner.versions() == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        runner.result(version=99)
+    with pytest.raises(ValueError):
+        runner.result(version=0)
