@@ -174,9 +174,16 @@ class CheckpointedRunner:
             return json.load(fh)
 
     def committed_chunks(self) -> set[int]:
-        return {
-            e["chunk_id"] for e in self._entries() if e["run_id"] == self.run_id
-        }
+        out: set[int] = set()
+        for e in self._entries():
+            if e["run_id"] != self.run_id:
+                continue
+            if e["chunk_id"] == -1:
+                # a compacted entry stands in for every chunk it folded
+                out.update(e.get("compacted_chunks", []))
+            else:
+                out.add(e["chunk_id"])
+        return out
 
     # -- processing ------------------------------------------------------
 
@@ -256,6 +263,65 @@ class CheckpointedRunner:
             if fail_after is not None and len(committed) >= fail_after:
                 break
         return committed
+
+    def compact(self) -> int:
+        """Rewrite this run's committed chunks into ONE compacted data
+        set and publish it as a new snapshot (Iceberg rewrite-files /
+        compaction analog — many small per-chunk files become one
+        partitioned set, readers never see an intermediate state).
+
+        Same commit protocol as chunks: data first to a fresh attempt
+        dir nobody resolves, then one atomic pointer swap replacing the
+        run's chunk entries with a single compacted entry (chunk_id
+        -1). A crash between data-write and commit leaves CURRENT — and
+        every reader — on the uncompacted snapshot. Old chunk data dirs
+        stay on disk for time-travel until `cleanup` GCs the run.
+        Returns the number of chunk entries folded in (0 = nothing to
+        compact)."""
+        mine = [e for e in self._entries() if e["run_id"] == self.run_id]
+        if len(mine) <= 1:
+            return 0
+        frames = [self.spark.read.parquet(e["path"]) for e in mine]
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        comp_root = os.path.join(self.data_dir, self.run_id, "compacted")
+        attempt = 1
+        if os.path.isdir(comp_root):
+            attempt += sum(
+                1 for d in os.listdir(comp_root) if d.startswith("try-")
+            )
+        attempt_dir = os.path.join(comp_root, f"try-{attempt}")
+        out.write.partitionBy(SINK_COL).mode("overwrite").parquet(attempt_dir)
+        lo = min(e["min_doc_id"] for e in mine)
+        hi = max(e["max_doc_id"] for e in mine)
+        metrics: dict[str, int] = {}
+        for e in mine:
+            for k, v in e["metrics"].items():
+                metrics[k] = metrics.get(k, 0) + int(v)
+        entry = {
+            "run_id": self.run_id,
+            "chunk_id": -1,
+            "compacted_chunks": sorted(
+                c
+                for e in mine
+                for c in (
+                    e.get("compacted_chunks", [])
+                    if e["chunk_id"] == -1
+                    else [e["chunk_id"]]
+                )
+            ),
+            "path": attempt_dir,
+            "row_count": sum(int(e["row_count"]) for e in mine),
+            "min_doc_id": lo,
+            "max_doc_id": hi,
+            "source_snapshot": self.source_snapshot,
+            "metrics": metrics,
+            "committed_at": time.time(),
+        }
+        others = [e for e in self._entries() if e["run_id"] != self.run_id]
+        self._commit(others + [entry])
+        return len(mine)
 
     def cleanup(self, keep_run_ids: set[str]) -> int:
         """Registry GC (registrar clean_inactive / states.cleanup

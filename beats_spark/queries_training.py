@@ -320,6 +320,44 @@ SELECT source, count(*) AS n_docs,
 FROM q GROUP BY source ORDER BY source"""
 
 
+# --- q33: sequence packing ---------------------------------------------------
+
+
+def q_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training sequences (L=512) from the token table:
+    concatenate tokens in doc_id order, cut every L. Integrity via
+    per-sequence token count / doc count / sum / position-weighted sum
+    (pins every token to its slot). Two-phase distributed prefix scan —
+    no single-task window (training/pack.py)."""
+    from beats_spark.datagen import load_token_events
+    from beats_spark.training import pack
+
+    return pack.pack_stats(load_token_events(spark, sf_dir), seq_len=512)
+
+
+def q_pack_oracle() -> str:
+    from beats_spark.datagen import token_events_sql
+
+    return f"""
+WITH t AS ({token_events_sql('duckdb')}),
+o AS (
+  SELECT doc_id, tokens, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM t),
+e AS (
+  SELECT doc_id,
+         off + unnest(range(0, n_tok)) AS gpos,
+         unnest(tokens) AS tok
+  FROM o)
+SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+       count(*) AS n_tokens,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(tok) AS BIGINT) AS sum_tok,
+       CAST(sum(tok * (gpos % 512 + 1)) AS BIGINT) AS weighted_tok
+FROM e GROUP BY seq_id ORDER BY seq_id"""
+
+
 # --- q30: duplicate clusters (connected components) --------------------------
 
 _WS_SQL = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
@@ -457,6 +495,7 @@ def catalog():
         "q30_dup_clusters": q_dup_clusters,
         "q31_decontaminate": q_decontaminate,
         "q32_split": q_split,
+        "q33_pack": q_pack,
     }
 
 
@@ -472,4 +511,5 @@ def oracles():
         "q30_dup_clusters": q_dup_clusters_oracle(),
         "q31_decontaminate": q_decontaminate_oracle(),
         "q32_split": q_split_oracle(),
+        "q33_pack": q_pack_oracle(),
     }

@@ -330,3 +330,47 @@ def test_time_travel_snapshots(spark, tmp_path):
         runner.result(version=99)
     with pytest.raises(ValueError):
         runner.result(version=0)
+
+
+def test_compaction_atomic_and_resume_safe(spark, tmp_path):
+    """Iceberg rewrite-files analog: chunks fold into one compacted
+    snapshot with identical rows; resume still sees all chunks done; a
+    crash between the compacted data write and the pointer swap leaves
+    readers on the uncompacted snapshot; time travel keeps the old one."""
+    import pytest
+
+    df = load_token_events(spark, SF)
+    pipe = Pipeline(flagship_config())
+    out = str(tmp_path / "compact")
+    runner = CheckpointedRunner(spark, out, n_chunks=4)
+    runner.run(df, pipe.transform)
+
+    def counts(frame):
+        return {
+            (r.source, r.sink): r.events
+            for r in frame.groupBy("source", "sink")
+            .agg(F.count(F.lit(1)).alias("events"))
+            .collect()
+        }
+
+    before = counts(runner.result())
+    v_before = runner.versions()[-1]
+
+    # crash injected between data write and pointer swap: commit fails,
+    # readers keep the uncompacted snapshot
+    real_commit = runner._commit
+    runner._commit = lambda entries: (_ for _ in ()).throw(OSError("crash"))
+    with pytest.raises(OSError):
+        runner.compact()
+    assert runner.versions()[-1] == v_before
+    assert counts(runner.result()) == before
+    runner._commit = real_commit
+
+    assert runner.compact() == 4
+    assert counts(runner.result()) == before
+    assert runner.committed_chunks() == set(range(4))
+    assert runner.run(df, pipe.transform) == []  # resume: nothing to do
+    # compacting a compacted run is a no-op
+    assert runner.compact() == 0
+    # time travel still reads the pre-compaction snapshot
+    assert counts(runner.result(version=v_before)) == before
