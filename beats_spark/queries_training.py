@@ -483,6 +483,154 @@ SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_char
 FROM s GROUP BY split, lang ORDER BY split, lang"""
 
 
+# --- q34: repetition quality signals (Gopher §A1.1) ---------------------------
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source aggregate of the Gopher repetition filters: duplicate
+    word fraction, most-frequent-2-gram char fraction, repeated-3-gram
+    char fraction (all integer ppm). Line signals are exercised by the
+    pytest battery (testdata text is single-line)."""
+    rep = text.repetition_features(_docs(spark, sf_dir))
+    return (
+        rep.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dup_word_ppm").alias("sum_dup_word_ppm"),
+            F.sum("top2_ppm").alias("sum_top2_ppm"),
+            F.sum("dup3_ppm").alias("sum_dup3_ppm"),
+            F.sum("dup_line_ppm").alias("sum_dup_line_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_repetition_oracle() -> str:
+    from beats_spark.training import curate
+
+    g2 = curate.ngram_all_sql(2)
+    g3 = curate.ngram_all_sql(3)
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, length(text) AS n_chars, {_WS_SQL} AS ws FROM documents),
+arr AS (
+  SELECT doc_id, source, n_chars, len(ws) AS n_words,
+         len(list_distinct(ws)) AS nw_d, ws
+  FROM base),
+g2c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({g2}) AS g FROM base) GROUP BY doc_id, g),
+top2 AS (
+  SELECT doc_id, c * length(g) AS top2_chars
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM g2c)
+  WHERE rn = 1),
+g3c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({g3}) AS g FROM base) GROUP BY doc_id, g),
+d3 AS (
+  SELECT doc_id,
+         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dup3_chars,
+         sum(c * length(g)) AS g3_chars
+  FROM g3c GROUP BY doc_id),
+lns AS (
+  SELECT doc_id,
+         CASE WHEN length(regexp_replace(text, '^\\n+|\\n+$', '', 'g')) = 0
+              THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(regexp_replace(text, '^\\n+|\\n+$', '', 'g'), '\\n+') END AS lines
+  FROM documents),
+sig AS (
+  SELECT a.source,
+         CASE WHEN a.n_words > 0 THEN CAST(round(1e6 * (a.n_words - a.nw_d) / a.n_words) AS BIGINT) ELSE 0 END AS dup_word_ppm,
+         CASE WHEN a.n_chars > 0 THEN CAST(round(1e6 * coalesce(t.top2_chars, 0) / a.n_chars) AS BIGINT) ELSE 0 END AS top2_ppm,
+         CASE WHEN coalesce(d.g3_chars, 0) > 0 THEN CAST(round(1e6 * coalesce(d.dup3_chars, 0) / d.g3_chars) AS BIGINT) ELSE 0 END AS dup3_ppm,
+         CASE WHEN len(l.lines) > 0 THEN CAST(round(1e6 * (len(l.lines) - len(list_distinct(l.lines))) / len(l.lines)) AS BIGINT) ELSE 0 END AS dup_line_ppm
+  FROM arr a
+  LEFT JOIN top2 t ON t.doc_id = a.doc_id
+  LEFT JOIN d3 d ON d.doc_id = a.doc_id
+  JOIN lns l ON l.doc_id = a.doc_id)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(dup_word_ppm) AS BIGINT) AS sum_dup_word_ppm,
+       CAST(sum(top2_ppm) AS BIGINT) AS sum_top2_ppm,
+       CAST(sum(dup3_ppm) AS BIGINT) AS sum_dup3_ppm,
+       CAST(sum(dup_line_ppm) AS BIGINT) AS sum_dup_line_ppm
+FROM sig GROUP BY source ORDER BY source"""
+
+
+# --- q35: source-mix rebalancing ----------------------------------------------
+
+
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mix flattening: first thin each source to a
+    different synthetic share (hash predicate keyed 'thin:' — the
+    testdata mix is uniform by construction), then rebalance every
+    source down to the smallest source's count via integer rates +
+    salted-hash membership. Exact-membership check via sum(doc_id)."""
+    from beats_spark.training import curate
+
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring(F.col("source"), 4, 10).cast("int")
+    thinned = docs.filter(
+        curate.split_bucket(F.col("doc_id"), "thin:")
+        < F.lit(10) + (src_num * 7) % 81
+    )
+    kept = curate.rebalance_sources(thinned)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_source_mix_oracle() -> str:
+    return """
+WITH thinned AS (
+  SELECT doc_id, source FROM documents
+  WHERE ('0x' || substring(md5('thin:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        < 10 + (CAST(substring(source, 4) AS INT) * 7) % 81),
+counts AS (SELECT source, count(*) AS n FROM thinned GROUP BY source),
+rates AS (
+  SELECT source,
+         least(100, CAST(floor(100 * (SELECT min(n) FROM counts) / CAST(n AS DOUBLE)) AS INT)) AS rate
+  FROM counts),
+kept AS (
+  SELECT t.doc_id, t.source FROM thinned t JOIN rates r USING (source)
+  WHERE ('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < r.rate)
+SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM kept GROUP BY source ORDER BY source"""
+
+
+# --- q36: corpus n-gram counts / top-k ----------------------------------------
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level 2-gram frequency mining: top 20 by (occurrences
+    desc, gram asc) with document frequency — the n-gram LM count
+    primitive; map-side-combined count, min_count tail prune."""
+    from beats_spark.training import curate
+
+    return curate.top_ngrams(_docs(spark, sf_dir), n=2, k=20, min_count=2).select(
+        "g", "n_occurrences", "n_docs"
+    )
+
+
+def q_top_ngrams_oracle() -> str:
+    from beats_spark.training import curate
+
+    g2 = curate.ngram_all_sql(2)
+    return f"""
+WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+g AS (SELECT doc_id, unnest({g2}) AS g FROM w),
+c AS (
+  SELECT g, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM g GROUP BY g HAVING count(*) >= 2)
+SELECT g, n_occurrences, n_docs FROM c
+ORDER BY n_occurrences DESC, g LIMIT 20"""
+
+
 def catalog():
     return {
         "q11_dedup_exact": q_dedup_exact,
@@ -496,6 +644,9 @@ def catalog():
         "q31_decontaminate": q_decontaminate,
         "q32_split": q_split,
         "q33_pack": q_pack,
+        "q34_repetition": q_repetition,
+        "q35_source_mix": q_source_mix,
+        "q36_top_ngrams": q_top_ngrams,
     }
 
 
@@ -512,4 +663,7 @@ def oracles():
         "q31_decontaminate": q_decontaminate_oracle(),
         "q32_split": q_split_oracle(),
         "q33_pack": q_pack_oracle(),
+        "q34_repetition": q_repetition_oracle(),
+        "q35_source_mix": q_source_mix_oracle(),
+        "q36_top_ngrams": q_top_ngrams_oracle(),
     }

@@ -48,6 +48,87 @@ def ngram_sql(n: int) -> str:
     )
 
 
+def word_ngrams_all(col: Column, n: int = 2) -> Column:
+    """ALL word n-gram occurrences (duplicates kept — repetition and
+    frequency stats need multiplicity, unlike the membership-style
+    `word_ngrams`). Empty array for docs with < n words."""
+    ws = words(col)
+
+    def gram(i: Column) -> Column:
+        return F.concat_ws(" ", F.slice(ws, i + 1, n))
+
+    grams = F.transform(F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))), gram)
+    return F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_all_sql(n: int) -> str:
+    """DuckDB twin of word_ngrams_all over a `ws` word-list column."""
+    concat = ", ' ', ".join(f"ws[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(ws) >= {n} THEN "
+        f"list_transform(range(1, greatest(len(ws) - {n - 1}, 0) + 1), "
+        f"i -> concat({concat})) ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    min_count: int = 2,
+    exact_doc_freq: bool = True,
+) -> DataFrame:
+    """Corpus-level word n-gram statistics: (g, n_occurrences, n_docs)
+    for every n-gram occurring ≥ min_count times — the n-gram LM count /
+    vocabulary-mining primitive (reference analog: none; Beats counts
+    events, a training pipeline counts grams).
+
+    Scale shape: explode → groupBy(g) count is map-side partially
+    aggregated (hot grams combine inside each task before the shuffle);
+    min_count prunes the long tail BEFORE any further join. n_docs is a
+    count(DISTINCT id) expand — exact by default; pass
+    exact_doc_freq=False for approx_count_distinct at corpus scale
+    (the distinct expand doubles the shuffle on a 100 TB gram stream).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_ngrams_all(F.col(text_col), n)).alias("g"),
+    )
+    docs_agg = (
+        F.count_distinct(F.col("__id"))
+        if exact_doc_freq
+        else F.approx_count_distinct(F.col("__id"))
+    )
+    return (
+        ex.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            docs_agg.alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    k: int = 20,
+    min_count: int = 2,
+) -> DataFrame:
+    """Top-k corpus n-grams by (count desc, gram asc) — deterministic
+    tie-break. The global sort runs on the min_count-pruned aggregate
+    (small); Spark 4's WindowGroupLimit/TakeOrderedAndProject keeps it
+    a top-k, never a full sort of the gram universe."""
+    return (
+        ngram_counts(df, text_col, id_col, n, min_count)
+        .orderBy(F.desc("n_occurrences"), F.asc("g"))
+        .limit(k)
+    )
+
+
 def contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -132,3 +213,75 @@ def hash_sample(
     consistent across engines/reruns (membership is a pure function of
     the id, so incremental reruns sample the same docs)."""
     return df.filter(split_bucket(F.col(id_col), salt) < percent)
+
+
+# --- source/domain mixing ------------------------------------------------------
+
+
+def source_mix_rates(
+    df: DataFrame, source_col: str = "source", target: int | None = None
+) -> DataFrame:
+    """Per-source integer sampling rates (source, n_docs, rate_pct)
+    that flatten the source mix toward `target` docs per source
+    (default: the smallest source's count — a uniform mix).
+
+    rate_pct = min(100, floor(100 * target / n_s)) — integer-exact, so
+    the DuckDB oracle twin reproduces it bit-for-bit (the
+    temperature-weighted float variant is `temperature_mix_weights`).
+
+    Scale shape: one map-side-combined groupBy(source) over the corpus;
+    the result is dimension-sized (#sources rows), so the global-window
+    min and the downstream join both stay broadcast-side.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    tgt = F.lit(target) if target is not None else F.min("n_docs").over(
+        Window.partitionBy()
+    )
+    return counts.select(
+        F.col(source_col),
+        F.col("n_docs"),
+        F.least(F.lit(100), F.floor(F.lit(100) * tgt / F.col("n_docs")))
+        .cast("int")
+        .alias("rate_pct"),
+    )
+
+
+def rebalance_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    target: int | None = None,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Deterministic source-mix rebalancing: subsample each source at
+    its `source_mix_rates` rate via the salted id hash. Over-represented
+    sources thin toward `target`; membership is a pure function of
+    (id, salt), so reruns and engine twins agree row-for-row.
+
+    The rates table is broadcast — the corpus is never shuffled; the
+    filter is per-row hash arithmetic in the scan stage."""
+    rates = source_mix_rates(df, source_col, target)
+    return df.join(
+        F.broadcast(rates.select(source_col, "rate_pct")), source_col
+    ).filter(split_bucket(F.col(id_col), salt) < F.col("rate_pct")).drop("rate_pct")
+
+
+def temperature_mix_weights(
+    counts: dict[str, int], alpha: float = 0.5
+) -> dict[str, float]:
+    """Temperature-flattened sampling probabilities for a multi-source
+    training mix (the multilingual-LM recipe: p_s ∝ n_s^alpha, then
+    per-doc sampling rate r_s ∝ p_s / n_s, normalized so max(r) = 1).
+    alpha=1 keeps natural proportions; alpha→0 flattens to uniform.
+
+    Driver-side float math over the dimension-sized counts dict (NOT
+    oracle-reproducible — use rebalance_sources for the exact path);
+    feed the result to hash_sample percents or weighted samplers."""
+    if not counts:
+        return {}
+    w = {s: n**alpha for s, n in counts.items()}
+    r = {s: (w[s] / counts[s]) for s in counts}
+    peak = max(r.values())
+    return {s: r[s] / peak for s in counts}

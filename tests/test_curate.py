@@ -102,3 +102,80 @@ def test_hash_sample_deterministic_and_decorrelated(spark):
         r["doc_id"] for r in curate.hash_sample(df, percent=5).collect()
     )
     assert s5 <= set(s1)
+
+
+# --- round 3: n-gram counts / source mixing ----------------------------------
+
+
+def _py_all_ngrams(text: str, n: int) -> list[str]:
+    ws = [w for w in text.split() if w]
+    return [" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)]
+
+
+def test_ngram_counts_matches_python(spark):
+    rows = [
+        (0, "a b a b a b"),      # "a b" x3, "b a" x2
+        (1, "a b c"),
+        (2, "x"),                # shorter than n -> nothing
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["g"]: (r["n_occurrences"], r["n_docs"])
+        for r in curate.ngram_counts(df, n=2, min_count=1).collect()
+    }
+    from collections import Counter
+
+    occ = Counter()
+    docs = {}
+    for i, t in rows:
+        grams = _py_all_ngrams(t, 2)
+        occ.update(grams)
+        for g in set(grams):
+            docs[g] = docs.get(g, 0) + 1
+    assert got == {g: (c, docs[g]) for g, c in occ.items()}
+    # min_count prunes the tail
+    top = curate.top_ngrams(df, n=2, k=1, min_count=2).collect()
+    assert [(r["g"], r["n_occurrences"]) for r in top] == [("a b", 4)]
+
+
+def test_rebalance_sources_matches_python(spark):
+    # 3 sources with 30/12/5 docs -> target=5, rates 16/41/100
+    rows = [(i, f"s{0 if i < 30 else (1 if i < 42 else 2)}") for i in range(47)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    rates = {
+        r["source"]: (r["n_docs"], r["rate_pct"])
+        for r in curate.source_mix_rates(df).collect()
+    }
+    assert rates == {"s0": (30, 16), "s1": (12, 41), "s2": (5, 100)}
+    kept = sorted(r["doc_id"] for r in curate.rebalance_sources(df).collect())
+    expect = sorted(
+        i
+        for i, s in rows
+        if _py_bucket(i, "mix:") < {"s0": 16, "s1": 41, "s2": 100}[s]
+    )
+    assert kept == expect
+    # explicit target overrides the min
+    r100 = {
+        r["source"]: r["rate_pct"]
+        for r in curate.source_mix_rates(df, target=12).collect()
+    }
+    assert r100 == {"s0": 40, "s1": 100, "s2": 100}
+
+
+def test_temperature_mix_weights():
+    counts = {"web": 1000, "books": 10, "code": 100}
+    # alpha=1 -> natural proportions -> every doc sampled at rate 1
+    assert curate.temperature_mix_weights(counts, alpha=1.0) == {
+        "web": 1.0,
+        "books": 1.0,
+        "code": 1.0,
+    }
+    # alpha=0 -> uniform mix -> rare source at full rate, big thinned 100x
+    w0 = curate.temperature_mix_weights(counts, alpha=0.0)
+    assert w0["books"] == 1.0
+    assert abs(w0["web"] - 0.01) < 1e-12
+    assert abs(w0["code"] - 0.1) < 1e-12
+    # alpha=0.5 is between, monotone in source size
+    wh = curate.temperature_mix_weights(counts, alpha=0.5)
+    assert wh["books"] == 1.0 and w0["web"] < wh["web"] < 1.0
+    assert curate.temperature_mix_weights({}) == {}

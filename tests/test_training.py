@@ -420,3 +420,33 @@ def test_ivf_train_centroids_balances_real_embeddings(spark):
     sizes = [r["count"] for r in cells.groupBy("cell").count().collect()]
     n = embs.count()
     assert len(sizes) == 16 and max(sizes) <= 2 * n / 16, sizes
+
+
+def test_repetition_features_planted(spark):
+    rows = [
+        (0, "a b a b a b"),       # heavy 2-gram repetition
+        (1, "x y z"),             # no repetition; top2 tie -> min gram
+        (2, ""),                  # degenerate: every signal 0
+        (3, "l1\nl2\nl1\n\nl3"),  # duplicate line + blank line
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (
+            r["dup_word_ppm"],
+            r["top2_ppm"],
+            r["dup3_ppm"],
+            r["dup_line_ppm"],
+            r["dup_line_char_ppm"],
+        )
+        for r in text.repetition_features(df).collect()
+    }
+    # doc0: 6 words / 2 distinct -> 4/6; top2 "a b" 3x, 9 chars / 11 chars;
+    #       3-grams "a b a" x2 + "b a b" x2 -> all 20 gram-chars repeated
+    assert got[0] == (666667, 818182, 1000000, 0, 0)
+    # doc1: distinct words; 2-gram tie at count 1 -> "x y" (3 chars / 5)
+    assert got[1] == (0, 600000, 0, 0, 0)
+    assert got[2] == (0, 0, 0, 0, 0)
+    # doc3: 4 non-empty lines, "l1" twice -> 1/4 lines, 4/8 line chars;
+    #       words ARE whitespace-split across newlines -> 1/4 dup words
+    assert got[3][0] == 250000
+    assert got[3][3:] == (250000, 500000)
