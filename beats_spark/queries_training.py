@@ -631,6 +631,90 @@ SELECT g, n_occurrences, n_docs FROM c
 ORDER BY n_occurrences DESC, g LIMIT 20"""
 
 
+# --- q37: PII/secret scrubbing -----------------------------------------------
+
+
+def q_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus PII scrub: deterministic synthetic PII planted from
+    orders (emails on every 3rd row, 32-hex secrets on every 7th, IPv4
+    on evens, phones on o_orderkey%5<2, plus a version-number
+    near-miss that must NOT match ipv4), then redact + per-class
+    counts. Redacted-text integrity via the md5-prefix checksum sum."""
+    from beats_spark.training import scrub
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ok = F.col("o_orderkey")
+    ck = F.col("o_custkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    txt = F.concat(
+        F.lit("order "),
+        s(ok),
+        F.when(ok % 3 == 0, F.concat(F.lit(" contact c"), s(ck), F.lit("@mail.example.com"))).otherwise(F.lit(" contact none")),
+        F.when(ok % 2 == 0, F.concat(F.lit(" ip 10."), s(ok % 200), F.lit("."), s(ck % 200), F.lit(".7"))).otherwise(F.lit(" v1.2 release")),
+        F.when(ok % 7 == 0, F.concat(F.lit(" key "), F.md5(F.concat(F.lit("k"), s(ok))))).otherwise(F.lit("")),
+        F.when(ok % 5 < 2, F.concat(F.lit(" call 555-"), s(ok % 900 + 100), F.lit("-"), s(ck % 9000 + 1000))).otherwise(F.lit(" tail")),
+    )
+    df = orders.select((ok % 4).alias("bucket_id"), txt.alias("text"))
+    out = scrub.scrub(df)
+    ck8 = F.conv(F.substring(F.md5(F.col("text_redacted")), 1, 8), 16, 10).cast("long")
+    return (
+        out.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_email").alias("sum_email"),
+            F.sum("n_secret").alias("sum_secret"),
+            F.sum("n_ipv4").alias("sum_ipv4"),
+            F.sum("n_phone").alias("sum_phone"),
+            F.sum(F.length("text_redacted")).alias("sum_len"),
+            F.sum(ck8).alias("sum_ck"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+def q_scrub_oracle() -> str:
+    from beats_spark.training import scrub
+
+    p = scrub.patterns_sql()
+    cnt = {k: f"len(regexp_extract_all(text, '{pat}'))" for k, (pat, _) in p.items()}
+    red = "text"
+    for _, (pat, rep) in p.items():
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH t AS (
+  SELECT o_orderkey % 4 AS bucket_id,
+         concat('order ', o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0
+                THEN concat(' contact c', o_custkey, '@mail.example.com')
+                ELSE ' contact none' END,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN concat(' ip 10.', o_orderkey % 200, '.', o_custkey % 200, '.7')
+                ELSE ' v1.2 release' END,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN concat(' key ', md5(concat('k', CAST(o_orderkey AS VARCHAR))))
+                ELSE '' END,
+           CASE WHEN o_orderkey % 5 < 2
+                THEN concat(' call 555-', o_orderkey % 900 + 100, '-', o_custkey % 9000 + 1000)
+                ELSE ' tail' END) AS text
+  FROM orders),
+r AS (
+  SELECT bucket_id,
+         {cnt['email']} AS n_email,
+         {cnt['secret']} AS n_secret,
+         {cnt['ipv4']} AS n_ipv4,
+         {cnt['phone']} AS n_phone,
+         {red} AS red
+  FROM t)
+SELECT bucket_id, count(*) AS n_rows,
+       CAST(sum(n_email) AS BIGINT) AS sum_email,
+       CAST(sum(n_secret) AS BIGINT) AS sum_secret,
+       CAST(sum(n_ipv4) AS BIGINT) AS sum_ipv4,
+       CAST(sum(n_phone) AS BIGINT) AS sum_phone,
+       CAST(sum(length(red)) AS BIGINT) AS sum_len,
+       CAST(sum(('0x' || substring(md5(red), 1, 8))::BIGINT) AS BIGINT) AS sum_ck
+FROM r GROUP BY bucket_id ORDER BY bucket_id"""
+
+
 def catalog():
     return {
         "q11_dedup_exact": q_dedup_exact,
@@ -647,6 +731,7 @@ def catalog():
         "q34_repetition": q_repetition,
         "q35_source_mix": q_source_mix,
         "q36_top_ngrams": q_top_ngrams,
+        "q37_scrub": q_scrub,
     }
 
 
@@ -666,4 +751,5 @@ def oracles():
         "q34_repetition": q_repetition_oracle(),
         "q35_source_mix": q_source_mix_oracle(),
         "q36_top_ngrams": q_top_ngrams_oracle(),
+        "q37_scrub": q_scrub_oracle(),
     }

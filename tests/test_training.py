@@ -450,3 +450,27 @@ def test_repetition_features_planted(spark):
     #       words ARE whitespace-split across newlines -> 1/4 dup words
     assert got[3][0] == 250000
     assert got[3][3:] == (250000, 500000)
+
+
+def test_scrub_redacts_and_counts(spark):
+    from beats_spark.training import scrub
+
+    rows = [
+        (0, "mail a.b+c@sub.example.co.uk and bare 10.1.2.3 plus v1.2 ok"),
+        (1, "key deadbeefdeadbeefdeadbeefdeadbeef call 555-123-4567"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.ai one short hex cafe1234"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    got = {
+        r["i"]: (
+            r["n_email"], r["n_secret"], r["n_ipv4"], r["n_phone"],
+            r["text_redacted"],
+        )
+        for r in scrub.scrub(df).collect()
+    }
+    assert got[0] == (1, 0, 1, 0, "mail <EMAIL> and bare <IP> plus v1.2 ok")
+    assert got[1] == (0, 1, 0, 1, "key <SECRET> call <PHONE>")
+    assert got[2] == (0, 0, 0, 0, "no pii here at all")
+    # 32-hex threshold: 8-hex run survives
+    assert got[3] == (2, 0, 0, 0, "two mails <EMAIL> <EMAIL> one short hex cafe1234")
