@@ -715,6 +715,74 @@ SELECT bucket_id, count(*) AS n_rows,
 FROM r GROUP BY bucket_id ORDER BY bucket_id"""
 
 
+# --- q38: curation funnel ------------------------------------------------------
+
+
+def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style filter funnel with first-failing-stage attribution
+    (too_short → repetitious words → repetitious 2-gram → low
+    stopword density) and per-stage doc + char drop counters — the
+    training-corpus analog of the pipeline observer's events.filtered
+    accounting. Stage counts sum to the corpus size."""
+    from beats_spark.training import curate, text
+
+    docs = _docs(spark, sf_dir)
+    rep = text.repetition_features(docs)
+    n_words = text.token_count(F.col("text"))
+    swr_ppm = F.when(
+        n_words > 0,
+        F.round(text.stopword_hits(F.col("text"), "en") * 1e6 / n_words).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    sig = rep.withColumn("n_words", n_words).withColumn("swr_ppm", swr_ppm)
+    checks = {
+        "too_short": F.col("n_words") >= 35,
+        "rep_words": F.col("dup_word_ppm") < 550000,
+        "rep_2gram": F.col("top2_ppm") < 30000,
+        "low_stopword": F.col("swr_ppm") >= 50000,
+    }
+    return curate.funnel_counts(sig, checks, weight_col="n_chars").orderBy("stage")
+
+
+def q_quality_funnel_oracle() -> str:
+    from beats_spark.training import curate
+
+    g2 = curate.ngram_all_sql(2)
+    sw = _SW_SQL["en"]
+    return f"""
+WITH base AS (
+  SELECT doc_id, n_chars, {_WS_SQL} AS ws FROM documents),
+arr AS (
+  SELECT doc_id, n_chars, len(ws) AS n_words, len(list_distinct(ws)) AS nw_d,
+         len(list_filter(list_transform(ws, w -> lower(w)), w -> w IN ({sw}))) AS en_sw,
+         ws
+  FROM base),
+g2c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest({g2}) AS g FROM base) GROUP BY doc_id, g),
+top2 AS (
+  SELECT doc_id, c * length(g) AS top2_chars
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, g) AS rn FROM g2c)
+  WHERE rn = 1),
+sig AS (
+  SELECT a.n_chars,
+         a.n_words,
+         CASE WHEN a.n_words > 0 THEN CAST(round(1e6 * (a.n_words - a.nw_d) / a.n_words) AS BIGINT) ELSE 0 END AS dup_word_ppm,
+         CASE WHEN a.n_chars > 0 THEN CAST(round(1e6 * coalesce(t.top2_chars, 0) / a.n_chars) AS BIGINT) ELSE 0 END AS top2_ppm,
+         CASE WHEN a.n_words > 0 THEN CAST(round(1e6 * a.en_sw / a.n_words) AS BIGINT) ELSE 0 END AS swr_ppm
+  FROM arr a LEFT JOIN top2 t ON t.doc_id = a.doc_id),
+st AS (
+  SELECT CASE WHEN NOT (n_words >= 35) THEN 'too_short'
+              WHEN NOT (dup_word_ppm < 550000) THEN 'rep_words'
+              WHEN NOT (top2_ppm < 30000) THEN 'rep_2gram'
+              WHEN NOT (swr_ppm >= 50000) THEN 'low_stopword'
+              ELSE 'kept' END AS stage,
+         n_chars
+  FROM sig)
+SELECT stage, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_weight
+FROM st GROUP BY stage ORDER BY stage"""
+
+
 def catalog():
     return {
         "q11_dedup_exact": q_dedup_exact,
@@ -732,6 +800,7 @@ def catalog():
         "q35_source_mix": q_source_mix,
         "q36_top_ngrams": q_top_ngrams,
         "q37_scrub": q_scrub,
+        "q38_quality_funnel": q_quality_funnel,
     }
 
 
@@ -752,4 +821,5 @@ def oracles():
         "q35_source_mix": q_source_mix_oracle(),
         "q36_top_ngrams": q_top_ngrams_oracle(),
         "q37_scrub": q_scrub_oracle(),
+        "q38_quality_funnel": q_quality_funnel_oracle(),
     }

@@ -215,6 +215,49 @@ def hash_sample(
     return df.filter(split_bucket(F.col(id_col), salt) < percent)
 
 
+# --- curation funnel ------------------------------------------------------------
+
+
+def funnel(
+    df: DataFrame, checks: dict[str, Column], stage_col: str = "drop_stage"
+) -> DataFrame:
+    """First-failing-filter attribution: `checks` maps stage name →
+    PASS condition, evaluated in insertion order; `stage_col` is the
+    name of the first check a row fails, NULL for kept rows. The
+    training-corpus analog of the reference pipeline's per-processor
+    drop accounting (events.filtered in libbeat's pipeline observer):
+    every dropped doc is attributed to exactly one filter, so the
+    funnel's stage counts sum to the corpus.
+
+    One chained when() Column — no row explosion, no shuffle; the
+    funnel label is computed in the same scan as the signals. Checks
+    must be null-safe (a NULL condition falls through to later
+    stages)."""
+    e = None
+    for name, cond in checks.items():
+        e = F.when(~cond, F.lit(name)) if e is None else e.when(~cond, F.lit(name))
+    if e is None:
+        return df.withColumn(stage_col, F.lit(None).cast("string"))
+    return df.withColumn(stage_col, e.otherwise(F.lit(None).cast("string")))
+
+
+def funnel_counts(
+    df: DataFrame,
+    checks: dict[str, Column],
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(stage, n_docs[, sum_weight]) per funnel stage, kept rows under
+    stage='kept' — map-side-combined groupBy over the stage label."""
+    staged = funnel(df, checks)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).alias("sum_weight"))
+    return (
+        staged.groupBy(F.coalesce(F.col("drop_stage"), F.lit("kept")).alias("stage"))
+        .agg(*aggs)
+    )
+
+
 # --- source/domain mixing ------------------------------------------------------
 
 

@@ -179,3 +179,22 @@ def test_temperature_mix_weights():
     wh = curate.temperature_mix_weights(counts, alpha=0.5)
     assert wh["books"] == 1.0 and w0["web"] < wh["web"] < 1.0
     assert curate.temperature_mix_weights({}) == {}
+
+
+def test_funnel_first_failing_attribution(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 5), (2, 50, 5), (3, 50, 99), (4, 50, 50)],
+        ["id", "a", "b"],
+    )
+    checks = {"a_small": F.col("a") >= 20, "b_big": F.col("b") <= 60}
+    got = {
+        r["id"]: r["drop_stage"] for r in curate.funnel(df, checks).collect()
+    }
+    # row 1 fails BOTH but attributes to the FIRST check only
+    assert got == {1: "a_small", 2: None, 3: "b_big", 4: None}
+    counts = {
+        r["stage"]: (r["n_docs"], r["sum_weight"])
+        for r in curate.funnel_counts(df, checks, weight_col="b").collect()
+    }
+    assert counts == {"a_small": (1, 5), "b_big": (1, 99), "kept": (2, 55)}
+    assert sum(n for n, _ in counts.values()) == df.count()
