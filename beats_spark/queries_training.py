@@ -783,6 +783,40 @@ SELECT stage, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_weight
 FROM st GROUP BY stage ORDER BY stage"""
 
 
+# --- q39: token vocabulary histogram + coverage -------------------------------
+
+
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-audit primitive over the BASELINE token table: top-20
+    token ids by frequency with cumulative token-mass coverage (ppm).
+    The cumulative window runs on the aggregated vocab-sized histogram,
+    never the token stream."""
+    from beats_spark.datagen import load_token_events
+    from beats_spark.training import pack
+
+    return pack.vocab_stats(load_token_events(spark, sf_dir), k=20).orderBy("rank")
+
+
+def q_vocab_oracle() -> str:
+    from beats_spark.datagen import token_events_sql
+
+    return f"""
+WITH t AS ({token_events_sql('duckdb')}),
+h AS (
+  SELECT token, count(*) AS n
+  FROM (SELECT unnest(tokens) AS token FROM t) GROUP BY token),
+r AS (
+  SELECT token, n,
+         sum(n) OVER (ORDER BY n DESC, token
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM h),
+tot AS (SELECT sum(n) AS total FROM h)
+SELECT rank, token, CAST(n AS BIGINT) AS n,
+       CAST(round(1e6 * cum / total) AS BIGINT) AS coverage_ppm
+FROM r, tot WHERE rank <= 20 ORDER BY rank"""
+
+
 def catalog():
     return {
         "q11_dedup_exact": q_dedup_exact,
@@ -801,6 +835,7 @@ def catalog():
         "q36_top_ngrams": q_top_ngrams,
         "q37_scrub": q_scrub,
         "q38_quality_funnel": q_quality_funnel,
+        "q39_vocab": q_vocab,
     }
 
 
@@ -822,4 +857,5 @@ def oracles():
         "q36_top_ngrams": q_top_ngrams_oracle(),
         "q37_scrub": q_scrub_oracle(),
         "q38_quality_funnel": q_quality_funnel_oracle(),
+        "q39_vocab": q_vocab_oracle(),
     }

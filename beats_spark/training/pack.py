@@ -161,3 +161,46 @@ def pack_stats(
         )
         .orderBy("seq_id")
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    k: int = 20,
+) -> DataFrame:
+    """Token vocabulary histogram with cumulative coverage: the top-k
+    token ids by frequency, each with its count and the cumulative
+    share of the total token mass (integer ppm) — the vocab-coverage /
+    tokenizer-audit primitive over the pre-tokenized training table.
+
+    Scale shape: posexplode-free explode → groupBy(token) with
+    map-side partial counts (the hot tokens combine inside each task);
+    the ordered cumulative window runs on the AGGREGATED histogram
+    (vocab-sized, thousands of rows at any corpus scale), never on the
+    token stream. Total mass rides along as a window-free broadcastable
+    scalar via a second aggregate of the same histogram.
+
+    Ties break by token id asc — deterministic, engine-portable.
+    """
+    hist = (
+        df.select(F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = hist.agg(F.sum("n").alias("__total"))
+    w = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token"))))
+        .filter(F.col("rank") <= k)
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col("rank").cast("long").alias("rank"),
+        "token",
+        "n",
+        F.round(F.col("cum").cast("double") * 1e6 / F.col("__total").cast("double"))
+        .cast("long")
+        .alias("coverage_ppm"),
+    )

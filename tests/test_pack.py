@@ -73,3 +73,20 @@ def test_pack_stats_match_python(spark):
     # n_docs: doc spanning a boundary counts in both sequences
     nd = {r["seq_id"]: r["n_docs"] for r in rows}
     assert all(v >= 1 for v in nd.values())
+
+
+def test_vocab_stats_planted(spark):
+    from beats_spark.training import pack
+
+    df = spark.createDataFrame(
+        [(1, [1, 1, 2]), (2, [2, 1]), (3, [7])],
+        "doc_id long, tokens array<int>",
+    )
+    got = [
+        (r["rank"], r["token"], r["n"], r["coverage_ppm"])
+        for r in pack.vocab_stats(df, k=2).orderBy("rank").collect()
+    ]
+    assert got == [(1, 1, 3, 500000), (2, 2, 2, 833333)]
+    # tie at n=1: token id asc breaks it deterministically
+    all3 = pack.vocab_stats(df, k=3).orderBy("rank").collect()
+    assert (all3[2]["token"], all3[2]["coverage_ppm"]) == (7, 1000000)
