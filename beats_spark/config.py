@@ -177,18 +177,25 @@ def read_input(spark, input_cfg: dict[str, Any]):
     paths = input_cfg.get("paths") or []
     if not paths:
         raise ValueError("input has no paths")
+    parsers = list(input_cfg.get("parsers") or [])
+    if input_cfg.get("multiline"):
+        parsers.append({"multiline": input_cfg["multiline"]})
+    # include/exclude_lines filter the MESSAGE AFTER the reader chain —
+    # with multiline configured the reference drops whole merged events
+    # whose first line matches, never individual continuation lines
+    # (harvester.go:428 filters the post-reader-chain text; the reader
+    # chain is log_file → ... → multiline, harvester.go:644-700)
+    include = input_cfg.get("include_lines") or None
+    exclude = input_cfg.get("exclude_lines") or None
     df = read_lines(
         spark,
         paths,
         encoding=input_cfg.get("encoding", "utf-8"),
         max_bytes=input_cfg.get("max_bytes"),
-        include_lines=input_cfg.get("include_lines") or None,
-        exclude_lines=input_cfg.get("exclude_lines") or None,
+        include_lines=None if parsers else include,
+        exclude_lines=None if parsers else exclude,
         line_terminator=input_cfg.get("line_terminator", "auto"),
     )
-    parsers = list(input_cfg.get("parsers") or [])
-    if input_cfg.get("multiline"):
-        parsers.append({"multiline": input_cfg["multiline"]})
     for p in parsers:
         (kind, body), = p.items()
         body = body or {}
@@ -207,6 +214,15 @@ def read_input(spark, input_cfg: dict[str, Any]):
             )
         else:
             raise ValueError(f"unsupported parser {kind!r}")
+    # empty messages never become events (harvester.go:428 IsEmpty —
+    # checked on the post-reader-chain content, before line filters)
+    df = df.filter(F.length("message") > 0)
+    if parsers and (include or exclude):
+        from beats_spark.readers.lines import line_keep_predicate
+
+        df = df.filter(
+            line_keep_predicate(F.col("message"), include=include, exclude=exclude)
+        )
     fields = input_cfg.get("fields") or {}
     under_root = bool(input_cfg.get("fields_under_root", False))
     for k, v in fields.items():

@@ -14,8 +14,12 @@ queue/ACK machinery. Config mirrors filebeat.yml:
       "payload_field": "payload",
     }
 
-include/exclude_lines run BEFORE any parse (harvester.go:496-519) so
-Catalyst pushes the rlike as close to the scan as it can.
+include/exclude_lines filter the post-reader-chain message — i.e.
+AFTER multiline merging when a parser chain is configured
+(harvester.go:428 filters the merged text; config.py read_input
+mirrors that), and before the processor chain. With no parser chain
+the message IS the raw line and Catalyst pushes the rlike down to the
+scan.
 """
 
 from __future__ import annotations

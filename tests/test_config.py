@@ -177,3 +177,32 @@ def test_line_filters_stay_per_input():
         {"inputs": [{"exclude_lines": ["CORRUPT"]}]}
     )
     assert cfg2["exclude_lines"] == ["CORRUPT"]
+
+
+def test_exclude_lines_filters_merged_events_not_continuations(spark, tmp_path):
+    """Reference ordering (harvester.go:428): the reader chain runs
+    multiline FIRST, then include/exclude_lines drop whole MERGED
+    events. An exclude pattern matching only a continuation line must
+    not fire (the merged message starts with the header), and an
+    exclude matching a bundle's first line drops the entire bundle.
+    Empty lines never become events."""
+    from beats_spark.config import read_input
+
+    log = tmp_path / "m.log"
+    log.write_text(
+        "EVT one\n"
+        "  at cont DROPME\n"     # continuation mentioning the pattern
+        "DROPME header\n"        # bundle whose merged text matches -> gone
+        "  at tail\n"
+        "\n"                     # empty line: never an event
+        "EVT two\n"
+    )
+    cfg = {
+        "paths": [str(log)],
+        "multiline": {"pattern": r"^\s+at ", "match": "after"},
+        "exclude_lines": [r"^DROPME"],
+    }
+    msgs = sorted(
+        r["message"] for r in read_input(spark, cfg).select("message").collect()
+    )
+    assert msgs == ["EVT one\n  at cont DROPME", "EVT two"]

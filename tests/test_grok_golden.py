@@ -85,7 +85,23 @@ def _check(got: list[dict], expected: list[dict], exempt: set[str]) -> int:
             if v is None:
                 continue
             if k in e:
-                assert v == e[k], f"row {i}: {k}: got {v!r} want {e[k]!r}"
+                if isinstance(e[k], list) and not isinstance(v, list):
+                    # ES grok emits an array when a field name is
+                    # captured by several pattern positions (e.g. the
+                    # slowlog schema appears in 'Schema:' AND 'use …;');
+                    # ours keeps one deterministic capture — it must be
+                    # one of the reference's values
+                    assert v in e[k], f"row {i}: {k}: got {v!r} want in {e[k]!r}"
+                elif isinstance(v, float):
+                    # ES :float is 32-bit; its JSON prints the shortest
+                    # repr — compare at float32 precision
+                    import math
+
+                    assert math.isclose(v, e[k], rel_tol=1e-6), (
+                        f"row {i}: {k}: got {v!r} want {e[k]!r}"
+                    )
+                else:
+                    assert v == e[k], f"row {i}: {k}: got {v!r} want {e[k]!r}"
                 n += 1
             else:
                 assert k in exempt, (
@@ -213,3 +229,181 @@ def test_grok_golden_system_syslog(spark):
             if "message" in e:
                 assert g["system.syslog.message"] == e["message"], (name, i)
     assert total >= 150, total
+
+
+# --- nginx/access --------------------------------------------------------------
+
+NGINX_FIELDS = [
+    "destination.domain",
+    "destination.ip",
+    "destination.port",
+    "nginx.access.remote_ip_list",
+    "source.address",
+    "user.name",
+    "nginx.access.time",
+    "nginx.access.info",
+    "http.response.status_code",
+    "http.response.body.bytes",
+    "http.request.referrer",
+    "user_agent.original",
+]
+# time → @timestamp via date; info → second grok then removed;
+# remote_ip_list → split to an array (checked as a set below);
+# source.address overwritten by the pipeline's first-public-ip script.
+NGINX_EXEMPT = {
+    "nginx.access.time",
+    "nginx.access.info",
+    "nginx.access.remote_ip_list",
+    "source.address",
+}
+
+
+def _coerce_ints(got: list[dict], expected: list[dict]) -> None:
+    """Grok NUMBER captures without :long (e.g. destination.port,
+    Thread_id variant) stay strings; the expected events carry ints.
+    Coerce digit-strings so _check compares values, not the missing
+    cast the later pipeline stages apply."""
+    for g, e in zip(got, expected):
+        for k, v in list(g.items()):
+            if isinstance(v, str) and v.isdigit() and isinstance(e.get(k), int):
+                g[k] = int(v)
+
+
+def test_grok_golden_nginx_access(spark):
+    import re as _re
+
+    pipeline = MODULES / "nginx/access/ingest/pipeline.yml"
+    # third grok re-parses source.address as a bare IP (null-cleanup)
+    grok_main, grok_info, _ = _grok_cfgs(pipeline)
+    logs = sorted((MODULES / "nginx/access/test").glob("*.log"))
+    assert len(logs) == 3
+    total = 0
+    for log in logs:
+        # empty lines never become events (harvester.go:428 IsEmpty)
+        messages = [l for l in log.read_text().splitlines() if l]
+        expected = _expected(log)
+        got = _run_grok(spark, messages, grok_main, NGINX_FIELDS)
+        _coerce_ints(got, expected)
+        # the raw list capture is compared as a SET below (the pipeline
+        # splits + reorders it) — keep it out of the scalar compare
+        total += _check(
+            [{k: v for k, v in g.items() if k != "nginx.access.remote_ip_list"} for g in got],
+            expected,
+            NGINX_EXEMPT,
+        )
+        infos = [g["nginx.access.info"] or "" for g in got]
+        got2 = _run_grok(
+            spark,
+            infos,
+            grok_info,
+            ["http.request.method", "_tmp.url_orig", "http.version"],
+        )
+        for i, (g, g2, e) in enumerate(zip(got, got2, expected)):
+            assert g["http.response.status_code"] is not None, (log.name, i)
+            # the remote ip LIST capture must split to the expected set
+            # (the pipeline splits + reorders; membership is ours to check)
+            if g["nginx.access.remote_ip_list"] is not None:
+                ips = {
+                    p
+                    for p in _re.split(r'[,\s"]+', g["nginx.access.remote_ip_list"])
+                    if p
+                }
+                assert ips == set(e["nginx.access.remote_ip_list"]), (log.name, i)
+            # second-stage grok over nginx.access.info
+            if "http.request.method" in e:
+                assert g2["http.request.method"] == e["http.request.method"], (log.name, i)
+                total += 1
+            if "url.original" in e:
+                assert g2["_tmp.url_orig"] == e["url.original"], (log.name, i)
+                total += 1
+            if "http.version" in e:
+                assert g2["http.version"] == e["http.version"], (log.name, i)
+                total += 1
+    assert total >= 150, total
+
+
+# --- mysql/slowlog (multiline → exclude_lines → grok) ---------------------------
+
+MYSQL_FIELDS = [
+    "user.name",
+    "mysql.slowlog.current_user",
+    "source.domain",
+    "source.ip",
+    "mysql.thread_id",
+    "mysql.slowlog.schema",
+    "mysql.slowlog.lock_time.sec",
+    "mysql.slowlog.rows_sent",
+    "mysql.slowlog.rows_examined",
+    "mysql.slowlog.rows_affected",
+    "mysql.slowlog.last_errno",
+    "mysql.slowlog.killed",
+    "mysql.slowlog.bytes_received",
+    "mysql.slowlog.bytes_sent",
+    "mysql.slowlog.tmp_tables",
+    "mysql.slowlog.tmp_disk_tables",
+    "mysql.slowlog.innodb.io_r_ops",
+    "mysql.slowlog.innodb.pages_distinct",
+    "mysql.slowlog.query",
+]
+MYSQL_EXEMPT: set[str] = set()
+
+
+def test_grok_golden_mysql_slowlog(spark):
+    """Replays the full module input shape: multiline bundling with the
+    module's own config (negate:true, match:after), THEN exclude_lines
+    on the MERGED message (harvester.go:428 ordering — the version
+    header and '# Time:' bundles drop whole), then the 55-optional-
+    group slowlog grok. Byte offsets of surviving bundles must equal
+    the expected events' log.offset exactly."""
+    import json as _json
+
+    from beats_spark.readers.lines import line_keep_predicate
+    from beats_spark.readers.multiline import merge_lines
+
+    pipeline = _json.loads(
+        (MODULES / "mysql/slowlog/ingest/pipeline.json").read_text()
+    )
+    grok_cfg = next(p["grok"] for p in pipeline["processors"] if "grok" in p)
+    cfg_yaml = yaml.safe_load(
+        (MODULES / "mysql/slowlog/config/slowlog.yml").read_text()
+        .replace("{{ range $i, $path := .paths }}", "")
+        .replace("- {{$path}}", "")
+        .replace("{{ end }}", "")
+    )
+    ml = cfg_yaml["multiline"]
+    excludes = cfg_yaml["exclude_lines"]
+
+    logs = sorted((MODULES / "mysql/slowlog/test").glob("*.log"))
+    assert len(logs) == 13
+    total = 0
+    for log in logs:
+        lines = log.read_text().splitlines()
+        expected = _expected(log)
+        offs, pos = [], 0
+        for l in lines:
+            offs.append(pos)
+            pos += len(l.encode("utf-8")) + 1
+        ldf = spark.createDataFrame(
+            [("f", offs[i], l) for i, l in enumerate(lines)],
+            "source string, offset long, message string",
+        )
+        merged = merge_lines(ldf, ml)
+        kept = merged.filter(
+            line_keep_predicate(F.col("message"), exclude=excludes)
+        )
+        bundles = sorted(
+            kept.select("first_offset", "message").collect(),
+            key=lambda r: r.first_offset,
+        )
+        assert len(bundles) == len(expected), log.name
+        for i, e in enumerate(expected):
+            assert bundles[i].first_offset == e["log.offset"], (log.name, i)
+        got = _run_grok(
+            spark, [r.message for r in bundles], grok_cfg, MYSQL_FIELDS
+        )
+        _coerce_ints(got, expected)
+        total += _check(got, expected, MYSQL_EXEMPT)
+        for i, (g, e) in enumerate(zip(got, expected)):
+            assert g["mysql.slowlog.query"] is not None, (log.name, i)
+            assert g["user.name"] is not None, (log.name, i)
+    assert total >= 350, total  # 373 measured: ~2.2 checked fields/event × 168 events
