@@ -40,6 +40,10 @@ PROBE_QUERIES = [
     "q24_token_window_dups",
     "q26_ivf_topk",
     "q28_embedding_dups",
+    # round-3 corpus ops
+    "q34_repetition",
+    "q37_scrub",
+    "q38_quality_funnel",
 ]
 
 
@@ -56,9 +60,12 @@ def build_dir(spark: SparkSession, path: str, mult: int) -> None:
     datagen.generate_embeddings(spark, X1["embeddings"] * mult).write.parquet(
         f"{path}/embeddings.parquet"
     )
-    # q24's loader only consumes o_orderkey (the token-table seed)
+    # q24's loader only consumes o_orderkey (the token-table seed);
+    # q37 also reads o_custkey — derive it deterministically so both
+    # probe scales share the distribution
     spark.range(1, X1["orders"] * mult + 1).select(
-        F.col("id").alias("o_orderkey")
+        F.col("id").alias("o_orderkey"),
+        (F.col("id") * 37 % 15000 + 1).alias("o_custkey"),
     ).write.parquet(f"{path}/orders.parquet")
 
 
