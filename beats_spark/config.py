@@ -215,14 +215,20 @@ def read_input(spark, input_cfg: dict[str, Any]):
         else:
             raise ValueError(f"unsupported parser {kind!r}")
     # empty messages never become events (harvester.go:428 IsEmpty —
-    # checked on the post-reader-chain content, before line filters)
-    df = df.filter(F.length("message") > 0)
-    if parsers and (include or exclude):
-        from beats_spark.readers.lines import line_keep_predicate
+    # checked on the post-reader-chain content, before line filters).
+    # ndjson may merge `message` away (keep_original=false): the
+    # reference then filters the decoded event's remaining text, which
+    # has no column here — skip rather than resolve a dropped column.
+    if "message" in df.columns:
+        df = df.filter(F.length("message") > 0)
+        if parsers and (include or exclude):
+            from beats_spark.readers.lines import line_keep_predicate
 
-        df = df.filter(
-            line_keep_predicate(F.col("message"), include=include, exclude=exclude)
-        )
+            df = df.filter(
+                line_keep_predicate(
+                    F.col("message"), include=include, exclude=exclude
+                )
+            )
     fields = input_cfg.get("fields") or {}
     under_root = bool(input_cfg.get("fields_under_root", False))
     for k, v in fields.items():

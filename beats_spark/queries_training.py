@@ -727,7 +727,9 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.training import curate, text
 
     docs = _docs(spark, sf_dir)
-    rep = text.repetition_features(docs)
+    # only the two signals the funnel reads — skips the 3-gram and
+    # line explodes entirely (code-review r03 finding)
+    rep = text.repetition_features(docs, signals=("dup_word", "top2"))
     n_words = text.token_count(F.col("text"))
     swr_ppm = F.when(
         n_words > 0,

@@ -24,34 +24,12 @@ from pyspark.sql import functions as F
 from beats_spark.training.text import words
 
 
-def word_ngrams(col: Column, n: int = 5) -> Column:
-    """Distinct word n-grams as raw space-joined strings (portable —
-    no hash, so the DuckDB twin is a list_transform over the same
-    split). Empty array for docs with < n words."""
-    ws = words(col)
-
-    def gram(i: Column) -> Column:
-        return F.concat_ws(" ", F.slice(ws, i + 1, n))
-
-    grams = F.transform(F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))), gram)
-    return F.array_distinct(
-        F.when(F.size(ws) >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
-
-
-def ngram_sql(n: int) -> str:
-    """DuckDB twin of word_ngrams over a `ws` word-list column (1-indexed)."""
-    concat = ", ' ', ".join(f"ws[i+{j}]" for j in range(n))
-    return (
-        f"list_distinct(list_transform(range(1, greatest(len(ws) - {n - 1}, 0) + 1), "
-        f"i -> concat({concat})))"
-    )
-
-
 def word_ngrams_all(col: Column, n: int = 2) -> Column:
-    """ALL word n-gram occurrences (duplicates kept — repetition and
-    frequency stats need multiplicity, unlike the membership-style
-    `word_ngrams`). Empty array for docs with < n words."""
+    """ALL word n-gram occurrences as raw space-joined strings
+    (duplicates kept — repetition and frequency stats need
+    multiplicity). Empty array for docs with < n words. The single
+    home of the gram-slice arithmetic; the distinct variant derives
+    from it."""
     ws = words(col)
 
     def gram(i: Column) -> Column:
@@ -69,6 +47,18 @@ def ngram_all_sql(n: int) -> str:
         f"list_transform(range(1, greatest(len(ws) - {n - 1}, 0) + 1), "
         f"i -> concat({concat})) ELSE CAST([] AS VARCHAR[]) END"
     )
+
+
+def word_ngrams(col: Column, n: int = 5) -> Column:
+    """Distinct word n-grams (membership semantics — dedup/
+    decontamination). Portable: no hash, so the DuckDB twin is the
+    same list arithmetic."""
+    return F.array_distinct(word_ngrams_all(col, n))
+
+
+def ngram_sql(n: int) -> str:
+    """DuckDB twin of word_ngrams over a `ws` word-list column (1-indexed)."""
+    return f"list_distinct({ngram_all_sql(n)})"
 
 
 def ngram_counts(
@@ -322,9 +312,12 @@ def temperature_mix_weights(
     Driver-side float math over the dimension-sized counts dict (NOT
     oracle-reproducible — use rebalance_sources for the exact path);
     feed the result to hash_sample percents or weighted samplers."""
-    if not counts:
-        return {}
-    w = {s: n**alpha for s, n in counts.items()}
-    r = {s: (w[s] / counts[s]) for s in counts}
+    nonzero = {s: n for s, n in counts.items() if n > 0}
+    if not nonzero:
+        return {s: 0.0 for s in counts}
+    w = {s: n**alpha for s, n in nonzero.items()}
+    r = {s: (w[s] / nonzero[s]) for s in nonzero}
     peak = max(r.values())
-    return {s: r[s] / peak for s in counts}
+    out = {s: r[s] / peak for s in nonzero}
+    # empty sources contribute no documents: weight 0, never a crash
+    return {s: out.get(s, 0.0) for s in counts}

@@ -37,15 +37,17 @@ PATTERNS: dict[str, tuple[str, str]] = {
 
 def redaction_counts(col: Column, classes: tuple[str, ...] | None = None) -> dict[str, Column]:
     """Per-class match counts over the original text (independent
-    scans — overlapping classes each count their own matches)."""
-    names = classes or tuple(PATTERNS)
+    scans — overlapping classes each count their own matches).
+    classes=None means the full battery; an explicit empty tuple is a
+    no-op, not all-classes."""
+    names = tuple(PATTERNS) if classes is None else classes
     return {name: F.regexp_count(col, F.lit(PATTERNS[name][0])) for name in names}
 
 
 def redact(col: Column, classes: tuple[str, ...] | None = None) -> Column:
     """Chained regexp_replace in PATTERNS order."""
     out = col
-    for name in classes or tuple(PATTERNS):
+    for name in tuple(PATTERNS) if classes is None else classes:
         pat, rep = PATTERNS[name]
         out = F.regexp_replace(out, pat, rep)
     return out

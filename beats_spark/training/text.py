@@ -131,8 +131,14 @@ def doc_fingerprint(col: Column, mod: int = (1 << 31) - 1, base: int = 257) -> C
     )
 
 
+ALL_REPETITION_SIGNALS = ("dup_word", "dup_line", "dup_line_char", "top2", "dup3")
+
+
 def repetition_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    signals: tuple[str, ...] = ALL_REPETITION_SIGNALS,
 ) -> DataFrame:
     """Gopher-style repetition signals per document (the "repetitious
     text" quality filters of Rae et al. 2021 §A1.1, adapted to integer
@@ -145,12 +151,18 @@ def repetition_features(
                         (ties broken by gram asc — deterministic)
     - dup3_ppm          chars in 3-grams occurring >1 time / 3-gram chars
 
-    Scale shape: three exploded aggregates, each keyed (doc_id, unit) —
-    grams/lines never cross documents, so there is no hot key and every
-    groupBy is map-side combined; the join back to the corpus is on the
-    id only (signals are 5 ints/doc). Array signals (dup_word/dup_line)
-    are per-row array ops in the scan stage, no shuffle.
+    Scale shape: up to three exploded aggregates, each keyed
+    (doc_id, unit) — grams/lines never cross documents, so there is no
+    hot key and every groupBy is map-side combined; the join back to
+    the corpus is on the id only (≤5 ints/doc). Array signals
+    (dup_word/dup_line) are per-row array ops in the scan stage, no
+    shuffle. `signals` selects a subset: only the exploded aggregates
+    a requested signal needs are planned (a funnel that reads
+    dup_word+top2 skips the 3-gram AND line explodes entirely).
     """
+    unknown = set(signals) - set(ALL_REPETITION_SIGNALS)
+    if unknown:
+        raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
     from beats_spark.training.curate import word_ngrams_all
 
     did = F.col(id_col)
@@ -166,85 +178,104 @@ def repetition_features(
             den > 0, F.round(num.cast("double") * 1e6 / den.cast("double")).cast("long")
         ).otherwise(F.lit(0).cast("long"))
 
-    base = df.select(
+    base_cols = [
         did.alias("__id"),
-        F.length(text).alias("n_chars"),
-        F.size(ws).alias("n_words"),
-        F.size(F.array_distinct(ws)).alias("__nw_d"),
-        F.size(lines).alias("__nl"),
-        F.size(F.array_distinct(lines)).alias("__nl_d"),
-    )
+        F.length(text).alias("__n_chars"),
+        F.size(ws).alias("__n_words"),
+    ]
+    if "dup_word" in signals:
+        base_cols.append(F.size(F.array_distinct(ws)).alias("__nw_d"))
+    if "dup_line" in signals:
+        base_cols += [
+            F.size(lines).alias("__nl"),
+            F.size(F.array_distinct(lines)).alias("__nl_d"),
+        ]
+    base = df.select(*base_cols)
+    sig = base
 
-    # per-line multiplicity → chars in duplicated lines
-    line_counts = (
-        df.select(did.alias("__id"), F.explode(lines).alias("l"))
-        .groupBy("__id", "l")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    line_chars = line_counts.groupBy("__id").agg(
-        F.sum(
-            F.when(F.col("c") > 1, F.col("c") * F.length("l")).otherwise(F.lit(0))
-        ).alias("__dup_line_chars"),
-        F.sum(F.col("c") * F.length("l")).alias("__line_chars"),
-    )
-
-    # most frequent word 2-gram (count desc, gram asc)
-    from pyspark.sql.window import Window
-
-    g2 = (
-        df.select(did.alias("__id"), F.explode(word_ngrams_all(text, 2)).alias("g"))
-        .groupBy("__id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    top2 = (
-        g2.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("__id").orderBy(F.desc("c"), F.asc("g"))
-            ),
+    if "dup_line_char" in signals:
+        # per-line multiplicity → chars in duplicated lines
+        line_counts = (
+            df.select(did.alias("__id"), F.explode(lines).alias("l"))
+            .groupBy("__id", "l")
+            .agg(F.count(F.lit(1)).alias("c"))
         )
-        .filter(F.col("__rn") == 1)
-        .select("__id", (F.col("c") * F.length("g")).alias("__top2_chars"))
-    )
+        line_chars = line_counts.groupBy("__id").agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("l")).otherwise(F.lit(0))
+            ).alias("__dup_line_chars"),
+            F.sum(F.col("c") * F.length("l")).alias("__line_chars"),
+        )
+        sig = sig.join(line_chars, "__id", "left")
 
-    # chars in repeated 3-grams / total 3-gram chars
-    g3 = (
-        df.select(did.alias("__id"), F.explode(word_ngrams_all(text, 3)).alias("g"))
-        .groupBy("__id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    dup3 = g3.groupBy("__id").agg(
-        F.sum(
-            F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0))
-        ).alias("__dup3_chars"),
-        F.sum(F.col("c") * F.length("g")).alias("__g3_chars"),
-    )
+    if "top2" in signals:
+        # most frequent word 2-gram (count desc, gram asc)
+        from pyspark.sql.window import Window
 
-    sig = (
-        base.join(line_chars, "__id", "left")
-        .join(top2, "__id", "left")
-        .join(dup3, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            "n_words",
-            ppm(F.col("n_words") - F.col("__nw_d"), F.col("n_words")).alias(
+        g2 = (
+            df.select(did.alias("__id"), F.explode(word_ngrams_all(text, 2)).alias("g"))
+            .groupBy("__id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top2 = (
+            g2.withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy(F.desc("c"), F.asc("g"))
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("__id", (F.col("c") * F.length("g")).alias("__top2_chars"))
+        )
+        sig = sig.join(top2, "__id", "left")
+
+    if "dup3" in signals:
+        # chars in repeated 3-grams / total 3-gram chars
+        g3 = (
+            df.select(did.alias("__id"), F.explode(word_ngrams_all(text, 3)).alias("g"))
+            .groupBy("__id", "g")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        dup3 = g3.groupBy("__id").agg(
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.length("g")).otherwise(F.lit(0))
+            ).alias("__dup3_chars"),
+            F.sum(F.col("c") * F.length("g")).alias("__g3_chars"),
+        )
+        sig = sig.join(dup3, "__id", "left")
+
+    out_cols = [F.col("__id").alias(id_col)]
+    if "dup_word" in signals:
+        out_cols.append(
+            ppm(F.col("__n_words") - F.col("__nw_d"), F.col("__n_words")).alias(
                 "dup_word_ppm"
-            ),
-            ppm(F.col("__nl") - F.col("__nl_d"), F.col("__nl")).alias("dup_line_ppm"),
+            )
+        )
+    if "dup_line" in signals:
+        out_cols.append(
+            ppm(F.col("__nl") - F.col("__nl_d"), F.col("__nl")).alias("dup_line_ppm")
+        )
+    if "dup_line_char" in signals:
+        out_cols.append(
             ppm(
                 F.coalesce(F.col("__dup_line_chars"), F.lit(0)),
                 F.coalesce(F.col("__line_chars"), F.lit(0)),
-            ).alias("dup_line_char_ppm"),
-            ppm(F.coalesce(F.col("__top2_chars"), F.lit(0)), F.col("n_chars")).alias(
-                "top2_ppm"
-            ),
+            ).alias("dup_line_char_ppm")
+        )
+    if "top2" in signals:
+        out_cols.append(
+            ppm(
+                F.coalesce(F.col("__top2_chars"), F.lit(0)), F.col("__n_chars")
+            ).alias("top2_ppm")
+        )
+    if "dup3" in signals:
+        out_cols.append(
             ppm(
                 F.coalesce(F.col("__dup3_chars"), F.lit(0)),
                 F.coalesce(F.col("__g3_chars"), F.lit(0)),
-            ).alias("dup3_ppm"),
+            ).alias("dup3_ppm")
         )
-    )
-    return df.join(sig.drop("n_words"), id_col)
+    return df.join(sig.select(*out_cols), id_col)
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

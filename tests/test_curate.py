@@ -198,3 +198,8 @@ def test_funnel_first_failing_attribution(spark):
     }
     assert counts == {"a_small": (1, 5), "b_big": (1, 99), "kept": (2, 55)}
     assert sum(n for n, _ in counts.values()) == df.count()
+
+
+def test_temperature_mix_weights_zero_count_source():
+    w = curate.temperature_mix_weights({"web": 1000, "empty": 0}, alpha=0.5)
+    assert w["empty"] == 0.0 and w["web"] == 1.0

@@ -474,3 +474,22 @@ def test_scrub_redacts_and_counts(spark):
     assert got[2] == (0, 0, 0, 0, "no pii here at all")
     # 32-hex threshold: 8-hex run survives
     assert got[3] == (2, 0, 0, 0, "two mails <EMAIL> <EMAIL> one short hex cafe1234")
+
+
+def test_repetition_signals_subset_and_scrub_empty_classes(spark):
+    from beats_spark.training import scrub
+
+    df = spark.createDataFrame([(1, "a b a")], ["doc_id", "text"])
+    sub = text.repetition_features(df, signals=("dup_word", "top2"))
+    assert set(sub.columns) == {"doc_id", "text", "dup_word_ppm", "top2_ppm"}
+    # subset plan must not explode 3-grams or lines
+    plan = sub._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("generate") == 1, plan  # only the 2-gram explode
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown repetition signals"):
+        text.repetition_features(df, signals=("nope",))
+    # explicit empty classes tuple = no-op scrub, not the full battery
+    out = scrub.scrub(df, classes=())
+    assert out.columns == ["doc_id", "text", "text_redacted"]
+    assert out.collect()[0]["text_redacted"] == "a b a"
