@@ -278,7 +278,14 @@ class CheckpointedRunner:
         stay on disk for time-travel until `cleanup` GCs the run.
         Returns the number of chunk entries folded in (0 = nothing to
         compact)."""
-        mine = [e for e in self._entries() if e["run_id"] == self.run_id]
+        # zero-row chunk entries have no readable data and no doc-id
+        # range: they stay as standalone commit records, only non-empty
+        # chunks fold into the compacted set
+        mine = [
+            e
+            for e in self._entries()
+            if e["run_id"] == self.run_id and int(e["row_count"]) > 0
+        ]
         if len(mine) <= 1:
             return 0
         frames = [self.spark.read.parquet(e["path"]) for e in mine]
@@ -319,7 +326,11 @@ class CheckpointedRunner:
             "metrics": metrics,
             "committed_at": time.time(),
         }
-        others = [e for e in self._entries() if e["run_id"] != self.run_id]
+        others = [
+            e
+            for e in self._entries()
+            if e["run_id"] != self.run_id or int(e["row_count"]) == 0
+        ]
         self._commit(others + [entry])
         return len(mine)
 
@@ -349,15 +360,25 @@ class CheckpointedRunner:
         mine = [
             e for e in self._entries_at(version) if e["run_id"] == self.run_id
         ]
+        if not mine:
+            raise FileNotFoundError(
+                f"no committed chunks for run {self.run_id!r}"
+            )
+        # zero-row chunks are legitimately committed (e.g. a fully
+        # deduplicated chunk) but their attempt dir has no parquet
+        # footers to infer a schema from — skip the read, keep the
+        # commit record
         frames = [
             self.spark.read.parquet(e["path"]).withColumn(
                 CHUNK_COL, F.lit(e["chunk_id"])
             )
             for e in sorted(mine, key=lambda e: e["chunk_id"])
+            if int(e["row_count"]) > 0
         ]
         if not frames:
             raise FileNotFoundError(
-                f"no committed chunks for run {self.run_id!r}"
+                f"all committed chunks of run {self.run_id!r} are empty "
+                "(0 rows) — no schema to materialize"
             )
         out = frames[0]
         for f in frames[1:]:

@@ -473,3 +473,47 @@ def simhash_dup_groups(
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def incremental_dedup(
+    runner,
+    transform=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exactly-once cross-chunk dedup for resumable ingestion: wraps a
+    CheckpointedRunner chunk transform so every chunk is (a) deduped
+    within itself (min-id representative) and (b) anti-joined against
+    the content hashes of everything ALREADY COMMITTED — resolved
+    strictly through the manifest pointer, so a crash-and-replay of an
+    uncommitted chunk re-reads the same committed snapshot and the
+    final corpus is identical to an uninterrupted run (the registrar
+    exactly-once story extended to content identity; reference analog:
+    the registrar dedupes by offset, this dedupes by payload).
+
+    Scale shape: the seen-side is 8-byte xxhash64 content hashes, never
+    documents; within-chunk dedup shuffles hashes too. Chunks process
+    sequentially (the runner's contract) so the anti-join snapshot is
+    well-defined; at 10^12 rows the seen-hash table is still ~1% of the
+    token payload and prunes with a broadcast when small enough.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
+
+    def wrapped(part: DataFrame) -> DataFrame:
+        out = exact_dedup(part, text_col, id_col)
+        try:
+            seen = runner.result()
+        except FileNotFoundError:
+            seen = None
+        if seen is not None:
+            seen_h = seen.select(
+                F.xxhash64(F.col(text_col)).alias("__seen_h__")
+            ).distinct()
+            out = out.join(
+                seen_h,
+                F.xxhash64(F.col(text_col)) == F.col("__seen_h__"),
+                "left_anti",
+            )
+        return transform(out) if transform is not None else out
+
+    return wrapped

@@ -374,3 +374,45 @@ def test_compaction_atomic_and_resume_safe(spark, tmp_path):
     assert runner.compact() == 0
     # time travel still reads the pre-compaction snapshot
     assert counts(runner.result(version=v_before)) == before
+
+
+def test_incremental_dedup_exactly_once_across_crash(spark, tmp_path):
+    """Cross-chunk content dedup composed with the checkpointed runner:
+    a run that crashes between the data write and the manifest commit
+    and then resumes must produce EXACTLY the corpus of an
+    uninterrupted run — no duplicate texts, no lost texts, same
+    representatives (training/dedup.py incremental_dedup)."""
+    from beats_spark.checkpoint import CheckpointedRunner
+    from beats_spark.training.dedup import incremental_dedup
+
+    # 60 docs, 20 distinct texts, duplicates scattered across chunks
+    docs = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), (F.col("id") % 20).cast("string")).alias("text"),
+    )
+    sink = lambda d: d.withColumn("sink", F.lit("corpus"))  # noqa: E731
+
+    clean = CheckpointedRunner(spark, str(tmp_path / "clean"), n_chunks=4)
+    clean.run(docs, incremental_dedup(clean, sink))
+    a = sorted((r.text, r.doc_id) for r in clean.result().collect())
+
+    crashy = CheckpointedRunner(spark, str(tmp_path / "crashy"), n_chunks=4)
+    # crash AFTER chunk 3 of 4 wrote its data but BEFORE its commit
+    crashy.run(docs, incremental_dedup(crashy, sink), fail_before_commit=3)
+    assert len(crashy.committed_chunks()) == 2
+    # resume: replays the uncommitted chunk against the committed snapshot
+    resumed = CheckpointedRunner(spark, str(tmp_path / "crashy"), n_chunks=4)
+    resumed.run(docs, incremental_dedup(resumed, sink))
+    b = sorted((r.text, r.doc_id) for r in resumed.result().collect())
+
+    assert a == b  # identical corpus, identical representatives
+    texts = [t for t, _ in a]
+    assert sorted(set(texts)) == sorted(texts)  # unique
+    assert set(texts) == {f"text-{i}" for i in range(20)}  # complete
+
+    # compaction folds only non-empty chunks; zero-row commit records
+    # survive so every chunk stays 'done' and the corpus is unchanged
+    assert resumed.compact() >= 1
+    assert resumed.committed_chunks() == {0, 1, 2, 3}
+    c = sorted((r.text, r.doc_id) for r in resumed.result().collect())
+    assert c == a
