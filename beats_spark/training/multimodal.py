@@ -167,3 +167,150 @@ def extract_features(
             )
 
     return src.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = "key string, media binary, width int, height int, resize_error string"
+
+_RESIZERS: dict[str, Callable[[bytes, int, int], bytes]] = {}
+
+
+def register_resizer(kind: str, fn: Callable[[bytes, int, int], bytes]) -> None:
+    """Plug in a real resizer (e.g. PIL Image.resize → re-encoded bytes)."""
+    _RESIZERS[kind] = fn
+
+
+def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic stand-in: 1-D nearest-neighbor resample of the raw
+    bytes to w*h — out[i] = payload[(i * len) // (w*h)]. Keeps the
+    plumbing (binary-in/binary-out, size contract) real and testable;
+    replace via register_resizer in a real deployment."""
+    n = w * h
+    if not payload:
+        return bytes(n)
+    ln = len(payload)
+    return bytes(payload[(i * ln) // n] for i in range(n))
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    key_col: str = "key",
+    media_col: str = "media",
+    kind_col: str | None = None,
+    default_kind: str = "image",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """mapInPandas binary→binary resize stage (the image-resize step of
+    a multimodal training pipeline). Same Arrow batch shape as
+    extract_features: fat rows, so balance by row count first. The
+    resize kernel is pluggable per media kind; the default is the
+    deterministic byte-resample stub (no image libs in this
+    environment)."""
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    cols = [key_col, media_col] + ([kind_col] if kind_col else [])
+    src = df.select(*cols)
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            keys, outs, errs = [], [], []
+            key_vals = b[key_col].tolist()
+            media_vals = b[media_col].tolist()
+            kind_vals = b[kind_col].tolist() if kind_col else None
+            for idx in range(len(b)):
+                raw = media_vals[idx]
+                payload = bytes(raw) if raw is not None else b""
+                kind = kind_vals[idx] if kind_vals is not None else default_kind
+                keys.append(key_vals[idx])
+                fn = _RESIZERS.get(kind, _fake_resize)
+                try:
+                    outs.append(fn(payload, width, height))
+                    errs.append(None)
+                except NotImplementedError as e:
+                    outs.append(None)
+                    errs.append(str(e))
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "media": outs,
+                    "width": [width] * len(keys),
+                    "height": [height] * len(keys),
+                    "resize_error": errs,
+                }
+            )
+
+    return src.mapInPandas(gen, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "key string, frame_idx int, ts_ms long, frame binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    n_frames: int,
+    key_col: str = "key",
+    media_col: str = "media",
+    duration_ms_col: str | None = None,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """mapInPandas video frame sampling: one input row fans out to
+    n_frames rows (key, frame_idx, ts_ms, frame) — the flat-map batch
+    shape a real ffmpeg-backed sampler uses. The frame extraction is
+    the deterministic stub (equal byte slices standing in for decoded
+    frames); timestamps are evenly spaced over the duration column
+    when given, else over [0, 1000·n). Rows with empty payloads fan
+    out to zero frames (a decode failure drops the asset, not the
+    stage)."""
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    cols = [key_col, media_col] + ([duration_ms_col] if duration_ms_col else [])
+    src = df.select(*cols)
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            keys, idxs, tss, frames = [], [], [], []
+            key_vals = b[key_col].tolist()
+            media_vals = b[media_col].tolist()
+            dur_vals = b[duration_ms_col].tolist() if duration_ms_col else None
+            for r in range(len(b)):
+                raw = media_vals[r]
+                payload = bytes(raw) if raw is not None else b""
+                if not payload:
+                    continue
+                dur = (
+                    int(dur_vals[r])
+                    if dur_vals is not None and dur_vals[r] is not None
+                    else 1000 * n_frames
+                )
+                step = max(len(payload) // n_frames, 1)
+                for j in range(n_frames):
+                    lo = j * step
+                    if lo >= len(payload):
+                        break
+                    keys.append(key_vals[r])
+                    idxs.append(j)
+                    tss.append((dur * j) // n_frames)
+                    frames.append(payload[lo : lo + step])
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "frame": frames,
+                }
+            )
+
+    return src.mapInPandas(gen, FRAME_SCHEMA)

@@ -493,3 +493,40 @@ def test_repetition_signals_subset_and_scrub_empty_classes(spark):
     out = scrub.scrub(df, classes=())
     assert out.columns == ["doc_id", "text", "text_redacted"]
     assert out.collect()[0]["text_redacted"] == "a b a"
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    from beats_spark.training.multimodal import (
+        register_resizer,
+        resize_media,
+        sample_frames,
+    )
+
+    rows = [
+        ("a", bytes(range(100))),
+        ("b", b"\xff" * 7),      # shorter than target -> upsample
+        ("c", b""),              # empty payload
+    ]
+    df = spark.createDataFrame(rows, "key string, media binary")
+
+    out = {r["key"]: r for r in resize_media(df, 4, 3).collect()}
+    assert set(out) == {"a", "b", "c"}
+    for k, r in out.items():
+        assert len(bytes(r["media"])) == 12 and (r["width"], r["height"]) == (4, 3)
+    # nearest-neighbor over the bytes: out[i] = payload[(i*len)//12]
+    assert bytes(out["a"]["media"]) == bytes((i * 100) // 12 for i in range(12))
+    assert bytes(out["c"]["media"]) == bytes(12)
+    # pluggable kernel wins over the stub
+    register_resizer("thumb", lambda p, w, h: b"T" * (w * h))
+    got = resize_media(df, 2, 2, default_kind="thumb").collect()
+    assert all(bytes(r["media"]) == b"TTTT" for r in got)
+
+    vids = spark.createDataFrame(
+        [("v1", bytes(range(100)), 8000), ("v2", b"", 500)],
+        "key string, media binary, duration_ms long",
+    )
+    frames = sample_frames(vids, 4, duration_ms_col="duration_ms").collect()
+    by_idx = {r["frame_idx"]: r for r in frames}
+    assert sorted(r["key"] for r in frames) == ["v1"] * 4  # empty fans to 0
+    assert [by_idx[i]["ts_ms"] for i in range(4)] == [0, 2000, 4000, 6000]
+    assert bytes(by_idx[1]["frame"]) == bytes(range(25, 50))  # equal slices
