@@ -407,3 +407,84 @@ def test_grok_golden_mysql_slowlog(spark):
             assert g["mysql.slowlog.query"] is not None, (log.name, i)
             assert g["user.name"] is not None, (log.name, i)
     assert total >= 350, total  # 373 measured: ~2.2 checked fields/event × 168 events
+
+
+# --- traefik/access (dissect → grok composition) --------------------------------
+
+TRAEFIK_EXEMPT = {
+    "traefik.access.time",     # -> @timestamp via date, then removed
+    "traefik.access.message",  # grok input, then removed
+    "temp.url_orig",           # -> uri_parts (url.original checked below)
+    "temp.duration",           # -> event.duration (checked below)
+}
+
+
+def test_grok_golden_traefik_access(spark):
+    """The only module corpus that chains BOTH parse processors the
+    way the reference pipeline does: dissect splits the access line,
+    grok parses the dissected remainder (optional tail groups), a
+    second grok classifies source.address as ip-vs-domain."""
+    doc = yaml.safe_load(
+        (MODULES / "traefik/access/ingest/pipeline.yml").read_text()
+    )
+    dissect_cfg = next(p["dissect"] for p in doc["processors"] if "dissect" in p)
+    grok_tail, grok_addr = _grok_cfgs(MODULES / "traefik/access/ingest/pipeline.yml")
+    log = MODULES / "traefik/access/test/test.log"
+    messages = [l for l in log.read_text().splitlines() if l]
+    expected = _expected(log)
+    assert len(messages) == len(expected) == 7
+
+    df = spark.createDataFrame(
+        [(i, m) for i, m in enumerate(messages)], "idx long, message string"
+    )
+    out = compile_one(
+        {"dissect": {"tokenizer": dissect_cfg["pattern"], "target_prefix": ""}}
+    )(df)
+    dfields = [
+        "source.address",
+        "traefik.access.user_identifier",
+        "user.name",
+        "traefik.access.time",
+        "http.request.method",
+        "temp.url_orig",
+        "http.version",
+        "http.response.status_code",
+        "traefik.access.message",
+    ]
+    cols = [F.col("idx")] + [
+        field_col(out, f).alias(f"f{i}") for i, f in enumerate(dfields)
+    ]
+    rows = sorted(out.select(*cols).collect(), key=lambda r: r.idx)
+    got = [{f: r[f"f{i}"] for i, f in enumerate(dfields)} for r in rows]
+    _coerce_ints(got, expected)
+    total = _check(got, expected, TRAEFIK_EXEMPT)
+
+    # grok over the dissected tail (optional trailing groups)
+    tails = [g["traefik.access.message"] or "" for g in got]
+    gfields = [
+        "http.response.body.bytes",
+        "http.request.referrer",
+        "user_agent.original",
+        "traefik.access.request_count",
+        "traefik.access.frontend_name",
+        "traefik.access.backend_url",
+        "temp.duration",
+    ]
+    got2 = _run_grok(spark, tails, grok_tail, gfields)
+    _coerce_ints(got2, expected)
+    total += _check(got2, expected, TRAEFIK_EXEMPT)
+
+    # source.address -> ip-vs-domain classifier grok
+    addrs = [g["source.address"] or "" for g in got]
+    got3 = _run_grok(spark, addrs, grok_addr, ["source.ip", "source.domain"])
+    for i, (g3, g2, g, e) in enumerate(zip(got3, got2, got, expected)):
+        if "source.ip" in e:
+            assert g3["source.ip"] == e["source.ip"], i
+            total += 1
+        if "url.original" in e:
+            assert g["temp.url_orig"] == e["url.original"], i
+            total += 1
+        if g2["temp.duration"] is not None and "event.duration" in e:
+            assert g2["temp.duration"] * 1000000 == e["event.duration"], i
+            total += 1
+    assert total >= 80, total
