@@ -19,6 +19,15 @@ Covered corpora:
   multiline config (`^\\s` match:after, `config/syslog.yml`) replayed
   through our batch merge_lines first for the darwin fixtures
   (`module/system/syslog/ingest/files.yml:6-18`).
+- nginx/access (3 logs, 34 events): 3-stage grok, nested
+  pattern_definitions with unnamed composite refs, address-list
+  split-set check (`module/nginx/access/ingest/pipeline.yml`).
+- mysql/slowlog (13 logs, 168 events): module multiline config →
+  merged-event exclude_lines (harvester.go:428 ordering) →
+  55-optional-group grok over multi-line bundles, byte-offset aligned
+  (`module/mysql/slowlog/ingest/pipeline.json`, `config/slowlog.yml`).
+- traefik/access (7 events): dissect → grok composition
+  (`module/traefik/access/ingest/pipeline.yml`).
 
 Comparison policy: for every field the grok stage captures non-null,
 if the key survives into the expected event (later pipeline stages
