@@ -179,7 +179,9 @@ class DecodeCsvFields(Processor):
             unq = F.transform(
                 arr,
                 lambda x: F.when(
-                    x.rlike(r'^".*"$'),
+                    # (?s): quoted cells may span lines (e.g. postgres
+                    # csvlog multi-line messages)
+                    x.rlike(r'(?s)^".*"$'),
                     F.regexp_replace(
                         F.substring(x, 2, F.length(x) - 2), '""', '"'
                     ),

@@ -28,6 +28,10 @@ Covered corpora:
   (`module/mysql/slowlog/ingest/pipeline.json`, `config/slowlog.yml`).
 - traefik/access (7 events): dissect → grok composition
   (`module/traefik/access/ingest/pipeline.yml`).
+- postgresql/log csv (10 logs): multiline → grok →
+  decode_csv_fields (quoted multi-line cells, '""' escapes, short
+  rows) → duration/connection groks
+  (`module/postgresql/log/ingest/pipeline-csv.yml`).
 
 Comparison policy: for every field the grok stage captures non-null,
 if the key survives into the expected event (later pipeline stages
@@ -497,3 +501,123 @@ def test_grok_golden_traefik_access(spark):
             assert g2["temp.duration"] * 1000000 == e["event.duration"], i
             total += 1
     assert total >= 80, total
+
+
+# --- postgresql/log CSV (multiline → grok → decode_csv_fields → grok) -----------
+
+
+def test_grok_golden_postgresql_csv(spark):
+    """Third parse-processor composition: the module's multiline
+    bundles CSV rows (quoted fields may span lines), the main grok
+    splits timestamp/separator/raw_message, our decode_csv_fields
+    parses the quoted CSV remainder (embedded commas + '""' escapes),
+    and the csv sub-pipeline's groks parse duration/connection tails."""
+    from beats_spark.readers.multiline import merge_lines
+
+    ing = MODULES / "postgresql/log/ingest"
+    (main_grok,) = _grok_cfgs(ing / "pipeline.yml")
+    csv_doc = yaml.safe_load((ing / "pipeline-csv.yml").read_text())
+    csv_proc = next(p["csv"] for p in csv_doc["processors"] if "csv" in p)
+    conn_grok, msg_grok, _ = _grok_cfgs(ing / "pipeline-csv.yml")
+    targets = csv_proc["target_fields"]
+    ml = {"pattern": r"^\d{4}-\d{2}-\d{2} ", "negate": True, "match": "after"}
+
+    logs = sorted((MODULES / "postgresql/log/test").glob("*.csv.log"))
+    assert len(logs) == 10
+    total = 0
+    for log in logs:
+        lines = log.read_text().splitlines()
+        expected = _expected(log)
+        ldf = spark.createDataFrame(
+            [("f", i, l) for i, l in enumerate(lines)],
+            "source string, offset long, message string",
+        )
+        bundles = sorted(
+            merge_lines(ldf, ml).select("first_offset", "message").collect(),
+            key=lambda r: r.first_offset,
+        )
+        assert len(bundles) == len(expected), log.name
+        messages = [r.message for r in bundles]
+
+        got1 = _run_grok(
+            spark,
+            messages,
+            main_grok,
+            ["postgresql.log.timestamp", "separator", "raw_message", "event.timezone"],
+        )
+        assert all(g["separator"] == "," for g in got1), log.name
+
+        # decode_csv_fields over the raw CSV remainder → positional fields
+        raw = spark.createDataFrame(
+            [(i, g["raw_message"]) for i, g in enumerate(got1)],
+            "idx long, raw string",
+        )
+        dec = compile_one(
+            {"decode_csv_fields": {"fields": {"raw": "cells"}}}
+        )(raw)
+        rows = sorted(dec.select("idx", "cells").collect(), key=lambda r: r.idx)
+        got = []
+        for r, g1 in zip(rows, got1):
+            cells = [c.strip() for c in r.cells]
+            # older PG versions emit fewer columns (no backend_type);
+            # the ES csv processor fills leading targets and leaves the
+            # rest unset
+            assert len(cells) <= len(targets), (log.name, r.idx, len(cells))
+            d = {t: c for t, c in zip(targets, cells) if c != ""}
+            d["postgresql.log.timestamp"] = g1["postgresql.log.timestamp"]
+            d["event.timezone"] = g1["event.timezone"]
+            got.append(d)
+        _coerce_ints(got, expected)
+        exempt = {
+            "tempcsv.connection_from",
+            "tempcsv.session_line_num",
+            "tempcsv.session_start_time",
+            "tempcsv.message",
+            "tempcsv.internal_query_pos",
+            "tempcsv.query_pos",
+        }
+        total += _check(got, expected, exempt)
+
+        # duration/statement grok over the csv message cell
+        msgs = [g.get("tempcsv.message", "") for g in got]
+        got2 = _run_grok(
+            spark,
+            msgs,
+            msg_grok,
+            [
+                "temp.duration",
+                "postgresql.log.query_step",
+                "postgresql.log.query_name",
+                "message",
+            ],
+        )
+        # client addr:port grok
+        conns = [g.get("tempcsv.connection_from", "") for g in got]
+        got3 = _run_grok(
+            spark,
+            conns,
+            conn_grok,
+            ["postgresql.log.client_addr", "postgresql.log.client_port"],
+        )
+        for i, (g2, g3, e) in enumerate(zip(got2, got3, expected)):
+            if "event.duration" in e and g2["temp.duration"] is not None:
+                import math
+
+                # the reference harness stores event.duration through a
+                # float mapping — compare at float32 relative precision
+                ns = g2["temp.duration"] * 1e6
+                assert math.isclose(ns, e["event.duration"], rel_tol=1e-6, abs_tol=1.0), (log.name, i)
+                total += 1
+            for k in (
+                "postgresql.log.query_step",
+                "postgresql.log.query_name",
+                "message",
+            ):
+                if k in e and g2[k] is not None:
+                    assert g2[k] == e[k], (log.name, i, k)
+                    total += 1
+            if "postgresql.log.client_addr" in e:
+                assert g3["postgresql.log.client_addr"] == e["postgresql.log.client_addr"], (log.name, i)
+                assert g3["postgresql.log.client_port"] == e.get("postgresql.log.client_port"), (log.name, i)
+                total += 1
+    assert total >= 150, total
