@@ -49,9 +49,10 @@ GROK_PATTERNS: dict[str, str] = {
     "MINUTE": r"[0-5]\d",
     "SECOND": r"(?:[0-5]?\d)(?:[:.,]\d+)?",
     "TIME": r"%{HOUR}:%{MINUTE}:%{SECOND}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]%{HOUR}(?::?%{MINUTE})?)",
     "TIMESTAMP_ISO8601": (
         r"%{YEAR}-%{MONTHNUM}-%{MONTHDAY}[T ]%{HOUR}:%{MINUTE}"
-        r"(?::%{SECOND})?(?:Z|[+-]%{HOUR}(?::?%{MINUTE})?)?"
+        r"(?::%{SECOND})?%{ISO8601_TIMEZONE}?"
     ),
     "IPV4": (
         r"(?:25[0-5]|2[0-4]\d|[01]?\d{1,2})(?:\.(?:25[0-5]|2[0-4]\d|[01]?\d{1,2})){3}"

@@ -32,6 +32,8 @@ Covered corpora:
   decode_csv_fields (quoted multi-line cells, '""' escapes, short
   rows) → duration/connection groks
   (`module/postgresql/log/ingest/pipeline-csv.yml`).
+- icinga main+debug (6 events): multiline negate + in-place message
+  overwrite capture (`module/icinga/*/ingest/pipeline.yml`).
 
 Comparison policy: for every field the grok stage captures non-null,
 if the key survives into the expected event (later pipeline stages
@@ -621,3 +623,43 @@ def test_grok_golden_postgresql_csv(spark):
                 assert g3["postgresql.log.client_port"] == e.get("postgresql.log.client_port"), (log.name, i)
                 total += 1
     assert total >= 150, total
+
+
+# --- icinga main/debug (multiline → grok, message overwrite) --------------------
+
+
+def test_grok_golden_icinga(spark):
+    """Multiline negate bundles + a grok whose GREEDYMULTILINE capture
+    OVERWRITES the input `message` field — verifies in-place capture
+    overwrite and the ISO8601_TIMEZONE base pattern."""
+    from beats_spark.readers.multiline import merge_lines
+
+    ml = {"pattern": r"^\[", "negate": True, "match": "after"}
+    total = 0
+    for fileset in ("main", "debug"):
+        (grok_cfg,) = _grok_cfgs(MODULES / f"icinga/{fileset}/ingest/pipeline.yml")
+        log = MODULES / f"icinga/{fileset}/test/test.log"
+        lines = log.read_text().splitlines()
+        expected = _expected(log)
+        ldf = spark.createDataFrame(
+            [("f", i, l) for i, l in enumerate(lines)],
+            "source string, offset long, message string",
+        )
+        bundles = sorted(
+            merge_lines(ldf, ml).select("first_offset", "message").collect(),
+            key=lambda r: r.first_offset,
+        )
+        assert len(bundles) == len(expected), fileset
+        got = _run_grok(
+            spark,
+            [r.message for r in bundles],
+            grok_cfg,
+            ["log.level", f"icinga.{fileset}.facility", "message",
+             f"icinga.{fileset}.timestamp"],
+        )
+        total += _check(
+            got, expected, {f"icinga.{fileset}.timestamp"}
+        )
+        for i, (g, e) in enumerate(zip(got, expected)):
+            assert g["message"] == e["message"], (fileset, i)
+    assert total >= 16, total  # 18 measured: 3 checked fields × 6 events
