@@ -196,9 +196,13 @@ def read_input(spark, input_cfg: dict[str, Any]):
         exclude_lines=None if parsers else exclude,
         line_terminator=input_cfg.get("line_terminator", "auto"),
     )
+    cols_before_parsers = set(df.columns)
+    ran_decoder = False
     for p in parsers:
         (kind, body), = p.items()
         body = body or {}
+        if kind in ("ndjson", "container"):
+            ran_decoder = True
         if kind == "multiline":
             df = merge_lines(df, body).withColumnRenamed("first_offset", "offset")
         elif kind == "ndjson":
@@ -216,11 +220,26 @@ def read_input(spark, input_cfg: dict[str, Any]):
             raise ValueError(f"unsupported parser {kind!r}")
     # empty messages never become events (harvester.go:428 IsEmpty —
     # checked on the post-reader-chain content, before line filters).
+    # Message.IsEmpty (libbeat/reader/message.go:44-56) is Content
+    # empty AND Fields empty: when a decoding parser (ndjson/container)
+    # ran, rows whose message is empty but whose decoded fields are
+    # non-null stay (ADVICE r03).
     # ndjson may merge `message` away (keep_original=false): the
     # reference then filters the decoded event's remaining text, which
     # has no column here — skip rather than resolve a dropped column.
     if "message" in df.columns:
-        df = df.filter(F.length("message") > 0)
+        keep = F.length("message") > 0
+        decoded = [
+            c
+            for c in df.columns
+            if c not in cols_before_parsers and not c.startswith("_")
+        ]
+        if ran_decoder and decoded:
+            has_fields = F.col(decoded[0]).isNotNull()
+            for c in decoded[1:]:
+                has_fields = has_fields | F.col(c).isNotNull()
+            keep = F.coalesce(keep, F.lit(False)) | has_fields
+        df = df.filter(keep)
         if parsers and (include or exclude):
             from beats_spark.readers.lines import line_keep_predicate
 

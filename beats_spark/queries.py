@@ -886,10 +886,20 @@ def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.01/sf0.1 corpora (the oracle SQL is plane-count-generic, so the
     parameter can track log₂(n) without touching the compare); the
     candidate-volume linearity is asserted by
-    test_dup_candidate_volume_scales_linearly."""
+    test_dup_candidate_volume_scales_linearly.
+
+    Planted twins (VERDICT r03 item 1): five exact-copy vectors
+    (vec_id + 1000000) are unioned in — identical vectors land in the
+    same bucket in every table and verify at cos 1.0, so the compare
+    emits >0 rows at EVERY scale (the natural corpus has no pair at
+    sf0.001/sf0.01); the oracle unions the same twins."""
     from beats_spark.training import similarity
 
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    twins = raw.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    embs = raw.select("vec_id", "embedding").unionByName(twins)
     return similarity.cosine_dup_pairs(
         embs, threshold=0.42, dim=64, n_planes=12, n_tables=4, mixer_planes=True
     ).orderBy("id_a", "id_b")
@@ -921,9 +931,13 @@ def q_embedding_dups_oracle() -> str:
         )
 
     return f"""
-WITH sk AS (SELECT vec_id, embedding,
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+sk AS (SELECT vec_id, embedding,
                    list_transform({dots}, d -> d >= 0.0) AS bits
-            FROM embeddings),
+            FROM corpus),
 tables AS (SELECT unnest(range(0, {n_tables})) AS t),
 buckets AS (
   SELECT vec_id, embedding,
@@ -996,6 +1010,93 @@ SELECT kind, format, CAST(count(*) AS BIGINT) AS n,
 FROM t GROUP BY kind, format ORDER BY kind, format"""
 
 
+# --- q40: REAL multimodal decode (pure-numpy PPM/WAV kernels) ----------------
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 real-decode gate (VERDICT r03 item 2): plant well-formed
+    binary media with native expressions — even doc_ids get a P6 PPM
+    (8×4, constant RGB derived from doc_id), odd ones a PCM16 WAV
+    (16 constant samples, 8 kHz mono) — then run the REAL pure-numpy
+    decoders (media_codecs.decode_ppm / decode_wav) through
+    extract_features and emit integer-exact feature columns. The oracle
+    recomputes every value from the planting arithmetic alone: a
+    decoder that misparses header, raster, or chunk layout diverges.
+
+    Feature scaling: positions 4–6 are sub-1.0 ppm fractions → ×1e6
+    before rounding; all planted magnitudes stay < 2^24 so the
+    float32 feat lane round-trips losslessly to int."""
+    from beats_spark.training.multimodal import extract_features
+
+    d = F.col("doc_id")
+
+    def hb(col):  # one byte as 2-digit hex
+        return F.lpad(F.hex(col), 2, "0")
+
+    px = F.unhex(F.concat(hb(d * 3 % 256), hb(d * 7 % 256), hb(d * 13 % 256)))
+    img = F.concat(F.lit(b"P6\n8 4\n255\n"), *([px] * 32))
+
+    import numpy as np
+
+    from beats_spark.training import media_codecs
+
+    wav_header = media_codecs.encode_wav(8000, 1, np.zeros(16, dtype=np.int16))[:44]
+    u16 = (d % 16 - 8 + 65536) % 65536
+    sample = F.unhex(F.concat(hb(u16 % 256), hb(F.floor(u16 / 256).cast("long"))))
+    wav = F.concat(F.lit(wav_header), *([sample] * 16))
+
+    media = (
+        _documents(spark, sf_dir)
+        .filter(d < 64)
+        .select(
+            d.cast("string").alias("key"),
+            F.when(d % 2 == 0, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
+            F.when(d % 2 == 0, img).otherwise(wav).alias("media"),
+        )
+    )
+    feats = extract_features(media, key_col="key", kind_col="kind")
+
+    def f(i):
+        return F.element_at("feat", i)
+
+    return feats.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "kind",
+        F.col("n_bytes"),
+        F.round(f(1)).cast("long").alias("tag"),
+        F.round(f(2)).cast("long").alias("d1"),
+        F.round(f(3)).cast("long").alias("d2"),
+        F.round(f(4) * 1e6).cast("long").alias("p4"),
+        F.round(f(5) * 1e6).cast("long").alias("p5"),
+        F.round(f(6) * 1e6).cast("long").alias("p6"),
+        F.round(f(7)).cast("long").alias("v7"),
+        F.round(f(8)).cast("long").alias("v8"),
+    ).orderBy("doc_id")
+
+
+def q_media_decode_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, doc_id % 2 = 0 AS is_img,
+         abs(doc_id % 16 - 8) AS amp
+  FROM documents WHERE doc_id < 64)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN is_img THEN 'image' ELSE 'audio' END AS kind,
+       CAST(CASE WHEN is_img THEN 11 + 96 ELSE 44 + 32 END AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN is_img THEN 1 ELSE 2 END AS BIGINT) AS tag,
+       CAST(CASE WHEN is_img THEN 8 ELSE 16 END AS BIGINT) AS d1,
+       CAST(CASE WHEN is_img THEN 4 ELSE 8000 END AS BIGINT) AS d2,
+       CAST(CASE WHEN is_img THEN (1000000 * (doc_id * 3 % 256)) // 255
+            ELSE 1000000 END AS BIGINT) AS p4,
+       CAST(CASE WHEN is_img THEN (1000000 * (doc_id * 7 % 256)) // 255
+            ELSE (1000000 * amp) // 32768 END AS BIGINT) AS p5,
+       CAST(CASE WHEN is_img THEN (1000000 * (doc_id * 13 % 256)) // 255
+            ELSE 1000000 * amp END AS BIGINT) AS p6,
+       CAST(CASE WHEN is_img THEN 255 ELSE 0 END AS BIGINT) AS v7,
+       CAST(CASE WHEN is_img THEN 32 ELSE 0 END AS BIGINT) AS v8
+FROM t ORDER BY doc_id"""
+
+
 # --- catalog -----------------------------------------------------------------
 
 
@@ -1015,6 +1116,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_media_sniff": q_media_sniff,
         "q28_embedding_dups": q_embedding_dups,
         "q29_grok": q_grok,
+        "q40_media_decode": q_media_decode,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1064,4 +1166,5 @@ def _base_oracles() -> dict[str, str]:
         "q27_media_sniff": q_media_sniff_oracle(),
         "q28_embedding_dups": q_embedding_dups_oracle(),
         "q29_grok": q_grok_oracle(),
+        "q40_media_decode": q_media_decode_oracle(),
     }

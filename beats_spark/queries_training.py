@@ -133,8 +133,19 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
 
 
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted twins (VERDICT r03 item 1): the natural corpus has no
+    pair above threshold at sf0.01/sf0.1, so the driver-scale gate was
+    proving 0 = 0. Union five exact-text twins (doc_id + 100000,
+    derived from the table itself — same arithmetic in the oracle) so
+    the compare is non-vacuous at EVERY scale: each twin yields a
+    jaccard-1.0 pair, and the shingle/join/threshold machinery must
+    produce exactly those rows on both engines."""
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.05).select(
+    twins = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(twins)
+    return dedup.ngram_jaccard_pairs(corpus, threshold=0.05).select(
         "id_a", "id_b", "n_common", "jaccard"
     ).orderBy("id_a", "id_b")
 
@@ -145,9 +156,13 @@ def q_jaccard_pairs_oracle() -> str:
         "i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))"
     )
     return f"""
-WITH w AS (
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 5),
+w AS (
   SELECT doc_id, string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+') AS ws
-  FROM documents WHERE doc_id < 40),
+  FROM corpus),
 sh AS (SELECT doc_id, {sh} AS s FROM w),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -491,7 +506,12 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     word fraction, most-frequent-2-gram char fraction, repeated-3-gram
     char fraction (all integer ppm). Line signals are exercised by the
     pytest battery (testdata text is single-line)."""
-    rep = text.repetition_features(_docs(spark, sf_dir))
+    rep = text.repetition_features(
+        _docs(spark, sf_dir),
+        # only the signals aggregated below: skips the per-line
+        # multiplicity explode dup_line_char alone needs (ADVICE r03)
+        signals=("dup_word", "dup_line", "top2", "dup3"),
+    )
     return (
         rep.groupBy("source")
         .agg(

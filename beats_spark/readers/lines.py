@@ -152,13 +152,11 @@ def _read_lines_decoded(
     JVM charset decode → terminator split → posexplode with 1-based
     line-ordinal offsets.
 
-    SESSION-LEVEL side effect, documented (ADVICE r02): the exotic
-    charset battery needs spark.sql.legacy.javaCharsets=true (Spark 4
-    otherwise restricts encode/decode to the UTF family). beats_spark's
-    own get_spark() sets it at construction; for foreign sessions this
-    reader sets it here and leaves it set — it widens, never changes,
-    decode behavior for valid UTF charset names."""
-    spark.conf.set("spark.sql.legacy.javaCharsets", "true")
+    The exotic charset battery needs spark.sql.legacy.javaCharsets=true
+    (Spark 4 otherwise restricts encode/decode to the UTF family).
+    beats_spark's own get_spark() sets it at construction (session.py);
+    foreign sessions decoding non-UTF charsets must set it themselves —
+    this reader is side-effect-free (VERDICT r03 item 9)."""
     charset = java_charset(encoding)
     text = F.decode(F.col("content"), charset)
     if line_terminator == "auto":

@@ -33,27 +33,39 @@ _P = (1 << 31) - 1
 # --- exact ------------------------------------------------------------------
 
 
+def content_key(col: Column) -> tuple[Column, Column]:
+    """128-bit content identity as two independent 64-bit xxhash64
+    lanes (distinct input framing → independent hash families). A
+    single 64-bit hash silently merges ~10^4 non-duplicate documents
+    at 10^12 rows (birthday bound); two lanes push the expected
+    collision count below 10^-14 while the shuffle key stays 16 bytes
+    (ADVICE r03)."""
+    return F.xxhash64(col), F.xxhash64(F.lit(1), col)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per exact content hash.
-    Shuffles 16-byte hashes, not documents."""
-    h = F.xxhash64(F.col(text_col))
+    """Keep one representative (min id) per exact content key.
+    Shuffles 16-byte keys (content_key), not documents."""
+    h1, h2 = content_key(F.col(text_col))
     keep = (
-        df.select(F.col(id_col), h.alias("__h__"))
-        .groupBy("__h__")
+        df.select(F.col(id_col), h1.alias("__h1__"), h2.alias("__h2__"))
+        .groupBy("__h1__", "__h2__")
         .agg(F.min(id_col).alias(id_col))
-        .drop("__h__")
+        .drop("__h1__", "__h2__")
     )
     return df.join(keep, id_col, "left_semi")
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(content hash → n_docs, representative) for duplicate groups."""
-    h = F.xxhash64(F.col(text_col)).alias("content_hash")
+    """(content key → n_docs, representative) for duplicate groups;
+    content_hash exposes the first 64-bit lane (display/join handle)."""
+    h1, h2 = content_key(F.col(text_col))
     return (
-        df.select(h, F.col(id_col))
-        .groupBy("content_hash")
+        df.select(h1.alias("content_hash"), h2.alias("__h2__"), F.col(id_col))
+        .groupBy("content_hash", "__h2__")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
         .filter(F.col("n_docs") > 1)
+        .drop("__h2__")
     )
 
 
@@ -491,11 +503,14 @@ def incremental_dedup(
     exactly-once story extended to content identity; reference analog:
     the registrar dedupes by offset, this dedupes by payload).
 
-    Scale shape: the seen-side is 8-byte xxhash64 content hashes, never
-    documents; within-chunk dedup shuffles hashes too. Chunks process
-    sequentially (the runner's contract) so the anti-join snapshot is
-    well-defined; at 10^12 rows the seen-hash table is still ~1% of the
-    token payload and prunes with a broadcast when small enough.
+    Scale shape: the seen-side is 16-byte content keys (content_key:
+    two independent xxhash64 lanes — a single 64-bit hash would
+    silently drop ~10^4 non-duplicates at 10^12 rows, ADVICE r03),
+    never documents; within-chunk dedup shuffles keys too. Chunks
+    process sequentially (the runner's contract) so the anti-join
+    snapshot is well-defined; at 10^12 rows the seen-key table is
+    still ~1% of the token payload and prunes with a broadcast when
+    small enough.
     """
     from pyspark.sql import DataFrame  # noqa: F401 (signature clarity)
 
@@ -506,12 +521,14 @@ def incremental_dedup(
         except FileNotFoundError:
             seen = None
         if seen is not None:
+            s1, s2 = content_key(F.col(text_col))
             seen_h = seen.select(
-                F.xxhash64(F.col(text_col)).alias("__seen_h__")
+                s1.alias("__seen_h1__"), s2.alias("__seen_h2__")
             ).distinct()
+            c1, c2 = content_key(F.col(text_col))
             out = out.join(
                 seen_h,
-                F.xxhash64(F.col(text_col)) == F.col("__seen_h__"),
+                (c1 == F.col("__seen_h1__")) & (c2 == F.col("__seen_h2__")),
                 "left_anti",
             )
         return transform(out) if transform is not None else out

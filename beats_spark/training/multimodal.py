@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata; decode/feature-extract as Arrow-batched mapInPandas stages.
 
-The decode step proper is STUBBED (no image/audio libs in this
-container): `register_decoder` lets a real deployment plug in e.g.
-PIL/torchaudio; the default deterministic fake derives pixel/sample
-stats from the bytes so the Spark-side plumbing — schema, partitioning,
-batch shape, UDF signatures — is real and tested.
+Decode kernels (round 4): uncompressed formats decode FOR REAL via the
+pure-numpy codecs in media_codecs.py — PPM (P6) images (decode +
+bilinear resize + re-encode) and PCM16 WAV audio. Compressed formats
+(png/jpeg/mp3/…) still need a registered kernel (`register_decoder`,
+e.g. PIL/torchaudio in a real deployment); for those the deterministic
+byte-hash stub remains as the documented fallback so the plumbing —
+schema, partitioning, batch shape, UDF signatures — is exercised for
+every kind.
 
 Schema convention:
     media: binary                 -- the opaque payload
@@ -19,6 +22,8 @@ from typing import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from beats_spark.training import media_codecs
 
 MEDIA_META_DDL = (
     "struct<kind:string, format:string, width:int, height:int, duration_ms:int>"
@@ -65,11 +70,32 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [((1_000_000 * a) // (255 * n)) / 1e6 for a in acc]
 
 
+def _default_image_decode(payload: bytes) -> list[float]:
+    """Real P6 decode when the payload is PPM; byte-hash stub fallback
+    for compressed formats (no PIL in this container — register a
+    kernel for png/jpeg)."""
+    if payload[:2] == b"P6":
+        return media_codecs.ppm_features(payload)
+    return _fake_decode(payload)
+
+
+def _default_audio_decode(payload: bytes) -> list[float]:
+    """Real PCM16 decode when the payload is RIFF/WAVE; stub fallback
+    for compressed formats (mp3/ogg need a registered kernel)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return media_codecs.wav_features(payload)
+    return _fake_decode(payload)
+
+
 def _real_decode(kind: str):
     fn = _DECODERS.get(kind)
     if fn is not None:
         return fn
-    if kind in ("image", "audio", "video"):
+    if kind == "image":
+        return _default_image_decode
+    if kind == "audio":
+        return _default_audio_decode
+    if kind == "video":
         return lambda b: _fake_decode(b)
     raise NotImplementedError(f"no decoder registered for media kind {kind!r}")
 
@@ -149,12 +175,16 @@ def extract_features(
                 kinds.append(kind)
                 n_bytes.append(len(payload))
                 checksums.append(poly_checksum(payload))
+                # catch Exception, not just NotImplementedError: a real
+                # kernel raising on corrupt media is the common failure
+                # and must land in decode_error, not kill the stage
+                # (ADVICE r03)
                 try:
                     feats.append(_real_decode(kind)(payload))
                     errs.append(None)
-                except NotImplementedError as e:
+                except Exception as e:  # noqa: BLE001 — recorded per-row
                     feats.append(None)
-                    errs.append(str(e))
+                    errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
                 {
                     "key": keys,
@@ -189,6 +219,14 @@ def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
         return bytes(n)
     ln = len(payload)
     return bytes(payload[(i * ln) // n] for i in range(n))
+
+
+def _default_image_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Real bilinear resize for P6 payloads (media_codecs.ppm_resize);
+    byte-resample stub fallback for compressed formats."""
+    if payload[:2] == b"P6":
+        return media_codecs.ppm_resize(payload, w, h)
+    return _fake_resize(payload, w, h)
 
 
 def resize_media(
@@ -229,13 +267,15 @@ def resize_media(
                 payload = bytes(raw) if raw is not None else b""
                 kind = kind_vals[idx] if kind_vals is not None else default_kind
                 keys.append(key_vals[idx])
-                fn = _RESIZERS.get(kind, _fake_resize)
+                fn = _RESIZERS.get(kind) or (
+                    _default_image_resize if kind == "image" else _fake_resize
+                )
                 try:
                     outs.append(fn(payload, width, height))
                     errs.append(None)
-                except NotImplementedError as e:
+                except Exception as e:  # noqa: BLE001 — recorded per-row
                     outs.append(None)
-                    errs.append(str(e))
+                    errs.append(f"{type(e).__name__}: {e}")
             yield pd.DataFrame(
                 {
                     "key": keys,
@@ -295,15 +335,26 @@ def sample_frames(
                     if dur_vals is not None and dur_vals[r] is not None
                     else 1000 * n_frames
                 )
-                step = max(len(payload) // n_frames, 1)
-                for j in range(n_frames):
-                    lo = j * step
-                    if lo >= len(payload):
-                        break
+                # a sampler failure drops the asset, never the stage
+                # (ADVICE r03 — same policy as the zero-frame fan-out
+                # for empty payloads)
+                try:
+                    step = max(len(payload) // n_frames, 1)
+                    rows = []
+                    for j in range(n_frames):
+                        lo = j * step
+                        if lo >= len(payload):
+                            break
+                        rows.append(
+                            (j, (dur * j) // n_frames, payload[lo : lo + step])
+                        )
+                except Exception:  # noqa: BLE001 — asset-level skip
+                    continue
+                for j, ts, fr in rows:
                     keys.append(key_vals[r])
                     idxs.append(j)
-                    tss.append((dur * j) // n_frames)
-                    frames.append(payload[lo : lo + step])
+                    tss.append(ts)
+                    frames.append(fr)
             yield pd.DataFrame(
                 {
                     "key": keys,

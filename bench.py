@@ -27,6 +27,50 @@ import tempfile
 import time
 
 
+def _disk_state() -> dict:
+    """Self-adjudicating disk-state marker (VERDICT r03 item 6 /
+    BASELINE protocol note): accumulated writeback throttles the wider
+    parallelism level disproportionately on this single-NVMe box, so
+    the record must say which regime it was measured in. drained =
+    < 256 MB of Dirty+Writeback pages at bench start."""
+    kb = 0
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith(("Dirty:", "Writeback:")):
+                    kb += int(line.split()[1])
+    except OSError:
+        return {"state": "unknown", "dirty_writeback_kb": None}
+    return {
+        "state": "drained" if kb < 262144 else "churned",
+        "dirty_writeback_kb": kb,
+    }
+
+
+def _drain_disk() -> None:
+    """Best-effort sync + page-cache drop before a scaling run (the
+    BASELINE r3s2 protocol: 0.665 churned → 0.883 drained on identical
+    code). Failures are ignored — the marker still records the state."""
+    import subprocess
+
+    try:
+        subprocess.run(["sync"], timeout=300, check=False)
+        with open("/proc/sys/vm/drop_caches", "w") as fh:
+            fh.write("1\n")
+    except OSError:
+        pass
+
+
+def _load_steady() -> dict[str, float]:
+    steady_path = os.path.join(os.path.dirname(__file__), "BENCH_STEADY.json")
+    if not os.path.exists(steady_path):
+        return {}
+    with open(steady_path) as fh:
+        return {
+            k: v for k, v in json.load(fh).items() if isinstance(v, (int, float))
+        }
+
+
 def _mk_spark(cpus: str, shuffle: int):
     from beats_spark.session import get_spark
 
@@ -140,13 +184,7 @@ def run_queries(spark, sf_dir: str, warmup_sf_dir: str | None = None) -> dict[st
     # (measured legit big/small ratios top out at ~5 only where small
     # itself is large). Flagged queries re-sample at the END of the
     # pass — minutes later, after the burst — keeping the min.
-    steady: dict[str, float] = {}
-    steady_path = os.path.join(os.path.dirname(__file__), "BENCH_STEADY.json")
-    if os.path.exists(steady_path):
-        with open(steady_path) as fh:
-            steady = {
-                k: v for k, v in json.load(fh).items() if isinstance(v, (int, float))
-            }
+    steady = _load_steady()
     rescue_ratio = float(os.environ.get("BENCH_RESCUE_RATIO", "4"))
     rescue_floor = float(os.environ.get("BENCH_RESCUE_FLOOR", "3.0"))
     if os.environ.get("BENCH_DEBUG_RATIOS"):
@@ -187,6 +225,9 @@ def main() -> None:
         # Override with SCALING_N.
         from beats_spark.datagen import generate_token_events
 
+        if os.environ.get("BENCH_DRAIN", "1") != "0":
+            _drain_disk()
+        disk = _disk_state()
         n_low = int(os.environ.get("SCALING_N", "2"))
         n_high = 4 * n_low
         # larger than the plain bench: per-job fixed overheads (~2-3 s
@@ -242,11 +283,13 @@ def main() -> None:
                     "all_runs": {
                         c: results[c]["all_runs_seq_per_sec"] for c in results
                     },
+                    "disk_state": disk,
                 }
             )
         )
         return
 
+    disk = _disk_state()
     spark = _mk_spark(cpus, int(cpus) if cpus.isdigit() else 32)
     t_all0 = time.perf_counter()
     qtimes = run_queries(spark, sf_dir)
@@ -256,6 +299,15 @@ def main() -> None:
     pipe_runs = [run_pipeline_bench(spark, bench_rows) for _ in range(2)]
     pipe = max(pipe_runs, key=lambda r: r["sequences_per_sec"])
     total = round(time.perf_counter() - t_all0, 3)
+    # self-adjudicating record (VERDICT r03 item 6): carry the per-query
+    # steady-state minimums and flag any best-of-N that still exceeds
+    # 1.5× steady as noise, so a reader never mistakes VM-noise
+    # inflation for an engine regression
+    steady = _load_steady()
+    noise_suspect = sorted(
+        n for n, t in qtimes.items()
+        if n in steady and steady[n] > 0 and t > 1.5 * steady[n]
+    )
     print(
         json.dumps(
             {
@@ -265,6 +317,11 @@ def main() -> None:
                 "queries": qtimes,
                 "sf": sf_dir,
                 "pipeline": pipe,
+                "steady_state_min": {
+                    n: steady[n] for n in qtimes if n in steady
+                },
+                "noise_suspect": noise_suspect,
+                "disk_state": disk,
             }
         )
     )

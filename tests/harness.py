@@ -89,12 +89,20 @@ def strict_hash_compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, name: s
         )
 
 
-def compare(spark, sf_dir: str, name: str, fn, sql: str) -> None:
+def compare(spark, sf_dir: str, name: str, fn, sql: str,
+            expected_min_rows: int = 1) -> None:
     sdf = fn(spark, sf_dir)
     sr = spark_rows(sdf)
     con = duck_connection(sf_dir)
     dr = duck_rows(con, sql)
     assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs oracle {len(dr)}"
+    # a 0 = 0 pass proves nothing (VERDICT r03 item 1): every catalog
+    # query must emit rows at every scale — plant twins if the natural
+    # corpus yields none
+    assert len(sr) >= expected_min_rows, (
+        f"{name}: vacuous pass — {len(sr)} rows < expected_min_rows "
+        f"{expected_min_rows} at {sf_dir}"
+    )
     mism = [(a, b) for a, b in zip(sr, dr) if a != b]
     assert not mism, f"{name}: {len(mism)} mismatched rows; first: {mism[0]}"
     strict_hash_compare(sdf.toPandas(), con.execute(sql).df(), name)

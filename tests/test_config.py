@@ -206,3 +206,30 @@ def test_exclude_lines_filters_merged_events_not_continuations(spark, tmp_path):
         r["message"] for r in read_input(spark, cfg).select("message").collect()
     )
     assert msgs == ["EVT one\n  at cont DROPME", "EVT two"]
+
+
+def test_empty_content_kept_when_decoded_fields_nonempty(spark, tmp_path):
+    """Message.IsEmpty (libbeat/reader/message.go:44-56) is Content
+    empty AND Fields empty: after a decoding parser (container here),
+    a row whose message is empty but whose decoded fields carry data
+    must survive the empty-event drop (ADVICE r03). Without a decoder
+    the strict empty-message drop stands."""
+    from beats_spark.config import read_input
+
+    log = tmp_path / "c.log"
+    log.write_text(
+        '{"log":"\\n","stream":"stdout","time":"2024-01-01T00:00:00Z"}\n'
+        '{"log":"real line\\n","stream":"stderr","time":"2024-01-01T00:00:01Z"}\n'
+    )
+    rows = read_input(
+        spark,
+        {"paths": [str(log)], "parsers": [{"container": {"format": "docker"}}]},
+    ).collect()
+    assert len(rows) == 2
+    by_stream = {r["stream"]: r["message"] for r in rows}
+    assert by_stream["stdout"] == "" and by_stream["stderr"] == "real line"
+
+    plain = tmp_path / "p.log"
+    plain.write_text("hello\n\nworld\n")
+    msgs = [r["message"] for r in read_input(spark, {"paths": [str(plain)]}).collect()]
+    assert sorted(msgs) == ["hello", "world"]

@@ -1,0 +1,175 @@
+"""Real pure-numpy media kernels (VERDICT r03 item 2): PPM P6 decode +
+bilinear resize + re-encode, PCM16 WAV decode — plus the ADVICE r03
+error contract (a kernel raising on corrupt media lands in the error
+column / skips the asset, never kills the stage)."""
+
+import numpy as np
+import pytest
+
+from beats_spark.training import media_codecs as mc
+
+
+# --- pure-python codec oracles ------------------------------------------------
+
+
+def test_ppm_round_trip_and_header_grammar():
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    assert (mc.decode_ppm(mc.encode_ppm(img)) == img).all()
+    # comments + arbitrary whitespace in the header (Netpbm grammar)
+    p = b"P6 # c1\n# full line comment\n 2\t1 # c2\n255\n" + bytes(range(6))
+    assert mc.decode_ppm(p).tolist() == [[[0, 1, 2], [3, 4, 5]]]
+    # trailing junk after the raster is ignored (count-bounded read)
+    assert (
+        mc.decode_ppm(mc.encode_ppm(img) + b"JUNK") == img
+    ).all()
+
+
+@pytest.mark.parametrize(
+    "payload,msg",
+    [
+        (b"P5\n1 1\n255\n\x00", "not a P6"),
+        (b"P6\n2 2\n255\nxxxx", "raster short"),
+        (b"P6\n0 3\n255\n", "bad dimensions"),
+        (b"P6\n2 2\n65535\n" + bytes(24), "maxval"),
+        (b"P6\n2", "truncated header"),
+    ],
+)
+def test_ppm_malformed_raises(payload, msg):
+    with pytest.raises(mc.MediaDecodeError, match=msg):
+        mc.decode_ppm(payload)
+
+
+def test_bilinear_resize_exact_values():
+    # constant image stays constant at any size
+    c = np.full((3, 7, 3), 100, dtype=np.uint8)
+    out = mc.bilinear_resize(c, 13, 5)
+    assert out.shape == (5, 13, 3) and (out == 100).all()
+    # hand-computed 2x upscale of a 1x2 gradient (pixel-center mapping:
+    # src_x = (dst+0.5)/2 - 0.5 -> [0, .25, .75, 1] -> [0, 50, 150, 200])
+    g = np.zeros((1, 2, 3), dtype=np.uint8)
+    g[0, 1] = 200
+    assert mc.bilinear_resize(g, 4, 1)[0, :, 0].tolist() == [0, 50, 150, 200]
+    # identity resize is exact
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert (mc.bilinear_resize(img, 4, 4) == img).all()
+    # downscale 2x of a checkerboard averages the 2x2 block exactly
+    cb = np.zeros((2, 2, 3), dtype=np.uint8)
+    cb[0, 1] = cb[1, 0] = 200
+    assert mc.bilinear_resize(cb, 1, 1)[0, 0].tolist() == [100, 100, 100]
+
+
+def test_wav_round_trip_and_chunk_walk():
+    s = np.array([0, 100, -100, 32767, -32768, 7], dtype=np.int16)
+    rate, ch, dec = mc.decode_wav(mc.encode_wav(44100, 1, s))
+    assert (rate, ch) == (44100, 1) and (dec == s).all()
+    # fmt not first: LIST chunk before fmt must be skipped
+    raw = mc.encode_wav(8000, 2, s)
+    with_list = raw[:12] + b"LIST\x04\x00\x00\x00INFO" + raw[12:]
+    rate, ch, dec = mc.decode_wav(with_list)
+    assert (rate, ch) == (8000, 2) and (dec == s).all()
+    # odd-sized chunks are word-aligned
+    odd = raw[:12] + b"junk\x03\x00\x00\x00ab\x00" + b"\x00" + raw[12:]
+    assert (mc.decode_wav(odd)[2] == s).all()
+
+
+@pytest.mark.parametrize(
+    "payload,msg",
+    [
+        (b"RIFF\x00\x00\x00\x00NOPE", "not a RIFF/WAVE"),
+        (b"OggS rest", "not a RIFF/WAVE"),
+        (b"RIFF\x24\x00\x00\x00WAVE", "missing fmt or data"),
+    ],
+)
+def test_wav_malformed_raises(payload, msg):
+    with pytest.raises(mc.MediaDecodeError, match=msg):
+        mc.decode_wav(payload)
+
+
+def test_wav_non_pcm16_rejected():
+    raw = bytearray(mc.encode_wav(8000, 1, np.zeros(4, dtype=np.int16)))
+    raw[20] = 3  # IEEE float fmt tag
+    with pytest.raises(mc.MediaDecodeError, match="only PCM16"):
+        mc.decode_wav(bytes(raw))
+
+
+def test_feature_vectors_integer_exact():
+    img = np.full((4, 8, 3), 0, dtype=np.uint8)
+    img[..., 0] = 51  # r_sum = 32*51 -> ppm = (1e6*51)//255 = 200000
+    f = mc.ppm_features(mc.encode_ppm(img))
+    assert f == [1.0, 8.0, 4.0, 0.2, 0.0, 0.0, 255.0, 32.0]
+    s = np.full(16, -8, dtype=np.int16)
+    f = mc.wav_features(mc.encode_wav(8000, 1, s))
+    assert f[:4] == [2.0, 16.0, 8000.0, 1.0]
+    assert f[4] == ((1_000_000 * 16 * 8) // (32768 * 16)) / 1e6
+    assert f[5] == 8.0 and f[6] == 0.0
+
+
+# --- Spark integration: real kernels as the registered defaults ---------------
+
+
+def test_extract_features_real_kernels_and_error_column(spark):
+    from beats_spark.training.multimodal import extract_features
+
+    img = mc.encode_ppm(np.full((2, 2, 3), 60, dtype=np.uint8))
+    wav = mc.encode_wav(16000, 1, np.full(8, 100, dtype=np.int16))
+    rows = [
+        ("ppm", img, "image"),
+        ("wav", wav, "audio"),
+        ("corrupt_ppm", b"P6\n9 9\n255\nshort", "image"),
+        ("corrupt_wav", b"RIFF\x10\x00\x00\x00WAVEdata", "audio"),
+        ("png_fallback", b"\x89PNG\r\n\x1a\n" + bytes(32), "image"),
+    ]
+    df = spark.createDataFrame(rows, "key string, media binary, kind string")
+    out = {r["key"]: r for r in extract_features(df, kind_col="kind").collect()}
+
+    # feat is an array<float> lane: float32 storage, so compare the
+    # integer-exact round-trip (all planted magnitudes < 2^24)
+    def ppm_ints(feat):
+        return [round(v * 1e6) for v in feat]
+
+    assert ppm_ints(out["ppm"].feat) == ppm_ints(mc.ppm_features(img))
+    assert ppm_ints(out["wav"].feat) == ppm_ints(mc.wav_features(wav))
+    # corrupt media: decode_error recorded per-row, stage survives
+    assert out["corrupt_ppm"].feat is None
+    assert "raster short" in out["corrupt_ppm"].decode_error
+    assert out["corrupt_wav"].feat is None
+    assert "missing fmt or data" in out["corrupt_wav"].decode_error
+    # compressed format falls back to the deterministic stub
+    from beats_spark.training.multimodal import _fake_decode
+
+    assert ppm_ints(out["png_fallback"].feat) == ppm_ints(_fake_decode(rows[4][1]))
+    assert out["png_fallback"].decode_error is None
+
+
+def test_resize_media_real_bilinear_kernel(spark):
+    from beats_spark.training.multimodal import resize_media
+
+    src = np.zeros((1, 2, 3), dtype=np.uint8)
+    src[0, 1] = 200
+    img = mc.encode_ppm(src)
+    rows = [("g", img), ("bad", b"P6\n4 4\n255\nshort"), ("blob", bytes(range(24)))]
+    df = spark.createDataFrame(rows, "key string, media binary")
+    out = {r["key"]: r for r in resize_media(df, 4, 1).collect()}
+
+    resized = mc.decode_ppm(bytes(out["g"].media))
+    assert resized[0, :, 0].tolist() == [0, 50, 150, 200]
+    assert out["g"].resize_error is None
+    # corrupt P6: error recorded, not raised (ADVICE r03)
+    assert out["bad"].media is None and "raster short" in out["bad"].resize_error
+    # non-P6 binary falls back to the byte-resample stub
+    assert len(bytes(out["blob"].media)) == 4
+
+
+def test_registered_kernel_still_wins_over_real_default(spark):
+    from beats_spark.training.multimodal import extract_features, register_decoder
+
+    img = mc.encode_ppm(np.zeros((1, 1, 3), dtype=np.uint8))
+    try:
+        register_decoder("image", lambda b: [9.0] * 8)
+        df = spark.createDataFrame([("k", img)], "key string, media binary")
+        out = extract_features(df, default_kind="image").collect()[0]
+        assert out.feat == [9.0] * 8
+    finally:
+        from beats_spark.training.multimodal import _DECODERS
+
+        _DECODERS.pop("image", None)
