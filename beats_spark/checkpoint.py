@@ -76,6 +76,66 @@ _MANIFEST_SCHEMA = T.StructType(
 )
 
 
+def _json_scalar(v):
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return v.hex()
+    return v
+
+
+def collect_file_stats(root: str, stat_col: str = "doc_id") -> list[dict[str, Any]]:
+    """Per-data-file column stats from parquet FOOTERS (no data scan —
+    the same stats Iceberg records at write time): row count, min/max
+    of `stat_col` folded across row groups, and the sink partition
+    value parsed from the directory layout. Runs driver-side over the
+    just-written attempt dir: O(#files) footer reads, the footer is a
+    few KB regardless of file size (the Iceberg write-path analog; at
+    cluster scale the commit job's tasks would report these instead).
+
+    min/max are None when any row group lacks exact statistics —
+    pruning then keeps the file (safe superset)."""
+    import pyarrow.parquet as pq
+
+    out: list[dict[str, Any]] = []
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for fn in sorted(files):
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(dirpath, fn)
+            md = pq.ParquetFile(p).metadata
+            idx = None
+            for i in range(len(md.schema)):
+                if md.schema.column(i).name == stat_col:
+                    idx = i
+                    break
+            lo = hi = None
+            if idx is not None:
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    mn, mx = _json_scalar(st.min), _json_scalar(st.max)
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+            sink = None
+            for seg in os.path.relpath(p, root).split(os.sep):
+                if seg.startswith(SINK_COL + "="):
+                    sink = seg.split("=", 1)[1]
+            out.append(
+                {
+                    "path": p,
+                    "rows": md.num_rows,
+                    "min": lo,
+                    "max": hi,
+                    "sink": sink,
+                }
+            )
+    return out
+
+
 def with_chunk(df: DataFrame, n_chunks: int) -> DataFrame:
     return df.withColumn(
         CHUNK_COL, F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_chunks)).cast("int")
@@ -252,6 +312,10 @@ class CheckpointedRunner:
                 "min_doc_id": stats_d["lo"],
                 "max_doc_id": stats_d["hi"],
                 "source_snapshot": self.source_snapshot,
+                # per-file footer stats → read-side file pruning
+                # (result(); the Iceberg manifest-entry analog,
+                # VERDICT r03 item 3)
+                "files": collect_file_stats(attempt_dir),
                 "metrics": {
                     "events.published": int(stats_d["n"]),
                     "events.dead_letter": int(stats_d["dead"] or 0),
@@ -323,6 +387,7 @@ class CheckpointedRunner:
             "min_doc_id": lo,
             "max_doc_id": hi,
             "source_snapshot": self.source_snapshot,
+            "files": collect_file_stats(attempt_dir),
             "metrics": metrics,
             "committed_at": time.time(),
         }
@@ -350,13 +415,28 @@ class CheckpointedRunner:
                 )
         return removed
 
-    def result(self, version: int | None = None) -> DataFrame:
+    def result(
+        self,
+        version: int | None = None,
+        doc_id_min=None,
+        doc_id_max=None,
+        sinks: set[str] | None = None,
+    ) -> DataFrame:
         """The committed snapshot of THIS run — resolved strictly
         through the manifest pointer (never by listing data dirs), so
         uncommitted attempt directories are invisible. `version` time-
         travels to an older published snapshot (as of that commit);
         default is the current one. Empty frame with the right shape
-        when nothing is committed yet."""
+        when nothing is committed yet.
+
+        doc_id_min/doc_id_max/sinks prune DATA FILES against the
+        per-file footer stats recorded at commit (the Iceberg
+        read-path file pruning the manifest previously lacked,
+        VERDICT r03 item 3). Pruning is a safe superset: a file
+        without stats is kept, surviving files may still hold rows
+        outside the range — apply the residual filter as usual (same
+        contract as Iceberg + Spark). Bounds compare with the column's
+        native ordering (pass the column's own type)."""
         mine = [
             e for e in self._entries_at(version) if e["run_id"] == self.run_id
         ]
@@ -364,18 +444,45 @@ class CheckpointedRunner:
             raise FileNotFoundError(
                 f"no committed chunks for run {self.run_id!r}"
             )
+        pruning = (
+            doc_id_min is not None or doc_id_max is not None or sinks is not None
+        )
+
+        def keep_file(f: dict[str, Any]) -> bool:
+            if sinks is not None and f.get("sink") is not None:
+                if f["sink"] not in sinks:
+                    return False
+            lo, hi = f.get("min"), f.get("max")
+            if lo is None or hi is None:
+                return True  # no exact stats — keep (safe superset)
+            if doc_id_min is not None and hi < doc_id_min:
+                return False
+            if doc_id_max is not None and lo > doc_id_max:
+                return False
+            return True
+
         # zero-row chunks are legitimately committed (e.g. a fully
         # deduplicated chunk) but their attempt dir has no parquet
         # footers to infer a schema from — skip the read, keep the
         # commit record
-        frames = [
-            self.spark.read.parquet(e["path"]).withColumn(
-                CHUNK_COL, F.lit(e["chunk_id"])
-            )
-            for e in sorted(mine, key=lambda e: e["chunk_id"])
-            if int(e["row_count"]) > 0
-        ]
+        frames = []
+        for e in sorted(mine, key=lambda e: e["chunk_id"]):
+            if int(e["row_count"]) <= 0:
+                continue
+            if pruning and e.get("files"):
+                paths = [f["path"] for f in e["files"] if keep_file(f)]
+                if not paths:
+                    continue
+                # basePath keeps the sink partition column when reading
+                # individual leaf files
+                df = self.spark.read.option("basePath", e["path"]).parquet(*paths)
+            else:
+                df = self.spark.read.parquet(e["path"])
+            frames.append(df.withColumn(CHUNK_COL, F.lit(e["chunk_id"])))
         if not frames:
+            if pruning:
+                base = self.result(version=version)
+                return base.filter(F.lit(False))
             raise FileNotFoundError(
                 f"all committed chunks of run {self.run_id!r} are empty "
                 "(0 rows) — no schema to materialize"

@@ -668,6 +668,50 @@ def dup_candidate_pairs(
     )
 
 
+def ivf_dup_candidate_pairs(
+    df: DataFrame,
+    dim: int = 64,
+    k_cells: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-bucketed candidate stage (VERDICT r03 item 5): bucket by
+    TRAINED coarse cell instead of random sign planes. Each vector
+    lands in its `n_probe` nearest cells (explode) and candidates are
+    pairs sharing a cell — because trained centroids track the data
+    distribution, moderate-similarity neighbors (cos ≈ 0.4–0.7, the
+    regime where random hyperplane agreement decays as (1-θ/π)^planes)
+    fall in the same cell far more often than in the same random
+    bucket, cutting verify volume at equal recall.
+
+    Scale shape: same as the sign-LSH stage — candidate generation is
+    an equi-join on cell id, vectors ride the join once, volume
+    ≈ n²·n_probe²/k_cells for balanced cells, so k_cells must grow
+    ∝ n (the recommended_planes analog: cells ≈ n / target bucket
+    size). Centroid training is one driver-side sample + broadcast
+    Lloyd iterations (train_centroids)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(df, dim, k_cells, id_col=id_col, vec_col=vec_col)
+    )
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    buckets = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(_cell_assign(F.col(vec_col), cents, n_probe)).alias("bucket"),
+    ).persist()
+    a = buckets.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = buckets.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def cosine_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -677,6 +721,9 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mixer_planes: bool = False,
+    cells: int | None = None,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) via LSH
     candidate generation + exact verification — the embedding analog of
@@ -688,16 +735,32 @@ def cosine_dup_pairs(
     Scale note: pass n_planes >= recommended_planes(n_rows) — the
     candidate stage is ~n²/2^n_planes pairs per table, so planes must
     track log₂(n) for the verify join to stay linear (see
-    dup_candidate_pairs / test_dup_candidate_volume_scales_linearly)."""
-    pairs = dup_candidate_pairs(
-        df,
-        dim=dim,
-        n_planes=n_planes,
-        n_tables=n_tables,
-        id_col=id_col,
-        vec_col=vec_col,
-        mixer_planes=mixer_planes,
-    )
+    dup_candidate_pairs / test_dup_candidate_volume_scales_linearly).
+
+    cells=K switches candidate generation to trained-IVF bucketing
+    (ivf_dup_candidate_pairs, with n_probe/centroids) — better
+    recall-per-candidate in the moderate-similarity regime because the
+    buckets follow the data distribution; k_cells must grow ∝ n."""
+    if cells is not None:
+        pairs = ivf_dup_candidate_pairs(
+            df,
+            dim=dim,
+            k_cells=cells,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroids=centroids,
+        )
+    else:
+        pairs = dup_candidate_pairs(
+            df,
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+            mixer_planes=mixer_planes,
+        )
     sim = cosine(F.col("va"), F.col("vb"))
     return (
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))

@@ -416,3 +416,54 @@ def test_incremental_dedup_exactly_once_across_crash(spark, tmp_path):
     assert resumed.committed_chunks() == {0, 1, 2, 3}
     c = sorted((r.text, r.doc_id) for r in resumed.result().collect())
     assert c == a
+
+
+def test_manifest_file_pruning_reads_fewer_files(spark, tmp_path):
+    """Iceberg read-path analog (VERDICT r03 item 3): commit records
+    per-file footer stats (doc_id min/max + sink partition); a bounded
+    result() read resolves FEWER distinct data files than the full
+    snapshot while the residual-filtered rows are identical."""
+    df = load_token_events(spark, SF)
+    pipe = Pipeline(flagship_config())
+    runner = CheckpointedRunner(spark, str(tmp_path / "pruned"), n_chunks=8)
+    runner.run(df, pipe.transform)
+
+    # every committed entry carries per-file stats
+    entries = [e for e in runner._entries() if e["row_count"] > 0]
+    assert entries and all(e.get("files") for e in entries)
+    for e in entries:
+        assert sum(f["rows"] for f in e["files"]) == e["row_count"]
+
+    ids = sorted(r.doc_id for r in df.select("doc_id").distinct().collect())
+    lo, hi = ids[0], ids[len(ids) // 10]  # a narrow range
+
+    full = runner.result()
+    pruned = runner.result(doc_id_min=lo, doc_id_max=hi)
+    n_full = full.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert n_pruned < n_full, (n_pruned, n_full)
+
+    # residual filter on the pruned read == the same filter on the full read
+    pred = (F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)
+
+    def counts(frame):
+        return {
+            (r.sink, r.doc_id): r.n
+            for r in frame.filter(pred)
+            .groupBy("sink", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    assert counts(pruned) == counts(full)
+    # the sink partition column survives the leaf-file read
+    assert "sink" in pruned.columns
+
+    # sink pruning composes
+    one_sink = sorted({f["sink"] for e in entries for f in e["files"]})[0]
+    by_sink = runner.result(sinks={one_sink})
+    assert {r.sink for r in by_sink.select("sink").distinct().collect()} == {one_sink}
+
+    # pruning to an empty set yields an empty, well-shaped frame
+    nothing = runner.result(sinks={"no-such-sink"})
+    assert nothing.count() == 0 and "sink" in nothing.columns

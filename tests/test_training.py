@@ -530,3 +530,129 @@ def test_resize_and_frame_sample_plumbing(spark):
     assert sorted(r["key"] for r in frames) == ["v1"] * 4  # empty fans to 0
     assert [by_idx[i]["ts_ms"] for i in range(4)] == [0, 2000, 4000, 6000]
     assert bytes(by_idx[1]["frame"]) == bytes(range(25, 50))  # equal slices
+
+
+def _lcg_vecs(seed: int, dim: int = 64):
+    """Deterministic unit-free vector stream (no RNG state): classic
+    LCG mapped to [-1, 1)."""
+    x = seed & 0x7FFFFFFF
+
+    def nxt():
+        nonlocal x
+        x = (1103515245 * x + 12345) % (1 << 31)
+        return x / float(1 << 31) * 2 - 1
+
+    while True:
+        yield [nxt() for _ in range(dim)]
+
+
+def _clustered_corpus(n_clusters: int, members: int = 8, twins: int = 2):
+    """Clustered corpus with planted moderate-similarity twins
+    (cos ≈ 0.6–0.8 — the regime where random-hyperplane agreement
+    decays fastest). Returns (rows, planted_pairs)."""
+    import numpy as np
+
+    g = _lcg_vecs(42)
+    rows, planted, vid = [], [], 0
+    for _ in range(n_clusters):
+        center = np.array(next(g))
+        base = []
+        for _ in range(members):
+            v = center + 0.7 * np.array(next(g))
+            rows.append((vid, [float(x) for x in v]))
+            base.append(vid)
+            vid += 1
+        for t in range(twins):
+            tw = np.array(rows[base[t]][1]) + 1.15 * np.array(next(g))
+            rows.append((vid, [float(x) for x in tw]))
+            planted.append((base[t], vid))
+            vid += 1
+    return rows, planted
+
+
+def test_ivf_dup_recall_beats_sign_lsh_at_equal_volume(spark):
+    """VERDICT r03 item 5: trained-IVF candidate buckets track the data
+    distribution, so in the moderate-similarity regime they recall MORE
+    planted near-dups with FEWER candidates than random sign planes.
+    Measured on this corpus: IVF(k=96, probe=2) recall 1.0 @ ~1.9k
+    candidates vs sign-LSH(p=8, t=6) recall ~0.49 @ ~2.7k."""
+    from beats_spark.training.similarity import (
+        dup_candidate_pairs,
+        ivf_dup_candidate_pairs,
+    )
+
+    rows, planted = _clustered_corpus(40)
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+    df.count()
+
+    def recall_volume(pairs):
+        cand = {(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()}
+        hits = sum(1 for a, b in planted if (min(a, b), max(a, b)) in cand)
+        return hits / len(planted), len(cand)
+
+    r_lsh, v_lsh = recall_volume(
+        dup_candidate_pairs(df, dim=64, n_planes=8, n_tables=6, mixer_planes=True)
+    )
+    r_ivf, v_ivf = recall_volume(
+        ivf_dup_candidate_pairs(df, dim=64, k_cells=96, n_probe=2)
+    )
+    assert v_ivf <= v_lsh, (v_ivf, v_lsh)
+    assert r_ivf >= r_lsh + 0.2, (r_ivf, r_lsh)
+    assert r_ivf >= 0.9
+    df.unpersist()
+
+
+def test_ivf_dup_candidate_volume_scales_linearly(spark):
+    """The IVF twin of test_dup_candidate_volume_scales_linearly: with
+    k_cells grown ∝ n (the cells-track-corpus sizing rule), doubling
+    the corpus grows candidate volume ~linearly, not quadratically
+    (balanced cells ⇒ volume ≈ n²·probe²/k_cells ⇒ 2x n with 2x cells
+    ⇒ ~2x pairs)."""
+    from beats_spark.training.similarity import ivf_dup_candidate_pairs
+
+    embs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    n2 = embs.count()
+    n1 = n2 // 2
+
+    def candidates(frame, k_cells):
+        return ivf_dup_candidate_pairs(
+            frame, dim=64, k_cells=k_cells, n_probe=1
+        ).count()
+
+    c1 = candidates(embs.filter(F.col("vec_id") < n1), 32)
+    c2 = candidates(embs, 64)
+    assert c2 <= 2.5 * c1 + 16, (c1, c2)
+
+
+def test_cosine_dup_pairs_cells_mode_matches_bruteforce_on_planted(spark):
+    """cosine_dup_pairs(cells=...) end-to-end: every planted pair above
+    threshold is found and every reported pair really is above
+    threshold (verify is exact regardless of the candidate stage)."""
+    import numpy as np
+
+    from beats_spark.training.similarity import cosine_dup_pairs
+
+    rows, planted = _clustered_corpus(20)
+    id2v = {r[0]: np.array(r[1]) for r in rows}
+
+    def cos(a, b):
+        va, vb = id2v[a], id2v[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    thr = 0.55
+    expected = {
+        (min(a, b), max(a, b)) for a, b in planted if cos(a, b) >= thr
+    }
+    assert expected  # regime check: the plant produced pairs above thr
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_dup_pairs(
+            df, threshold=thr, dim=64, cells=48, n_probe=2
+        ).collect()
+    }
+    assert expected <= set(got), expected - set(got)
+    for (a, b), sim in got.items():
+        assert sim >= thr
+        assert abs(sim - round(cos(a, b), 6)) < 2e-6
