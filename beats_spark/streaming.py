@@ -65,6 +65,63 @@ def run_stream(
     return writer.start()
 
 
+def run_stream_dedup(
+    stream_df: DataFrame,
+    runner,
+    checkpoint_dir: str,
+    transform=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    crash_after_commits: int | None = None,
+):
+    """Streaming incremental dedup (VERDICT r03 item 7): readStream →
+    foreachBatch, each micro-batch deduped within itself AND against
+    everything already committed (training.dedup.incremental_dedup's
+    manifest-snapshot anti-join), then committed atomically through
+    the CheckpointedRunner manifest with chunk_id = batch_id.
+
+    Exactly-once across kill/restart holds in BOTH crash windows:
+    - crash after data write, before manifest commit → the attempt dir
+      is unreferenced; Spark replays the batch_id, a fresh attempt
+      supersedes it (the batch run()'s fail_before_commit story);
+    - crash after manifest commit, before the streaming checkpoint
+      advances → Spark replays the batch_id, the committed_chunks()
+      guard skips it (idempotent re-delivery — the registrar's
+      "already published this offset" check, reference analog
+      filebeat/input/log/harvester.go state updates after publish).
+
+    The corpus identity guarantee: runner.result() after any
+    crash/restart sequence equals the uninterrupted run's corpus.
+
+    `crash_after_commits` is test-only crash injection: raise AFTER
+    that many manifest commits in this process, i.e. in the second
+    window above."""
+    from beats_spark.training.dedup import incremental_dedup
+
+    dedup = incremental_dedup(
+        runner, transform=transform, text_col=text_col, id_col=id_col
+    )
+    commits = {"n": 0}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if int(batch_id) in runner.committed_chunks():
+            return  # replayed micro-batch already in the manifest
+        runner.commit_chunk(dedup(batch_df), int(batch_id))
+        commits["n"] += 1
+        if crash_after_commits is not None and commits["n"] >= crash_after_commits:
+            raise RuntimeError("injected crash after manifest commit")
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 # --- stateful cache (put→get KV across micro-batches) ------------------------
 
 _CACHE_OUT = "key string, event_id long, cached string"

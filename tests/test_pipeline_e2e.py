@@ -467,3 +467,96 @@ def test_manifest_file_pruning_reads_fewer_files(spark, tmp_path):
     # pruning to an empty set yields an empty, well-shaped frame
     nothing = runner.result(sinks={"no-such-sink"})
     assert nothing.count() == 0 and "sink" in nothing.columns
+
+
+def test_streaming_incremental_dedup_exactly_once_kill_restart(spark, tmp_path):
+    """VERDICT r03 item 7 — the streaming twin of
+    test_incremental_dedup_exactly_once_across_crash: readStream →
+    foreachBatch committing through the manifest with cross-batch
+    content anti-join (streaming.run_stream_dedup). Killed in BOTH
+    crash windows — (a) after a manifest commit but before the
+    streaming checkpoint advances (the replayed batch must be skipped
+    by the committed_chunks guard, not double-committed) and (b) after
+    a batch's data files land but before its manifest commit (the
+    replay must supersede the orphan attempt) — then restarted on the
+    same checkpoint. Final corpus must be IDENTICAL to an
+    uninterrupted run: same texts, same representatives."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from beats_spark.streaming import run_stream_dedup
+
+    # 4 flat parquet files => 4 micro-batches under maxFilesPerTrigger=1;
+    # 80 docs, 25 distinct texts, duplicates within and across batches
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        ids = list(range(i * 20, i * 20 + 20))
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "text": [f"text-{d % 25}" for d in ids],
+                }
+            ),
+            str(src / f"f{i:02d}.parquet"),
+        )
+    schema = "doc_id long, text string"
+    sink = lambda d: d.withColumn("sink", F.lit("corpus"))  # noqa: E731
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+
+    def corpus(runner):
+        return sorted((r.text, r.doc_id) for r in runner.result().collect())
+
+    # --- uninterrupted reference run
+    clean = CheckpointedRunner(spark, str(tmp_path / "clean"))
+    q = run_stream_dedup(stream(), clean, str(tmp_path / "ckpt-clean"), transform=sink)
+    q.awaitTermination(120)
+    a = corpus(clean)
+    assert sorted({t for t, _ in a}) == sorted(f"text-{i}" for i in range(25))
+    assert len(a) == 25  # one representative per distinct text
+
+    # --- crash window (a): die right after batch 1's manifest commit,
+    # before the streaming checkpoint records it
+    out2, ck2 = str(tmp_path / "crashy"), str(tmp_path / "ckpt-crashy")
+    crashy = CheckpointedRunner(spark, out2)
+    q2 = run_stream_dedup(
+        stream(), crashy, ck2, transform=sink, crash_after_commits=2
+    )
+    with pytest.raises(Exception, match="injected crash after manifest commit"):
+        q2.awaitTermination(120)
+    assert crashy.committed_chunks() == {0, 1}
+
+    # --- restart into crash window (b): batch 2's data files land but
+    # the process dies before the manifest pointer moves
+    class CrashBeforeCommit(CheckpointedRunner):
+        def commit_chunk(self, out, chunk, fail_before_commit=False):
+            if chunk == 2:
+                super().commit_chunk(out, chunk, fail_before_commit=True)
+                raise RuntimeError("injected crash before manifest commit")
+            return super().commit_chunk(out, chunk, fail_before_commit)
+
+    q3 = run_stream_dedup(
+        stream(), CrashBeforeCommit(spark, out2), ck2, transform=sink
+    )
+    with pytest.raises(Exception, match="before manifest commit"):
+        q3.awaitTermination(120)
+    resumed = CheckpointedRunner(spark, out2)
+    assert resumed.committed_chunks() == {0, 1}  # batch 2's attempt is orphaned
+    # the orphan attempt dir exists on disk but is invisible to readers
+    import os
+
+    assert os.path.isdir(os.path.join(resumed.data_dir, "run-0", "chunk=2", "try-1"))
+
+    # --- final restart drains to completion
+    q4 = run_stream_dedup(stream(), resumed, ck2, transform=sink)
+    q4.awaitTermination(120)
+    assert resumed.committed_chunks() == {0, 1, 2, 3}
+    assert corpus(resumed) == a  # identical corpus, identical representatives
