@@ -117,6 +117,83 @@ def put_field(df: DataFrame, path: str, value: Column) -> DataFrame:
     return df.withColumn(top, _put_nested(None, None, parts[1:], value))
 
 
+def _path_tree(paths: dict[str, Column]) -> dict:
+    """{'a.b': v, 'a.c.d': w} → {'a': {'b': v, 'c': {'d': w}}}. A path
+    that is both leaf and prefix keeps the later entry (put_field's
+    overwrite-non-struct-intermediary divergence, applied in order)."""
+    root: dict = {}
+    for path, v in paths.items():
+        node = root
+        parts = path.split(".")
+        for p in parts[:-1]:
+            if not isinstance(node.get(p), dict):
+                node[p] = {}
+            node = node[p]
+        node[parts[-1]] = v
+    return root
+
+
+def _merge_nested(col: Column | None, dtype, tree: dict) -> Column:
+    """Rebuild a struct with `tree`'s values merged in — every existing
+    field referenced exactly ONCE (getField), so the expression stays
+    LINEAR in total field count. A withField chain (one put_field per
+    path) makes each deep write re-reference the whole prior chain:
+    with ~30 nested writes per grok stage the optimizer chews minutes
+    on the re-inlined tree (haproxy module lesson — 144s optimizer
+    pass collapsed to <2s by this merge)."""
+    out = []
+    is_struct = isinstance(dtype, T.StructType)
+    existing = dtype.fieldNames() if is_struct else []
+    tree = dict(tree)
+    for n in existing:
+        if n in tree:
+            node = tree.pop(n)
+            if isinstance(node, dict):
+                sub_dt = dtype[n].dataType
+                if isinstance(sub_dt, T.StructType):
+                    out.append(
+                        _merge_nested(col.getField(n), sub_dt, node).alias(n)
+                    )
+                else:
+                    out.append(_merge_nested(None, None, node).alias(n))
+            else:
+                out.append(node.alias(n))
+        else:
+            out.append(col.getField(n).alias(n))
+    for n, node in tree.items():
+        out.append(
+            (_merge_nested(None, None, node) if isinstance(node, dict) else node)
+            .alias(n)
+        )
+    return F.struct(*out)
+
+
+def put_fields(df: DataFrame, values: dict[str, Column]) -> DataFrame:
+    """Batch put_field: write MANY dotted paths in one projection, each
+    top-level struct rebuilt once. Semantics match sequential put_field
+    calls (create-or-overwrite, intermediates created, non-struct
+    intermediaries overwritten) as long as no path is a prefix of
+    another top-level column write."""
+    flat: dict[str, Column] = {}
+    nested: dict[str, dict[str, Column]] = {}
+    for path, v in values.items():
+        if path.startswith("@metadata."):
+            path = META_COL + path[len("@metadata") :]
+        parts = path.split(".")
+        if len(parts) == 1 or path in df.columns:
+            flat[path] = v
+        else:
+            nested.setdefault(parts[0], {})[".".join(parts[1:])] = v
+    out: dict[str, Column] = dict(flat)
+    for top, sub in nested.items():
+        dt = df.schema[top].dataType if top in df.columns else None
+        if isinstance(dt, T.StructType):
+            out[top] = _merge_nested(F.col(f"`{top}`"), dt, _path_tree(sub))
+        else:
+            out[top] = _merge_nested(None, None, _path_tree(sub))
+    return df.withColumns(out)
+
+
 def drop_field(df: DataFrame, path: str) -> DataFrame:
     """Delete analog (`event.go:268-276`); no-op when absent."""
     if not has_field(df.schema, path):

@@ -27,7 +27,7 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from beats_spark.fields import add_flag, field_col, put_field
+from beats_spark.fields import add_flag, field_col, put_fields
 from beats_spark.processors.base import Processor, register
 from beats_spark.processors.shape import _set_error
 
@@ -84,6 +84,13 @@ GROK_PATTERNS: dict[str, str] = {
     "SYSLOGHOST": r"%{IPORHOST}",
     "PATH": r"(?:/[\w_%!$@:.,~-]+)+",
     "URIPATH": r"(?:/[\w_%!$@:.,~-]*)+",
+    "URIPARAM": r"\?[A-Za-z0-9$.+!*'|(){},~@#%&/=:;_?\-\[\]<>]*",
+    "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
+    # syslog tag / process name: printable US-ASCII minus '[' and '\'
+    "PROG": r"[\x21-\x5a\x5d-\x7e]+",
+    # java patterns (logstash-patterns-core java set, sans backrefs)
+    "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
+    "JAVALOGMESSAGE": r".*",
     # composite access-log shapes (logstash-patterns-core httpd set,
     # minus the backreference-dependent QS)
     "COMMONAPACHELOG": (
@@ -98,6 +105,15 @@ GROK_PATTERNS: dict[str, str] = {
 }
 
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w.\[\]@]+))?(?::(\w+))?\}")
+
+# Oniguruma named captures, the second capture syntax ES grok accepts
+# alongside %{NAME:field} (used by e.g. the kafka module pipeline's
+# (?'kafka.log.trace.full'.*)). Field names may contain dots — illegal
+# in Java's (?<name>...) — so the compiler rewrites the opener to a
+# plain '(' and tracks the name itself. Names must start with a letter,
+# which keeps lookbehind (?<= / (?<! out of the match.
+_ONIG_OPEN = r"\(\?(?:<([A-Za-z][\w.\[\]@]*)>|'([A-Za-z][\w.\[\]@]*)')"
+_TOKEN = re.compile(_GROK_REF.pattern + "|" + _ONIG_OPEN)
 
 _GROK_TYPES = {
     "int": "int",
@@ -159,12 +175,28 @@ def compile_grok(
         library.update(extra_patterns)
     captures: list[tuple[str, str | None]] = []
 
+    # ES grok is Oniguruma: its MULTILINE option ('m') means
+    # dot-matches-newline (Ruby semantics), and ^/$ are ALWAYS
+    # line-anchored. Translate a leading (?m)/(?im)… flag group to
+    # Java as dot-all + multiline-anchors so e.g. the kafka module's
+    # "(?m)…%{JAVALOGMESSAGE:message}…$[ \n]*(?'trace'.*)" captures a
+    # multi-line java stacktrace the way the reference pipeline does.
+    flags = re.match(r"^\(\?([a-z]+)\)", pattern)
+    if flags and "m" in flags.group(1) and "s" not in flags.group(1):
+        pattern = f"(?s{flags.group(1)})" + pattern[flags.end():]
+
     def expand(pat: str, depth: int) -> str:
         if depth > 20:
             raise GrokError("grok: pattern recursion too deep (cycle?)")
 
         def one(m: re.Match) -> str:
             name, field, typ = m.group(1), m.group(2), m.group(3)
+            if name is None:
+                # Oniguruma named capture: the body and its ')' stay in
+                # the text; emitting a bare '(' here keeps group order
+                # correct relative to any nested %{...:field} refs
+                captures.append((m.group(4) or m.group(5), None))
+                return "("
             body = library.get(name)
             if body is None:
                 raise GrokError(f"grok: unknown pattern %{{{name}}}")
@@ -182,10 +214,21 @@ def compile_grok(
 
         # %{...} refs contain no parens, so neutralizing the whole text
         # first only touches literal segments and library/user bodies —
-        # the compiler's own capture parens are emitted afterwards
-        return _GROK_REF.sub(one, _neutralize_captures(pat))
+        # the compiler's own capture parens are emitted afterwards.
+        # (neutralize passes every '(?...' construct through, so the
+        # Oniguruma openers survive to be rewritten here)
+        return _TOKEN.sub(one, _neutralize_captures(pat))
 
     regex = expand(pattern, 0)
+    # Java regex recurses once per iteration of an alternation loop:
+    # the ES modules' GREEDYMULTILINE idiom "(.|\n)*" StackOverflows
+    # the JVM at a few thousand chars of input. Rewrite the
+    # single-char-alternation loop to the equivalent dot-all loop,
+    # which Java matches iteratively. (The neutralizer has already
+    # turned '(' into '(?:' here.)
+    for loop in ("(?:.|\n)", "(?:\n|.)"):
+        for q in ("*", "+"):
+            regex = regex.replace(loop + q, f"(?s:.{q})")
     try:
         n_groups = re.compile(regex).groups
     except re.error:
@@ -234,8 +277,12 @@ class Grok(Processor):
     cfg: field (default "message"), patterns (list — FIRST matching
     pattern wins, like Logstash's match list), pattern (single),
     pattern_definitions (custom sub-patterns), target_prefix ("" =
-    root), ignore_failure. Failure appends `grok_parse_failure` to the
-    flags column and sets the error column unless ignore_failure."""
+    root), ignore_failure, anchored (default True: patterns must match
+    from the start — set False for ES-ingest parity, whose Oniguruma
+    grok SEARCHES the input, e.g. the kafka module's timestamp pattern
+    matching after a leading '['). Failure appends
+    `grok_parse_failure` to the flags column and sets the error column
+    unless ignore_failure."""
 
     name = "grok"
 
@@ -251,7 +298,11 @@ class Grok(Processor):
         extra = self.cfg.get("pattern_definitions")
         tp = self.cfg.get("target_prefix", "")
         prefix = (tp + ".") if tp else ""
-        compiled = [grok_columns(src.cast("string"), p, extra) for p in pats]
+        anchored = self.cfg.get("anchored", True)
+        compiled = [
+            grok_columns(src.cast("string"), p, extra, anchored=anchored)
+            for p in pats
+        ]
         matched_any: Column = F.lit(False)
         fields: dict[str, Column] = {}
         for matched, values in compiled:
@@ -266,10 +317,33 @@ class Grok(Processor):
                     F.when(take, v) if prev is None else F.when(take, v).otherwise(prev)
                 )
             matched_any = matched_any | matched
-        for k, v in fields.items():
-            df = put_field(df, prefix + k, v)
-        failed = ~F.coalesce(matched_any, F.lit(False))
+        # Materialize every capture (and the match predicate) in ONE
+        # projection from the ORIGINAL source before any put_field: a
+        # capture that overwrites the source field itself (ES grok's
+        # in-place `message` overwrite, e.g. kafka/icinga pipelines)
+        # would otherwise poison later captures in the same stage —
+        # withColumn re-resolves `message` against the updated plan.
+        tmp = {f"__grok_{i}__": v for i, v in enumerate(fields.values())}
+        tmp["__grok_matched__"] = F.coalesce(matched_any, F.lit(False))
+        df = df.withColumns(tmp)
+        writes: dict[str, Column] = {}
+        for i, k in enumerate(fields):
+            v = F.col(f"__grok_{i}__")
+            cur = field_col(df, prefix + k)
+            if cur is not None:
+                # ES grok only ADDS fields: a failed match (or a
+                # matching pattern that lacks this capture) leaves a
+                # pre-existing field untouched — never nulls it (the
+                # in-place `message` overwrite contract: kafka stage-2
+                # keeps the stage-1 message when no [component] head
+                # matches and on_failure only sets component)
+                v = F.coalesce(v, cur)
+            writes[prefix + k] = v
+        # one batched projection: per-put_field withField chains make
+        # the optimizer re-inline quadratically (see fields.put_fields)
+        df = put_fields(df, writes)
+        failed = ~F.col("__grok_matched__")
         df = add_flag(df, "grok_parse_failure", failed)
         if not self.cfg.get("ignore_failure", False):
             df = _set_error(df, failed, "grok: no pattern matched")
-        return df
+        return df.drop(*tmp)

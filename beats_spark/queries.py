@@ -956,6 +956,84 @@ SELECT id_a, id_b, cos_sim FROM scored
 WHERE cos_sim >= 0.42 ORDER BY id_a, id_b"""
 
 
+# --- q41: trained-IVF-bucketed near-dup pairs (oracle-checked) ---------------
+
+
+def q_ivf_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cosine_dup_pairs(cells=…) — the IVF-bucketed candidate mode
+    (VERDICT r03 item 5): every vector probes its 2 nearest of 16
+    coarse cells, candidates share a cell, exact verify >= 0.42.
+    Deterministic ±1 mixer centroids stand in for trained ones so the
+    oracle reproduces the exact cell assignment (the q26 recipe); the
+    q28 planted twins guarantee >0 rows at every scale. Recall-vs-
+    volume superiority of trained cells over sign planes is asserted
+    by test_ivf_dup_recall_beats_sign_lsh_at_equal_volume."""
+    from beats_spark.training import similarity
+
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    twins = raw.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    embs = raw.select("vec_id", "embedding").unionByName(twins)
+    return similarity.cosine_dup_pairs(
+        embs,
+        threshold=0.42,
+        dim=64,
+        cells=16,
+        n_probe=2,
+        centroids=similarity.ivf_centroids(64, 16),
+    ).orderBy("id_a", "id_b")
+
+
+def q_ivf_dup_pairs_oracle() -> str:
+    from beats_spark.training.similarity import mix_sign_sql
+
+    sign = mix_sign_sql("1000003 + c * 64 + i - 1")
+    dot_cent = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN {sign} = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), "
+        f"(acc, x) -> acc + x)"
+    )
+    dotab = (
+        "list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        "i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+    def norm(v: str) -> str:
+        return (
+            f"sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+            f"i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE))), "
+            f"(acc, x) -> acc + x))"
+        )
+
+    return f"""
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
+cells AS (SELECT unnest(range(0, 16)) AS c),
+cdots AS (
+  SELECT vec_id, embedding, c, {dot_cent} AS d
+  FROM corpus CROSS JOIN cells),
+probed AS (
+  SELECT vec_id, embedding, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rk
+    FROM cdots)
+  WHERE rk <= 2),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM probed a JOIN probed b USING (cell)
+  WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         round(({dotab}) / ({norm('va')} * {norm('vb')}), 6) AS cos_sim
+  FROM pairs)
+SELECT id_a, id_b, cos_sim FROM scored
+WHERE cos_sim >= 0.42 ORDER BY id_a, id_b"""
+
+
 # --- q27: multimodal container sniff (oracle-checked) ------------------------
 
 
@@ -1117,6 +1195,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_embedding_dups": q_embedding_dups,
         "q29_grok": q_grok,
         "q40_media_decode": q_media_decode,
+        "q41_ivf_dup_pairs": q_ivf_dup_pairs,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1167,4 +1246,5 @@ def _base_oracles() -> dict[str, str]:
         "q28_embedding_dups": q_embedding_dups_oracle(),
         "q29_grok": q_grok_oracle(),
         "q40_media_decode": q_media_decode_oracle(),
+        "q41_ivf_dup_pairs": q_ivf_dup_pairs_oracle(),
     }

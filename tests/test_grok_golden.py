@@ -663,3 +663,354 @@ def test_grok_golden_icinga(spark):
         for i, (g, e) in enumerate(zip(got, expected)):
             assert g["message"] == e["message"], (fileset, i)
     assert total >= 16, total  # 18 measured: 3 checked fields × 6 events
+
+
+# --- kafka/log ------------------------------------------------------------
+
+KAFKA_FIELDS = [
+    "kafka.log.class",
+    "log.level",
+    "message",
+    "kafka.log.component",
+    "kafka.log.trace.class",
+    "kafka.log.trace.message",
+    "kafka.log.timestamp",
+]
+
+
+def test_grok_golden_kafka_log(spark):
+    """Java-stacktrace multiline (config/log.yml: '^\\[' negate after)
+    → 3-stage grok chain replayed on all 8 kafka corpora: stage 1 has
+    the Oniguruma named capture (?'kafka.log.trace.full'…) and the
+    (?m)=dot-matches-newline ES dialect, stage 2 OVERWRITES message
+    in place (keeping it when no [component] head matches — on_failure
+    only sets component), stage 3 groks the captured stacktrace
+    (`module/kafka/log/ingest/pipeline.yml`)."""
+    from beats_spark.readers.multiline import merge_lines
+
+    g1, g2, g3 = _grok_cfgs(MODULES / "kafka/log/ingest/pipeline.yml")
+    ml = {"pattern": r"^\[", "negate": True, "match": "after"}
+
+    def stage(df, grok, field):
+        cfg = {
+            "field": field,
+            "patterns": grok["patterns"],
+            "target_prefix": "",
+            "anchored": False,  # ES grok searches (kafka ts after '[')
+            "ignore_failure": True,
+        }
+        if grok.get("pattern_definitions"):
+            cfg["pattern_definitions"] = grok["pattern_definitions"]
+        return compile_one({"grok": cfg})(df)
+
+    total = trace_checks = 0
+    for log in sorted((MODULES / "kafka/log/test").glob("*.log")):
+        expected = _expected(log)
+        lines = log.read_text().splitlines()
+        ldf = spark.createDataFrame(
+            [("f", i, l) for i, l in enumerate(lines)],
+            "source string, offset long, message string",
+        )
+        bundles = sorted(
+            merge_lines(ldf, ml).select("first_offset", "message").collect(),
+            key=lambda r: r.first_offset,
+        )
+        # server-2.0.0's expected file is truncated to the first 100
+        assert len(bundles) >= len(expected), log.name
+        msgs = [r.message for r in bundles[: len(expected)]]
+        df = spark.createDataFrame(
+            list(enumerate(msgs)), "idx long, message string"
+        )
+        df = stage(df, g1, "message")
+        df = stage(df, g2, "message")
+        df = stage(df, g3, "kafka.log.trace.full")
+        cols = [F.col("idx")] + [
+            field_col(df, f).alias(f"f{i}") for i, f in enumerate(KAFKA_FIELDS)
+        ]
+        rows = sorted(df.select(*cols).collect(), key=lambda r: r.idx)
+        for i, (r, e) in enumerate(zip(rows, expected)):
+            g = {f: r[f"f{j}"] for j, f in enumerate(KAFKA_FIELDS)}
+            # the date processor consumes the raw capture — every event
+            # must have produced one
+            assert g["kafka.log.timestamp"] is not None, (log.name, i)
+            for k in KAFKA_FIELDS[:-1]:
+                want = e.get(k)
+                got = g[k]
+                if k == "kafka.log.component" and got is None:
+                    got = "unknown"  # stage-2 on_failure sets it
+                if want is None:
+                    continue
+                assert got == want, (log.name, i, k, got, want)
+                total += 1
+                if k.startswith("kafka.log.trace."):
+                    trace_checks += 1
+    assert total >= 600, total  # 670 measured across the 8 corpora
+    # stacktrace path non-vacuous: server-2.0.0 carries the only
+    # trace-bearing expected event (2 trace fields in the corpus set)
+    assert trace_checks >= 2, trace_checks
+
+
+# --- haproxy/log ----------------------------------------------------------
+
+HAPROXY_FIELDS = [
+    "haproxy.frontend_name", "haproxy.backend_name", "haproxy.server_name",
+    "haproxy.bytes_read", "http.response.status_code",
+    "haproxy.total_waiting_time_ms", "haproxy.connection_wait_time_ms",
+    "haproxy.http.request.time_wait_ms",
+    "haproxy.http.request.time_wait_without_data_ms",
+    "haproxy.connections.active", "haproxy.connections.frontend",
+    "haproxy.connections.backend", "haproxy.connections.server",
+    "haproxy.connections.retries", "haproxy.server_queue",
+    "haproxy.backend_queue", "haproxy.termination_state",
+    "haproxy.http.request.raw_request_line",
+    "haproxy.http.request.captured_cookie",
+    "haproxy.http.response.captured_cookie",
+    "haproxy.error_message", "haproxy.mode", "haproxy.source",
+    "source.address", "source.port", "destination.ip", "destination.port",
+    "process.name", "process.pid", "http.request.method", "url.original",
+    "http.version", "source.ip", "haproxy.bind_name",
+    "haproxy.http.request.captured_headers",
+    "haproxy.http.response.captured_headers",
+]
+
+
+def test_grok_golden_haproxy_log(spark):
+    """The largest grok battery after mysql: 4 first-match-wins main
+    patterns (HAPROXY_DATE pattern_definitions, :long casts) + 3
+    follow-up groks (raw_request_line → method/url/version,
+    source/destination.address → .ip), all four corpora — http, tcp,
+    default and no-headers lines (`module/haproxy/log/ingest/
+    pipeline.yml`). captured_headers compare uses Java String.split
+    semantics (trailing empties dropped), matching the ES split
+    processor."""
+    g_main, g_req, g_src, g_dst = _grok_cfgs(
+        MODULES / "haproxy/log/ingest/pipeline.yml"
+    )
+
+    def stage(df, grok, field):
+        cfg = {
+            "field": field,
+            "patterns": grok["patterns"],
+            "target_prefix": "",
+            "anchored": False,  # syslog-prefixed lines match mid-string
+            "ignore_failure": True,
+        }
+        if grok.get("pattern_definitions"):
+            cfg["pattern_definitions"] = grok["pattern_definitions"]
+        return compile_one({"grok": cfg})(df)
+
+    total = 0
+    for log in sorted((MODULES / "haproxy/log/test").glob("*.log")):
+        expected = _expected(log)
+        lines = [l for l in log.read_text().splitlines() if l]
+        assert len(lines) == len(expected), log.name
+        df = spark.createDataFrame(
+            list(enumerate(lines)), "idx long, message string"
+        )
+        df = stage(df, g_main, "message")
+        df = stage(df, g_req, "haproxy.http.request.raw_request_line")
+        df = stage(df, g_src, "source.address")
+        df = stage(df, g_dst, "destination.address")
+        cols = [F.col("idx")] + [
+            field_col(df, f).alias(f"f{i}") for i, f in enumerate(HAPROXY_FIELDS)
+        ]
+        rows = sorted(df.select(*cols).collect(), key=lambda r: r.idx)
+        checks = 0
+        for i, (r, e) in enumerate(zip(rows, expected)):
+            for j, k in enumerate(HAPROXY_FIELDS):
+                want, got = e.get(k), r[f"f{j}"]
+                if want is None or got is None:
+                    continue
+                if k.endswith("captured_headers"):
+                    got = got.split("|")
+                    while got and got[-1] == "":
+                        got.pop()
+                assert got == want, (log.name, i, k, got, want)
+                checks += 1
+        assert checks >= 4 * len(expected), (log.name, checks)
+        total += checks
+    assert total >= 350, total  # 380 measured across the 4 corpora
+
+
+# --- elasticsearch/server (multiline + grok + ndjson) ----------------------
+
+ES_PT_FIELDS = [
+    "log.level",
+    "elasticsearch.component",
+    "elasticsearch.node.name",
+    "elasticsearch.index.name",
+    "message",
+    "elasticsearch.server.timestamp",
+]
+# pipeline-json-7's dot_expander+rename chain, flattened
+ES_J7_RENAMES = {
+    "level": "log.level",
+    "component": "elasticsearch.component",
+    "cluster.name": "elasticsearch.cluster.name",
+    "node.name": "elasticsearch.node.name",
+    "cluster.uuid": "elasticsearch.cluster.uuid",
+    "node.id": "elasticsearch.node.id",
+}
+# pipeline-json-8: the 8.x log IS ECS-keyed already
+ES_J8_RENAMES = {
+    "log.level": "log.level",
+    "log.logger": "log.logger",
+    "elasticsearch.cluster.name": "elasticsearch.cluster.name",
+    "elasticsearch.node.name": "elasticsearch.node.name",
+    "elasticsearch.cluster.uuid": "elasticsearch.cluster.uuid",
+    "elasticsearch.node.id": "elasticsearch.node.id",
+    "message": "message",
+}
+
+
+def _es_plaintext(spark, msgs):
+    (grok_cfg,) = _grok_cfgs(
+        MODULES / "elasticsearch/server/ingest/pipeline-plaintext.yml"
+    )
+    df = spark.createDataFrame(list(enumerate(msgs)), "idx long, message string")
+    df = compile_one(
+        {
+            "grok": {
+                "field": "message",
+                "patterns": grok_cfg["patterns"],
+                "pattern_definitions": grok_cfg.get("pattern_definitions"),
+                "target_prefix": "",
+                "anchored": False,
+                "ignore_failure": True,
+            }
+        }
+    )(df)
+    cols = [F.col("idx")] + [
+        field_col(df, f).alias(f"f{i}") for i, f in enumerate(ES_PT_FIELDS)
+    ]
+    rows = sorted(df.select(*cols).collect(), key=lambda r: r.idx)
+    return [{f: r[f"f{i}"] for i, f in enumerate(ES_PT_FIELDS)} for r in rows]
+
+
+def test_grok_golden_elasticsearch_server(spark):
+    """The full module chain: multiline (config: negate on
+    '^(\\[date|{)' heads) → route by first char → plaintext grok with
+    GREEDYMULTILINE message overwrite (rewritten from the JVM-fatal
+    (.|\\n)* idiom), or ndjson decode (decode_json_fields → map) +
+    the json-7 renames + the json-7 index/GC grok
+    (`module/elasticsearch/server/ingest/pipeline*.yml`)."""
+    from beats_spark.readers.multiline import merge_lines
+
+    ml = {"pattern": r"^(\[[0-9]{4}-[0-9]{2}-[0-9]{2}|\{)", "negate": True,
+          "match": "after"}
+    j7 = yaml.safe_load(
+        (MODULES / "elasticsearch/server/ingest/pipeline-json-7.yml").read_text()
+    )
+    (j7_grok,) = [p["grok"] for p in j7["processors"] if "grok" in p]
+
+    def bundles_of(log):
+        lines = log.read_text().splitlines()
+        ldf = spark.createDataFrame(
+            [("f", i, l) for i, l in enumerate(lines)],
+            "source string, offset long, message string",
+        )
+        return [
+            r.message
+            for r in sorted(
+                merge_lines(ldf, ml).select("first_offset", "message").collect(),
+                key=lambda r: r.first_offset,
+            )
+        ]
+
+    total = 0
+    # plaintext corpora
+    for name in ("test.log", "elasticsearch.624.log"):
+        log = MODULES / "elasticsearch/server/test" / name
+        expected = _expected(log)
+        msgs = bundles_of(log)
+        assert len(msgs) >= len(expected), name
+        got = _es_plaintext(spark, msgs[: len(expected)])
+        checks = 0
+        for i, (g, e) in enumerate(zip(got, expected)):
+            assert g["elasticsearch.server.timestamp"] is not None, (name, i)
+            for k in ES_PT_FIELDS[:-1]:
+                want = e.get(k)
+                if want is None or g[k] is None:
+                    continue
+                assert g[k] == want, (name, i, k, g[k], want)
+                checks += 1
+        assert checks >= 3 * len(expected), (name, checks)
+        total += checks
+
+    # ndjson corpora (7.x schema + 8.x mixed): decode through the
+    # engine's decode_json_fields, then the json-7 grok on message
+    for name in ("test-json.log", "elasticsearch-json.800.mixed.log"):
+        log = MODULES / "elasticsearch/server/test" / name
+        expected = _expected(log)
+        msgs = bundles_of(log)[: len(expected)]
+        df = spark.createDataFrame(
+            list(enumerate(msgs)), "idx long, message string"
+        )
+        df = compile_one(
+            {
+                "decode_json_fields": {
+                    "fields": ["message"],
+                    "target": "server_json",
+                    "schemas": {"message": "map<string,string>"},
+                }
+            }
+        )(df)
+        df = (
+            df.withColumn("j7msg", F.col("server_json").getItem("message"))
+            .withColumn("j7type", F.col("server_json").getItem("type"))
+            # the j7 grok below overwrites top-level `message` (its
+            # GREEDYMULTILINE capture) — keep the raw line for routing
+            .withColumn("orig_message", F.col("message"))
+        )
+        df = compile_one(
+            {
+                "grok": {
+                    "field": "j7msg",
+                    "patterns": j7_grok["patterns"],
+                    "pattern_definitions": j7_grok.get("pattern_definitions"),
+                    "target_prefix": "",
+                    "anchored": False,
+                    "ignore_failure": True,
+                }
+            }
+        )(df)
+        plain = []
+        json_fields = [
+            "message", "elasticsearch.index.name", "elasticsearch.index.id"
+        ]
+        cols = [F.col("idx"), F.col("orig_message"), F.col("server_json"),
+                F.col("j7type")] + [
+            field_col(df, f).alias(f"g{i}") for i, f in enumerate(json_fields)
+        ]
+        rows = sorted(df.select(*cols).collect(), key=lambda r: r.idx)
+        checks = 0
+        for i, (r, e) in enumerate(zip(rows, expected)):
+            if not r.orig_message.startswith("{"):
+                plain.append((r.orig_message, e))
+                continue
+            d = r.server_json
+            renames = ES_J7_RENAMES if r.j7type is not None else ES_J8_RENAMES
+            for src, dst in renames.items():
+                if src in d and dst in e:
+                    assert d[src] == e[dst], (name, i, dst, d[src], e[dst])
+                    checks += 1
+            if r.j7type is not None:
+                # grokked message strips the [index] / [index/id] head
+                for j, k in enumerate(json_fields):
+                    want = e.get(k)
+                    if want is None or r[f"g{j}"] is None:
+                        continue
+                    assert r[f"g{j}"] == want, (name, i, k, r[f"g{j}"], want)
+                    checks += 1
+        if plain:  # mixed file: the non-json bundles ride plaintext
+            got = _es_plaintext(spark, [m for m, _ in plain])
+            for g, (_, e) in zip(got, plain):
+                for k in ES_PT_FIELDS[:-1]:
+                    want = e.get(k)
+                    if want is None or g[k] is None:
+                        continue
+                    assert g[k] == want, (name, k, g[k], want)
+                    checks += 1
+        assert checks >= 3 * len(expected), (name, checks)
+        total += checks
+    assert total >= 550, total  # ~620 measured across the 4 corpora

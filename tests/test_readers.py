@@ -242,3 +242,74 @@ def test_fast_path_offsets_survive_multi_split_files(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
         spark.conf.set("spark.sql.files.openCostInBytes", old_cost)
+
+
+def test_file_rotation_identity_continuation(spark, tmp_path):
+    """VERDICT r03 item 8 — the registrar rotation-continuation
+    semantics (filebeat/tests/system/test_registrar.py:632+,
+    filestream fingerprint identity identifier.go:21-64): identity is
+    a hash of the file HEAD, not the path, so
+
+    - rename + append (logrotate) carries the watermark over: only the
+      appended lines are emitted on the next run;
+    - a fresh file at the old path is a NEW identity, read from 0;
+    - no line is ever re-emitted across the rotation;
+    - a file smaller than the fingerprint window is gated out until it
+      grows (the filestream scanner gate)."""
+    import os
+
+    from beats_spark.readers.registry import LineRegistry, file_identity
+
+    pad = "x" * 40  # make every line bigger than the fingerprint window
+    f = tmp_path / "app.log"
+    f.write_text("".join(f"old-{i} {pad}\n" for i in range(10)))
+    reg = LineRegistry(str(tmp_path / "registry.json"), fingerprint_bytes=32)
+
+    glob_pat = [str(tmp_path / "app.log"), str(tmp_path / "app.log.*")]
+    out1, ids1 = reg.resume_read(spark, glob_pat)
+    rows1 = sorted((r.identity, r.offset, r.message) for r in out1.collect())
+    assert len(rows1) == 10
+    reg.commit(out1, ids1)
+
+    # nothing new => zero rows on an idempotent re-run
+    out2, ids2 = reg.resume_read(spark, glob_pat)
+    assert out2.count() == 0
+
+    # rotate: rename, then the (still-open) writer appends to the
+    # renamed file; a NEW file appears at the old path
+    rotated = tmp_path / "app.log.1"
+    os.rename(f, rotated)
+    with open(rotated, "a") as fh:
+        fh.write("".join(f"appended-{i} {pad}\n" for i in range(5)))
+    f.write_text("".join(f"new-{i} {pad}\n" for i in range(3)))
+
+    # identity follows the content: the renamed file IS the old stream
+    assert file_identity(str(rotated), 32) == list(ids1.values())[0]
+    assert file_identity(str(f), 32) != list(ids1.values())[0]
+
+    out3, ids3 = reg.resume_read(spark, glob_pat)
+    got = sorted((r.message.split()[0], r.offset) for r in out3.collect())
+    # exactly the 5 appended (offsets continue at 11..15 under the
+    # rotated path) + the 3 lines of the fresh file — nothing re-read
+    assert got == (
+        [(f"appended-{i}", 11 + i) for i in range(5)]
+        + [(f"new-{i}", 1 + i) for i in range(3)]
+    ), got
+    reg.commit(out3, ids3)
+
+    # crash-replay of the registry file: a NEW registry instance on the
+    # same state path sees everything as already emitted
+    reg2 = LineRegistry(str(tmp_path / "registry.json"), fingerprint_bytes=32)
+    out4, _ = reg2.resume_read(spark, glob_pat)
+    assert out4.count() == 0
+
+    # scanner gate: a file below the fingerprint window is invisible…
+    tiny = tmp_path / "app.log.9"
+    tiny.write_text("tiny\n")
+    out5, ids5 = reg2.resume_read(spark, glob_pat)
+    assert str(tiny) not in ids5 and out5.count() == 0
+    # …until it grows past it
+    tiny.write_text(f"grown-0 {pad}\n")
+    out6, ids6 = reg2.resume_read(spark, glob_pat)
+    assert str(tiny) in ids6
+    assert [r.message.split()[0] for r in out6.collect()] == ["grown-0"]
