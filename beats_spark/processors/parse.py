@@ -21,7 +21,14 @@ from beats_spark.dissect import (
     make_dissect_udf,
     make_trimmer,
 )
-from beats_spark.fields import add_flag, drop_field, field_col, field_type, put_field
+from beats_spark.fields import (
+    add_flag,
+    drop_field,
+    field_col,
+    field_type,
+    put_field,
+    put_fields,
+)
 from beats_spark.processors.base import Processor, register
 from beats_spark.processors.shape import _set_error
 
@@ -60,10 +67,22 @@ class Dissect(Processor):
         convert = self.tok.wants_convert
         if self.tok.native_compilable:
             matched, values = self.tok.native_exprs(src, convert, self.tok.trimmer)
-            for key, expr in values.items():
-                df = put_field(
-                    df, self.prefix + key, F.when(matched, expr)
-                )
+            # materialize the predicate, then write every key in ONE
+            # batched projection: a per-key put_field chain re-inlines
+            # quadratically in the optimizer, and an in-place overwrite
+            # of the source field (target_prefix "") would poison later
+            # keys + the failure flag (same fix as Grok / put_fields)
+            df = df.withColumn(
+                "__dissect_matched__", F.coalesce(matched, F.lit(False))
+            )
+            matched = F.col("__dissect_matched__")
+            df = put_fields(
+                df,
+                {
+                    self.prefix + key: F.when(matched, expr)
+                    for key, expr in values.items()
+                },
+            )
         else:
             udf = make_dissect_udf(self.tok)
             mcol = "__dissect_map__"
@@ -73,11 +92,13 @@ class Dissect(Processor):
             # otherwise reference a dropped column (AnalysisException)
             df = df.withColumn("__dissect_matched__", F.col(mcol).isNotNull())
             matched = F.col("__dissect_matched__")
+            writes: dict[str, Any] = {}
             for key in self.tok.static_keys:
                 expr = F.element_at(F.col(mcol), key)
                 if convert:
                     expr = cast_dissect_type(expr, self.tok.key_type(key))
-                df = put_field(df, self.prefix + key, expr)
+                writes[self.prefix + key] = expr
+            df = put_fields(df, writes)
             if self.tok.has_dynamic_keys:
                 # dynamic keys can't become static columns: keep the map
                 df = df.withColumn("__dissect_dynamic__", F.col(mcol))
@@ -556,9 +577,15 @@ class Syslog(Processor):
         matched = cols.pop("_syslog_matched")
         ts_raw = cols.pop("timestamp_raw")
         msg = cols.pop("message")
-        for path, expr in cols.items():
-            df = put_field(df, path, expr)
-        df = put_field(df, "syslog.timestamp_raw", ts_raw)
+        # materialize the predicate before any write (the batch below
+        # overwrites `message` in place — flag/error must not see the
+        # rewritten value), then one batched projection for all paths
+        df = df.withColumn(
+            "__syslog_matched__", F.coalesce(matched, F.lit(False))
+        )
+        matched = F.col("__syslog_matched__")
+        writes = dict(cols)
+        writes["syslog.timestamp_raw"] = ts_raw
         # parse the timestamp: 5424 carries ISO8601; 3164 is BSD
         # time.Stamp, year-less — the reference derives the year from
         # now (syslog/message.go:101-110); `default_year` pins it for
@@ -582,15 +609,16 @@ class Syslog(Processor):
         parsed_ts = F.when(ts_raw.rlike(r"^\d{4}-"), iso).otherwise(
             F.when(ts_raw.isNotNull(), bsd)
         )
-        df = put_field(df, "log.syslog.timestamp", parsed_ts)
+        writes["log.syslog.timestamp"] = parsed_ts
         orig_msg = field_col(df, "message")
         if orig_msg is None:
             orig_msg = F.lit(None).cast("string")
-        df = put_field(df, "message", F.coalesce(msg, orig_msg))
-        df = add_flag(df, "syslog_parsing_error", ~F.coalesce(matched, F.lit(False)))
+        writes["message"] = F.coalesce(msg, orig_msg)
+        df = put_fields(df, writes)
+        df = add_flag(df, "syslog_parsing_error", ~matched)
         if not self.cfg.get("ignore_failure", False):
-            df = _set_error(df, ~F.coalesce(matched, F.lit(False)), "syslog: parse failure")
-        return df
+            df = _set_error(df, ~matched, "syslog: parse failure")
+        return df.drop("__syslog_matched__")
 
 
 @register
