@@ -88,6 +88,9 @@ GROK_PATTERNS: dict[str, str] = {
     "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
     # syslog tag / process name: printable US-ASCII minus '[' and '\'
     "PROG": r"[\x21-\x5a\x5d-\x7e]+",
+    # mongo patterns (logstash-patterns-core mongodb set)
+    "MONGO3_SEVERITY": r"\w",
+    "MONGO3_COMPONENT": r"%{WORD}",
     # java patterns (logstash-patterns-core java set, sans backrefs)
     "JAVACLASS": r"(?:[a-zA-Z$_][a-zA-Z$_0-9]*\.)*[a-zA-Z$_][a-zA-Z$_0-9]*",
     "JAVALOGMESSAGE": r".*",

@@ -1014,3 +1014,142 @@ def test_grok_golden_elasticsearch_server(spark):
         assert checks >= 3 * len(expected), (name, checks)
         total += checks
     assert total >= 550, total  # ~620 measured across the 4 corpora
+
+
+# --- redis/log --------------------------------------------------------------
+
+REDIS_LEVELS = {".": "debug", "-": "verbose", "*": "notice", "#": "warning"}
+REDIS_ROLES = {"M": "master", "S": "slave", "C": "child", "X": "sentinel"}
+REDIS_FIELDS = [
+    "process.pid", "redis.log.role", "redis.log.timestamp",
+    "log.level", "message",
+]
+
+
+def test_grok_golden_redis_log(spark):
+    """5 redis corpora through the ENGINE's read_lines exclude_lines
+    (the module input drops asciiart banner lines before parsing,
+    `module/redis/log/config/log.yml` exclude_lines) then the module
+    grok (empty-alternation timestamp branch, [.\\-*#] severity
+    symbols); the pipeline's painless level/role symbol maps are
+    applied to the comparison (`module/redis/log/ingest/pipeline.yml`).
+    """
+    from beats_spark.readers.lines import read_lines
+
+    (g,) = _grok_cfgs(MODULES / "redis/log/ingest/pipeline.yml")
+    total = 0
+    for log in sorted((MODULES / "redis/log/test").glob("*.log")):
+        expected = _expected(log)
+        lines_df = read_lines(
+            spark,
+            str(log),
+            exclude_lines=[r"^\s+[\-`('.|_]"],  # the module's asciiart drop
+        ).filter(F.length("message") > 0)  # Message.IsEmpty drop
+        ordered = sorted(lines_df.collect(), key=lambda r: r.offset)
+        assert len(ordered) >= len(expected), log.name
+        msgs = [r.message for r in ordered[: len(expected)]]
+        df = spark.createDataFrame(
+            list(enumerate(msgs)), "idx long, message string"
+        )
+        df = compile_one(
+            {
+                "grok": {
+                    "field": "message",
+                    "patterns": g["patterns"],
+                    "pattern_definitions": g.get("pattern_definitions"),
+                    "target_prefix": "",
+                    "anchored": False,
+                    "ignore_failure": True,
+                }
+            }
+        )(df)
+        cols = [F.col("idx")] + [
+            field_col(df, f).alias(f"f{i}") for i, f in enumerate(REDIS_FIELDS)
+        ]
+        rows = sorted(df.select(*cols).collect(), key=lambda r: r.idx)
+        checks = 0
+        for i, (r, e) in enumerate(zip(rows, expected)):
+            g2 = {f: r[f"f{j}"] for j, f in enumerate(REDIS_FIELDS)}
+            g2["log.level"] = REDIS_LEVELS.get(g2["log.level"], g2["log.level"])
+            g2["redis.log.role"] = REDIS_ROLES.get(
+                g2["redis.log.role"], g2["redis.log.role"]
+            )
+            for k in REDIS_FIELDS:
+                want = e.get(k)
+                if want is None or g2[k] is None:
+                    continue
+                assert g2[k] == want, (log.name, i, k, g2[k], want)
+                checks += 1
+        assert checks >= 2 * len(expected), (log.name, checks)
+        total += checks
+    assert total >= 330, total  # 350 measured across the 5 corpora
+
+
+# --- mongodb/log ------------------------------------------------------------
+
+
+def test_grok_golden_mongodb_log(spark):
+    """Both mongodb formats (`module/mongodb/log/ingest/`): 3.x
+    plaintext grok (MONGO3_SEVERITY/COMPONENT, optional [context]) and
+    4.4 structured logging decoded through decode_json_fields with the
+    json-7-style rename map (s→log.level, c→component, ctx→context,
+    msg→message)."""
+    (g,) = _grok_cfgs(
+        MODULES / "mongodb/log/ingest/pipeline-plaintext.yml"
+    )
+    log = MODULES / "mongodb/log/test/mongodb-debian-3.2.11.log"
+    expected = _expected(log)
+    lines = log.read_text().splitlines()
+    assert len(lines) == len(expected)
+    fields = ["log.level", "mongodb.log.component", "mongodb.log.context",
+              "message", "mongodb.log.timestamp"]
+    got = _run_grok(spark, lines, g, fields)
+    checks = 0
+    for i, (gg, e) in enumerate(zip(got, expected)):
+        assert gg["mongodb.log.timestamp"] is not None, i
+        for k in fields[:-1]:
+            want = e.get(k)
+            if want is None or gg[k] is None:
+                continue
+            assert gg[k] == want, (i, k, gg[k], want)
+            checks += 1
+    assert checks >= 3 * len(expected), checks
+
+    # 4.4 structured logging (ndjson)
+    jlog = MODULES / "mongodb/log/test/mongodb-ubuntu-4.4.4-json.log"
+    jexp = _expected(jlog)
+    jlines = jlog.read_text().splitlines()
+    assert len(jlines) == len(jexp)
+    df = spark.createDataFrame(list(enumerate(jlines)), "idx long, message string")
+    df = compile_one(
+        {
+            "decode_json_fields": {
+                "fields": ["message"],
+                "target": "mlog",
+                "schemas": {
+                    "message": "struct<t struct<`$date` string>, s string, "
+                    "c string, ctx string, msg string>"
+                },
+            }
+        }
+    )(df)
+    rows = sorted(
+        df.select("idx", "message", "mlog").collect(), key=lambda r: r.idx
+    )
+    jchecks = 0
+    for r, e in zip(rows, jexp):
+        m = r.mlog
+        for got_v, key in (
+            (m.s, "log.level"),
+            (m.c, "mongodb.log.component"),
+            (m.ctx, "mongodb.log.context"),
+            (m.msg, "message"),
+            (r.message, "event.original"),
+        ):
+            want = e.get(key)
+            if want is None or got_v is None:
+                continue
+            assert got_v == want, (key, got_v, want)
+            jchecks += 1
+        assert m.t["$date"] is not None
+    assert jchecks >= 4 * len(jexp), jchecks
