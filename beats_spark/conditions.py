@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from beats_spark.fields import field_col, field_type
+from beats_spark.regex import jvm_safe
 
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
@@ -120,7 +121,7 @@ def _string_match(df: DataFrame, fields: dict[str, str], kind: str) -> Column:
         if kind == "contains":
             pred = pred & col.contains(pattern)
         else:
-            pred = pred & col.rlike(pattern)
+            pred = pred & col.rlike(jvm_safe(pattern))
     return _bool(pred)
 
 

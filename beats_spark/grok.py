@@ -27,6 +27,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from beats_spark.regex import jvm_safe
+
 from beats_spark.fields import add_flag, field_col, put_fields
 from beats_spark.processors.base import Processor, register
 from beats_spark.processors.shape import _set_error
@@ -232,6 +234,11 @@ def compile_grok(
     for loop in ("(?:.|\n)", "(?:\n|.)"):
         for q in ("*", "+"):
             regex = regex.replace(loop + q, f"(?s:.{q})")
+    # Oniguruma (like Go RE2) treats a '{' that opens no valid
+    # quantifier as a literal (the logstash slowlog pipeline's ruby-
+    # hash pattern "{:plugin_params=>…}" relies on it); Java throws.
+    # Escape those after expansion so library quantifiers survive.
+    regex = jvm_safe(regex)
     try:
         n_groups = re.compile(regex).groups
     except re.error:

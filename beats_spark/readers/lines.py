@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from beats_spark.regex import jvm_safe
+
 # reference line terminators (readfile/line_terminator.go:52-76);
 # auto = LF with CR+LF tolerated
 LINE_TERMINATORS: dict[str, str] = {
@@ -190,9 +192,9 @@ def line_keep_predicate(
     if include:
         keep = F.lit(False)
         for p in include:
-            keep = keep | F.coalesce(line.rlike(p), F.lit(False))
+            keep = keep | F.coalesce(line.rlike(jvm_safe(p)), F.lit(False))
     for p in exclude or []:
-        keep = keep & ~F.coalesce(line.rlike(p), F.lit(False))
+        keep = keep & ~F.coalesce(line.rlike(jvm_safe(p)), F.lit(False))
     return keep
 
 

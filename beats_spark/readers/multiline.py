@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from beats_spark.regex import jvm_safe
+
 DEFAULT_MAX_LINES = 500  # pattern.go:52-58
 
 
@@ -33,7 +35,7 @@ def _start_marker(line: Column, cfg: dict[str, Any]) -> Column:
     """True where a NEW event starts (first line of a bundle)."""
     mode = cfg.get("type", "pattern")
     if mode == "pattern":
-        pat = cfg["pattern"]
+        pat = jvm_safe(cfg["pattern"])
         matched = line.rlike(pat)
         if cfg.get("negate", False):
             matched = ~matched
@@ -73,7 +75,7 @@ def merge_lines(
         # merge runs of matching lines; a non-matching line is its own
         # event, and a matching line after a non-matching one starts a
         # NEW run (while.go)
-        matched = line.rlike(cfg["pattern"])
+        matched = line.rlike(jvm_safe(cfg["pattern"]))
         if cfg.get("negate", False):
             matched = ~matched
         prev_matched = F.lag(matched, 1, False).over(w)
@@ -82,7 +84,7 @@ def merge_lines(
     elif mode == "pattern" and cfg.get("match", "after") == "before":
         # line matching pattern (xor negate) joins the NEXT line:
         # a new event starts when the PREVIOUS line was not a joiner
-        matched = line.rlike(cfg["pattern"])
+        matched = line.rlike(jvm_safe(cfg["pattern"]))
         if cfg.get("negate", False):
             matched = ~matched
         prev_joiner = F.lag(matched, 1, False).over(w)
@@ -94,7 +96,7 @@ def merge_lines(
         # the current bundle — the FOLLOWING line starts a new event
         # regardless of its continuation status
         if cfg.get("flush_pattern"):
-            prev_flush = F.lag(line.rlike(cfg["flush_pattern"]), 1, False).over(w)
+            prev_flush = F.lag(line.rlike(jvm_safe(cfg["flush_pattern"])), 1, False).over(w)
             start = start | F.coalesce(prev_flush, F.lit(False))
         # the very first line of a group always starts an event
         rn = F.row_number().over(w)

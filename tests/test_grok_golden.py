@@ -1397,3 +1397,209 @@ def test_grok_golden_system_auth(spark):
                     pam_checks += 1
     assert total >= 900, total
     assert pam_checks >= 40, pam_checks  # PAM-path users non-vacuous
+
+
+# --- logstash log + slowlog ------------------------------------------------
+
+
+def test_grok_golden_logstash(spark):
+    """logstash module, both formats: plain logs replay the config's
+    multiline ('^((\\[date])|({.+}))' negate:after, `config/log.yml`)
+    into the 3-pattern plaintext grok whose GREEDYMULTILINE def embeds
+    a REAL newline in the alternation ('(.|\\n)*' with a literal LF —
+    the YAML |- block form), exercising the (.|\\n)→(?s:) JVM rewrite
+    on that variant; slowlog chains 3 groks (main → module-name split
+    → ruby-hash plugin_params/took split); the json format decodes
+    through decode_json_fields with the pipeline-json rename map
+    (`module/logstash/log/ingest/pipeline-json.yml`)."""
+    from beats_spark.readers.multiline import merge_lines
+
+    (g_log,) = _grok_cfgs(MODULES / "logstash/log/ingest/pipeline-plaintext.yml")
+    g_slow, g_mod, g_par = _grok_cfgs(
+        MODULES / "logstash/slowlog/ingest/pipeline-plaintext.yml"
+    )
+    ml = {
+        "pattern": r"^((\[[0-9]{4}-[0-9]{2}-[0-9]{2}[^\]]+\])|({.+}))",
+        "negate": True,
+        "match": "after",
+    }
+    total = 0
+    # plain logs: multiline → grok
+    for name in ["logstash-plain.log", "logstash-plain-7.4.log"]:
+        log = MODULES / "logstash/log/test" / name
+        expected = _expected(log)
+        lines = log.read_text().splitlines()
+        ldf = spark.createDataFrame(
+            [("f", i, l) for i, l in enumerate(lines)],
+            "source string, offset long, message string",
+        )
+        bundles = sorted(
+            merge_lines(ldf, ml).select("first_offset", "message").collect(),
+            key=lambda r: r.first_offset,
+        )
+        assert len(bundles) == len(expected), name
+        fields = ["logstash.log.timestamp", "log.level", "logstash.log.module",
+                  "logstash.log.pipeline_id", "logstash.log.plugin_id",
+                  "message"]
+        got = _run_grok(spark, [b.message for b in bundles], g_log, fields)
+        for i, (g, e) in enumerate(zip(got, expected)):
+            assert g["logstash.log.timestamp"] is not None, (name, i)
+            # @timestamp = timestamp with ',' millis + event.timezone
+            want_ts = g["logstash.log.timestamp"].replace(",", ".")
+            assert e["@timestamp"].startswith(want_ts), (name, i)
+            for k in fields[1:]:
+                want = e.get(k)
+                if want is None or g[k] is None:
+                    continue
+                assert g[k] == want, (name, i, k, g[k], want)
+                total += 1
+    # slowlog plain: 3-stage grok chain
+    log = MODULES / "logstash/slowlog/test/slowlog-plain.log"
+    expected = _expected(log)
+    lines = [l for l in log.read_text().splitlines() if l]
+    assert len(lines) == len(expected)
+    df = spark.createDataFrame(list(enumerate(lines)), "idx long, message string")
+
+    def stage(df, grok, field):
+        cfg = {"field": field, "patterns": grok["patterns"],
+               "target_prefix": "", "anchored": False, "ignore_failure": True}
+        if grok.get("pattern_definitions"):
+            cfg["pattern_definitions"] = grok["pattern_definitions"]
+        return compile_one({"grok": cfg})(df)
+
+    df = stage(df, g_slow, "message")
+    df = stage(df, g_mod, "logstash.slowlog.module")
+    df = stage(df, g_par, "message")
+    slow_fields = ["logstash.slowlog.timestamp", "log.level",
+                   "logstash.slowlog.module", "logstash.slowlog.plugin_type",
+                   "logstash.slowlog.plugin_name",
+                   "logstash.slowlog.plugin_params", "event.duration",
+                   "logstash.slowlog.took_in_millis", "logstash.slowlog.event"]
+    cols = [F.col("idx")] + [
+        field_col(df, f).alias(f"f{i}") for i, f in enumerate(slow_fields)
+    ]
+    rows = sorted(df.select(*cols).collect(), key=lambda r: r.idx)
+    for i, (r, e) in enumerate(zip(rows, expected)):
+        for j, k in enumerate(slow_fields):
+            want, gv = e.get(k), r[f"f{j}"]
+            if k == "logstash.slowlog.timestamp":
+                assert gv is not None and e["@timestamp"].startswith(
+                    gv.replace(",", ".")
+                ), (i, gv)
+                continue
+            if want is None or gv is None:
+                continue
+            if isinstance(want, int) and isinstance(gv, str):
+                gv = int(gv)
+            assert gv == want, (i, k, gv, want)
+            total += 1
+    # json format: decode_json_fields + pipeline-json rename map
+    jlog = MODULES / "logstash/log/test/logstash-json.log"
+    jexp = _expected(jlog)
+    jlines = [l for l in jlog.read_text().splitlines() if l]
+    assert len(jlines) == len(jexp)
+    jdf = spark.createDataFrame(list(enumerate(jlines)), "idx long, message string")
+    jdf = compile_one(
+        {
+            "decode_json_fields": {
+                "fields": ["message"],
+                "target": "jlog",
+                "schemas": {
+                    "message": "struct<timeMillis long, level string, "
+                    "loggerName string, `logEvent` struct<message string>>"
+                },
+            }
+        }
+    )(jdf)
+    jrows = sorted(jdf.select("idx", "jlog").collect(), key=lambda r: r.idx)
+    for r, e in zip(jrows, jexp):
+        m = r.jlog
+        for gv, key in ((m.level, "log.level"),
+                        (m.loggerName, "logstash.log.module"),
+                        (m.logEvent.message, "message")):
+            want = e.get(key)
+            if want is None or gv is None:
+                continue
+            assert gv == want, (key, gv, want)
+            total += 1
+        assert m.timeMillis is not None
+    assert total >= 30, total
+
+
+# --- nats/log --------------------------------------------------------------
+
+NATS_LEVELS = {"INF": "info", "DBG": "debug", "WRN": "warning",
+               "ERR": "error", "FTL": "fatal", "TRC": "trace"}
+NATS_TYPES = {"MSG": "message", "PUB": "publish", "SUB": "subscribe",
+              "UNSUB": "unsubscribe", "MSG_PAYLOAD": "payload",
+              "-ERROR": "error", "PING": "ping", "PONG": "pong",
+              "OK": "acknowledge", "CONNECT": "connection",
+              "INFO": "information"}
+NATS_DIRECTION = {"<<-": "inbound", "->>": "outbound"}
+
+
+def test_grok_golden_nats_log(spark):
+    """nats/log (`module/nats/log/ingest/pipeline.yml`): 3-stage grok
+    fan-in — header ([pid] time [LVL] info), client-line split
+    (ip:port - cid:N - msg), then a 9-pattern protocol battery
+    (MSG/PUB/SUB/UNSUB/CONNECT/INFO/PING…) built from
+    pattern_definitions that reference each other (NATSCONNECTION =
+    %{NATSCONNECT}|%{NATSINFO}), including the reference's own broken
+    9th pattern (unclosed %{...\\]} brace — Oniguruma keeps it literal,
+    as does our post-expansion brace escape). The painless level /
+    msg-type / direction maps are applied row-side."""
+    g_head, g_client, g_msg = _grok_cfgs(MODULES / "nats/log/ingest/pipeline.yml")
+    log = MODULES / "nats/log/test/test.log"
+    expected = _expected(log)
+    lines = [l for l in log.read_text().splitlines() if l]
+    assert len(lines) == len(expected)
+    df = spark.createDataFrame(list(enumerate(lines)), "idx long, message string")
+
+    def stage(df, grok, field):
+        cfg = {"field": field, "patterns": grok["patterns"],
+               "target_prefix": "", "anchored": False, "ignore_failure": True}
+        if grok.get("pattern_definitions"):
+            cfg["pattern_definitions"] = grok["pattern_definitions"]
+        return compile_one({"grok": cfg})(df)
+
+    df = stage(df, g_head, "message")
+    df = stage(df, g_client, "nats.log.info")
+    df = stage(df, g_msg, "nats.log.msg.info")
+    fields = ["nats.log.timestamp", "process.pid", "log.level",
+              "client.ip", "client.port", "nats.log.client.id",
+              "network.direction", "nats.log.msg.type",
+              "nats.log.msg.subject", "nats.log.msg.sid",
+              "nats.log.msg.reply_to", "nats.log.msg.bytes",
+              "nats.log.msg.data", "nats.log.msg.payload"]
+    cols = [F.col("idx")] + [
+        field_col(df, f).alias(f"f{i}") for i, f in enumerate(fields)
+    ]
+    rows = sorted(df.select(*cols).collect(), key=lambda r: r.idx)
+    total = 0
+    for i, (r, e) in enumerate(zip(rows, expected)):
+        g = {f: r[f"f{j}"] for j, f in enumerate(fields)}
+        assert g["nats.log.timestamp"] is not None, i
+        # @timestamp = date(yyyy/MM/dd HH:mm:ss.SSSSSS) — micros kept
+        # at millisecond precision by ES
+        ts = g["nats.log.timestamp"].replace("/", "-").replace(" ", "T")
+        assert e["@timestamp"].startswith(ts[:23]), (i, ts, e["@timestamp"])
+        g["log.level"] = NATS_LEVELS.get(g["log.level"], g["log.level"])
+        if g["nats.log.msg.type"] is not None:
+            g["nats.log.msg.type"] = NATS_TYPES.get(
+                g["nats.log.msg.type"], g["nats.log.msg.type"])
+        if g["network.direction"] is not None:
+            g["network.direction"] = NATS_DIRECTION[g["network.direction"]]
+        # rename: msg.data → message (payload removed)
+        g["message"] = g.pop("nats.log.msg.data")
+        g.pop("nats.log.msg.payload")
+        g.pop("nats.log.timestamp")
+        for k, gv in g.items():
+            want = e.get(k)
+            if gv is None or want is None:
+                continue
+            assert gv == want, (i, k, gv, want)
+            total += 1
+        if e.get("related.ip") is not None and g["client.ip"] is not None:
+            assert g["client.ip"] in e["related.ip"], i
+            total += 1
+    assert total >= 80, total  # ~5 checked fields/event over 18 events
