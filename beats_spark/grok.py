@@ -90,6 +90,11 @@ GROK_PATTERNS: dict[str, str] = {
     "URIPATHPARAM": r"%{URIPATH}(?:%{URIPARAM})?",
     # syslog tag / process name: printable US-ASCII minus '[' and '\'
     "PROG": r"[\x21-\x5a\x5d-\x7e]+",
+    # RFC5424 pieces (logstash-patterns-core linux-syslog set): PRI is
+    # a composite carrying its own named capture, like the apache ones
+    "NONNEGINT": r"\b\d+\b",
+    "SYSLOG5424PRINTASCII": r"[!-~]+",
+    "SYSLOG5424PRI": r"<%{NONNEGINT:syslog5424_pri}>",
     # mongo patterns (logstash-patterns-core mongodb set)
     "MONGO3_SEVERITY": r"\w",
     "MONGO3_COMPONENT": r"%{WORD}",

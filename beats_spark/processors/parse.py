@@ -334,6 +334,68 @@ class UrlDecode(Processor):
 
 
 @register
+class KV(Processor):
+    """Key-value splitter — the ES ingest `kv` processor / Logstash kv
+    filter analog. Not a Beats processor itself, but module ingest
+    pipelines the golden replays target run it server-side (the auditd
+    module is built on it: field_split with a negative lookahead,
+    value_split with a lookbehind — `module/auditd/log/ingest/
+    pipeline.yml:24-33`), so the engine carries the analog.
+
+    Config: `field`, `target_field` (default: `field`), `field_split`
+    (Java regex, String.split semantics), `value_split` (Java regex,
+    first-occurrence split like ES's split(regex, 2)), optional
+    `include_keys` / `exclude_keys`, `prefix`, `ignore_missing`.
+
+    Output is a `map<string,string>` column at `target_field` — the
+    Spark-typed analog of ES writing dynamic keys under the target
+    object (a struct can't carry run-time key sets). Duplicate keys
+    resolve last-wins via spark.sql.mapKeyDedupPolicy=LAST_WIN
+    (session.py); ES accumulates arrays instead — documented
+    divergence.
+
+    The split itself is the native `str_to_map` expression (same Java
+    String.split semantics: pair split by `field_split`, each pair by
+    `value_split` limit 2) — measured 3× faster than the equivalent
+    split+transform+map_from_entries HOF chain, whose lambdas evaluate
+    interpreted outside codegen. Pairs without a value separator are
+    dropped (ES kv ignores them too) by a map_filter pass over the
+    already-built (small) map. Scale note: Catalyst re-inlines the map
+    build once per downstream `getItem` consumer — fan out many
+    extractions behind a `.repartition()`/`persist()` barrier, or
+    accept the per-consumer rebuild when avoiding a shuffle matters
+    more (see PLANS.md q42)."""
+
+    name = "kv"
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        src = field_col(df, cfg["field"])
+        if src is None:
+            if cfg.get("ignore_missing", False):
+                return df
+            raise ValueError(f"kv: missing field {cfg['field']!r}")
+        fs = F.lit(cfg["field_split"])
+        vs = F.lit(cfg["value_split"])
+        prefix = cfg.get("prefix", "")
+        m = F.map_filter(
+            F.str_to_map(src, fs, vs),
+            lambda k, v: v.isNotNull() & (F.length(k) > 0),
+        )
+        # include/exclude match the ORIGINAL key (ES kv filters before
+        # prefixing)
+        include = cfg.get("include_keys")
+        if include:
+            m = F.map_filter(m, lambda k, v: k.isin(*include))
+        for key in cfg.get("exclude_keys") or []:
+            m = F.map_filter(m, lambda k, v: k != key)
+        if prefix:
+            m = F.transform_keys(m, lambda k, v: F.concat(F.lit(prefix), k))
+        out = F.when(src.isNotNull(), m)
+        return put_field(df, cfg.get("target_field", cfg["field"]), out)
+
+
+@register
 class DecodeDuration(Processor):
     """decode_duration/decode_duration.go:33,48 — Go duration string
     ("1h2m3.5s") → numeric in `format` unit (milliseconds|seconds|

@@ -873,6 +873,103 @@ SELECT CAST(status AS INT) AS status, count(*) AS n,
 FROM t GROUP BY status ORDER BY status"""
 
 
+# --- q42: kv parse (auditd-shaped key=value battery) -------------------------
+
+
+def q_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES-ingest `kv` analog end-to-end (processors/parse.py KV, the
+    auditd module's parse stage: grok prefix → kv split with the
+    module's lookahead field_split / lookbehind value_split,
+    module/auditd/log/ingest/pipeline.yml:24-33): deterministic
+    audit-shaped lines from `orders`, every aggregate input drawn out
+    of the kv map so the oracle's planted arithmetic verifies each
+    extraction. The trailing `note` value contains a space kept whole
+    by the negative-lookahead split — the semantics the auditd corpus
+    depends on."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    k = F.col("o_orderkey")
+    rt = (
+        F.when(k % 3 == 0, "SYSCALL")
+        .when(k % 3 == 1, "USER_CMD")
+        .otherwise("EXECVE")
+    )
+    res = F.when(k % 4 == 0, "failed").otherwise("success")
+    line = F.concat(
+        F.lit("type="), rt,
+        F.lit(" msg=audit(1485893834."), (k % 1000).cast("string"),
+        F.lit(":"), k.cast("string"),
+        F.lit("): pid="), (k % 50000).cast("string"),
+        F.lit(" uid="), (k % 97).cast("string"),
+        F.lit(' comm="proc'), (k % 7).cast("string"),
+        F.lit('" res='), res,
+        F.lit(" note=w"), (k % 5).cast("string"),
+        F.lit(" z"), (k % 3).cast("string"),
+    )
+    df = o.select(k.alias("k"), line.alias("message"))
+    out = compile_chain(
+        [
+            {
+                "grok": {
+                    "pattern": (
+                        r"type=%{NOTSPACE:rt} "
+                        r"msg=audit\(%{NUMBER:epoch}:%{NUMBER:seq}\): "
+                        r"%{GREEDYDATA:kvs}"
+                    ),
+                }
+            },
+            {
+                "kv": {
+                    "field": "kvs",
+                    "target_field": "m",
+                    "field_split": r'\s(?![\w\"]+?(\s+|$))',
+                    "value_split": r"(?<!\\)=",
+                }
+            },
+        ]
+    )(df)
+    m = F.col("m")
+    return (
+        out.groupBy(F.col("rt").alias("record_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(m.getItem("pid").try_cast("long")).alias("sum_pid"),
+            F.count_distinct(m.getItem("uid")).alias("n_uids"),
+            F.sum((m.getItem("res") == "success").cast("long")).alias(
+                "n_success"
+            ),
+            F.sum(
+                F.length(F.regexp_replace(m.getItem("comm"), '"', ""))
+            ).alias("sum_comm_len"),
+            F.sum(F.length(m.getItem("note"))).alias("sum_note_len"),
+        )
+        .orderBy("record_type")
+    )
+
+
+def q_kv_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'SYSCALL'
+              WHEN o_orderkey % 3 = 1 THEN 'USER_CMD'
+              ELSE 'EXECVE' END AS record_type,
+         o_orderkey % 50000 AS pid,
+         CAST(o_orderkey % 97 AS VARCHAR) AS uid,
+         CASE WHEN o_orderkey % 4 = 0 THEN 0 ELSE 1 END AS success,
+         length(concat('proc', CAST(o_orderkey % 7 AS VARCHAR))) AS comm_len,
+         length(concat('w', CAST(o_orderkey % 5 AS VARCHAR),
+                       ' z', CAST(o_orderkey % 3 AS VARCHAR))) AS note_len
+  FROM orders)
+SELECT record_type, count(*) AS n,
+       CAST(sum(pid) AS BIGINT) AS sum_pid,
+       CAST(count(DISTINCT uid) AS BIGINT) AS n_uids,
+       CAST(sum(success) AS BIGINT) AS n_success,
+       CAST(sum(comm_len) AS BIGINT) AS sum_comm_len,
+       CAST(sum(note_len) AS BIGINT) AS sum_note_len
+FROM t GROUP BY record_type ORDER BY record_type"""
+
+
 # --- q28: embedding near-dup pairs, LSH candidates + exact verify ------------
 
 
@@ -1196,6 +1293,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q29_grok": q_grok,
         "q40_media_decode": q_media_decode,
         "q41_ivf_dup_pairs": q_ivf_dup_pairs,
+        "q42_kv": q_kv,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1247,4 +1345,5 @@ def _base_oracles() -> dict[str, str]:
         "q29_grok": q_grok_oracle(),
         "q40_media_decode": q_media_decode_oracle(),
         "q41_ivf_dup_pairs": q_ivf_dup_pairs_oracle(),
+        "q42_kv": q_kv_oracle(),
     }

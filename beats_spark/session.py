@@ -58,6 +58,9 @@ def get_spark(
         # session-mutating side effect (Spark 4 default allows only the
         # UTF family in encode/decode)
         .config("spark.sql.legacy.javaCharsets", "true")
+        # kv processor (processors/parse.py): duplicate keys in one
+        # event resolve last-wins instead of raising (default EXCEPTION)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

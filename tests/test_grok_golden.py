@@ -1603,3 +1603,471 @@ def test_grok_golden_nats_log(spark):
             assert g["client.ip"] in e["related.ip"], i
             total += 1
     assert total >= 80, total  # ~5 checked fields/event over 18 events
+
+
+# --- pensando/dfw + santa/log ---------------------------------------------
+
+SANTA_FIELDS = [
+    "process.start", "timestamp", "log.level", "santa.action",
+    "santa.decision", "santa.reason", "process.hash.sha256",
+    "process.executable", "santa.args", "santa.certificate.sha256",
+    "santa.certificate.common_name", "process.pid", "process.parent.pid",
+    "user.id", "user.name", "group.id", "group.name", "santa.mode",
+    "santa.disk.mount", "santa.disk.volume", "santa.disk.bsdname",
+    "santa.disk.fs", "santa.disk.model", "santa.disk.serial",
+    "santa.disk.bus", "santa.disk.dmgpath",
+]
+
+
+def test_grok_golden_santa_log(spark):
+    """Google Santa (`module/santa/log/ingest/pipeline.yml`): 2-pattern
+    grok (exec-decision vs disk-mount lines) over a NOT_SEPARATOR
+    '[^\\|]+' pattern_definition with optional trailing groups, :long
+    casts, and the args split → process.args append chain replayed
+    row-side ([executable] + split(santa.args))."""
+    (g,) = _grok_cfgs(MODULES / "santa/log/ingest/pipeline.yml")
+    log = MODULES / "santa/log/test/santa.log"
+    expected = _expected(log)
+    lines = [l for l in log.read_text().splitlines() if l]
+    assert len(lines) == len(expected)
+    got = _run_grok(spark, lines, g, SANTA_FIELDS)
+    total = 0
+    for i, (g_, e) in enumerate(zip(got, expected)):
+        ts = g_["process.start"] or g_["timestamp"]
+        assert ts is not None, i
+        assert e["@timestamp"] == ts, (i, ts)
+        args = [g_["process.executable"]] if g_["process.executable"] else []
+        if g_["santa.args"]:
+            args += g_["santa.args"].split(" ")
+        if e.get("process.args") is not None:
+            assert args == e["process.args"], (i, args)
+            total += 1
+        for k in SANTA_FIELDS:
+            if k in ("process.start", "timestamp", "santa.args"):
+                continue
+            want, gv = e.get(k), g_[k]
+            if gv is None or want is None:
+                continue
+            assert gv == want, (i, k, gv, want)
+            total += 1
+        # cert_cn flows into file.x509.issuer.common_name too
+        if g_["santa.certificate.common_name"] is not None and \
+                e.get("file.x509.issuer.common_name") is not None:
+            assert g_["santa.certificate.common_name"] == \
+                e["file.x509.issuer.common_name"], i
+            total += 1
+    assert total >= 100, total
+
+
+def test_grok_golden_pensando_dfw(spark):
+    """Pensando DFW (`module/pensando/dfw/ingest/pipeline.yml`):
+    RFC5424 header grok using the SYSLOG5424PRI composite (a library
+    pattern carrying its own named capture) + SYSLOG5424PRINTASCII /
+    NONNEGINT, bracketed JSON payload → decode_json_fields with
+    dash-keyed fields (rule-id, session-id), rename map replayed
+    row-side."""
+    (g,) = _grok_cfgs(MODULES / "pensando/dfw/ingest/pipeline.yml")
+    log = MODULES / "pensando/dfw/test/test.log"
+    expected = _expected(log)
+    lines = [l for l in log.read_text().splitlines() if l]
+    assert len(lines) == len(expected)
+    df = spark.createDataFrame(list(enumerate(lines)), "idx long, message string")
+    df = compile_one(
+        {
+            "grok": {
+                "field": "message",
+                "patterns": g["patterns"],
+                "target_prefix": "",
+                "anchored": False,
+                "ignore_failure": True,
+            }
+        }
+    )(df)
+    df = compile_one(
+        {
+            "decode_json_fields": {
+                "fields": ["payload_raw"],
+                "target": "json",
+                "schemas": {
+                    "payload_raw": "struct<time string, destaddr string, "
+                    "destport long, srcaddr string, srcport long, "
+                    "protocol string, action string, direction string, "
+                    "`rule-id` long, `session-id` long, "
+                    "`session-state` string>"
+                },
+            }
+        }
+    )(df)
+    rows = sorted(
+        df.select(
+            "idx", "message",
+            field_col(df, "syslog5424_pri").alias("pri"),
+            field_col(df, "syslog5424_ts").alias("ts"),
+            "json",
+        ).collect(),
+        key=lambda r: r.idx,
+    )
+    total = 0
+    renames = {
+        "action": "pensando.dfw.action",
+        "destaddr": "pensando.dfw.destination_address",
+        "destport": "pensando.dfw.destination_port",
+        "direction": "pensando.dfw.direction",
+        "protocol": "pensando.dfw.protocol",
+        "srcaddr": "pensando.dfw.source_address",
+        "srcport": "pensando.dfw.source_port",
+        "rule-id": "pensando.dfw.rule_id",
+        "session-id": "pensando.dfw.session_id",
+        "session-state": "pensando.dfw.session_state",
+    }
+    for r, e in zip(rows, expected):
+        assert r.pri == "14" and r.ts is not None
+        assert r.message == e["event.original"]
+        j = r.json.asDict()
+        for src, dst in renames.items():
+            want, gv = e.get(dst), j.get(src)
+            if want is None or gv is None:
+                continue
+            assert gv == want, (dst, gv, want)
+            total += 1
+        # derived ECS twins
+        assert j["destaddr"] == e["destination.address"]
+        assert j["srcaddr"] == e["source.address"]
+        assert str(j["rule-id"]) == e["rule.id"]
+        total += 3
+    assert total >= 35, total
+
+
+# --- auditd/log (grok prefix battery + kv splitter) ------------------------
+
+AUDITD_HEX_KEYS = {
+    "exe", "cmd", "data", "path", "comm", "file", "name", "watch", "cwd",
+    "acct", "dir", "vm", "old-chardev", "new-chardev", "old-disk",
+    "new-disk", "old-fs", "new-fs", "old-net", "new-net", "device",
+    "cgroup", "apparmor", "operation", "denied_mask", "info", "profile",
+    "requested_mask", "old-rng", "new-rng", "ocomm", "grp", "new_group",
+    "invalid_context", "sw", "root_dir", "proctitle",
+}
+
+
+def _auditd_hex(v: str) -> str:
+    """convertHexToString from the module's painless script: decode
+    only when some byte needs caret-encoding or is a space/quote/DEL;
+    control chars become ^X (cp^64)."""
+    if not v or len(v) % 2 or any(c not in "0123456789abcdefABCDEF" for c in v):
+        return v
+    out, needed = [], False
+    for i in range(0, len(v) - 1, 2):
+        cp = int(v[i : i + 2], 16)
+        if cp < 33 or cp == 34 or cp == 127:
+            needed = True
+        if cp < 32 or cp == 127:
+            out.append("^")
+            cp ^= 64
+        out.append(chr(cp))
+    return "".join(out) if needed else v
+
+
+def _auditd_norm(kv: dict) -> dict:
+    out = {}
+    for k, v in kv.items():
+        if v in ("?", "(null)", ""):
+            continue
+        if k in AUDITD_HEX_KEYS:
+            v = _auditd_hex(v)
+        if v[:1] in "'\"":
+            v = v[1:]
+        if v[-1:] in "'\"":
+            v = v[:-1]
+        if k == "arch" and v == "c000003e":
+            v = "x86_64"
+        out[k.replace("-", "_") if k in ("old-auid", "old-ses") else k] = v
+    return out
+
+
+def test_grok_golden_auditd_log(spark):
+    """auditd (`module/auditd/log/ingest/pipeline.yml`): the 5-pattern
+    AUDIT_PREFIX grok (nested pattern_definitions, optional node=,
+    epoch:sequence) feeds the ES `kv` processor twice — field_split
+    with a negative lookahead ('\\s(?![\\w\"]+?(\\s+|$))' keeps
+    unquoted values with spaces whole), value_split with a lookbehind
+    ((?<!\\\\)=) — exercising our kv processor's JVM split semantics on
+    all 10 corpora. The painless normalization (drop ?/(null), hex→
+    ASCII for the go-libaudit key list, quote trim, arch map) is
+    replayed row-side; every expected auditd.log.* key must match, plus
+    the direct ECS renames (pid/uid/auid/ses, cwd, hex-decoded cmd →
+    process.args) and the UNIX-epoch @timestamp."""
+    import datetime
+
+    g = _grok_cfgs(MODULES / "auditd/log/ingest/pipeline.yml")[0]
+    kv_cfgs = [
+        p["kv"]
+        for p in yaml.safe_load(
+            (MODULES / "auditd/log/ingest/pipeline.yml").read_text()
+        )["processors"]
+        if "kv" in p
+    ]
+    assert len(kv_cfgs) == 2
+    total = hex_checks = 0
+    for log in sorted((MODULES / "auditd/log/test").glob("*.log")):
+        expected = _expected(log)
+        lines = [l for l in log.read_text().splitlines() if l]
+        df = spark.createDataFrame(
+            list(enumerate(lines[: len(expected)])), "idx long, message string"
+        )
+        df = compile_one(
+            {
+                "grok": {
+                    "field": "message",
+                    "patterns": g["patterns"],
+                    "pattern_definitions": g["pattern_definitions"],
+                    "target_prefix": "",
+                    "anchored": False,
+                    "ignore_failure": True,
+                }
+            }
+        )(df)
+        for cfg, tgt in zip(kv_cfgs, ("_kv1", "_kv2")):
+            df = compile_one(
+                {
+                    "kv": {
+                        "field": cfg["field"],
+                        "target_field": tgt,
+                        "field_split": cfg["field_split"],
+                        "value_split": cfg["value_split"],
+                        "ignore_missing": True,
+                    }
+                }
+            )(df)
+        fields = ["auditd.log.record_type", "auditd.log.node",
+                  "auditd.log.epoch", "auditd.log.sequence"]
+        cols = [F.col("idx"), F.col("_kv1"), F.col("_kv2")] + [
+            field_col(df, f).alias(f"f{i}") for i, f in enumerate(fields)
+        ]
+        rows = sorted(df.select(*cols).collect(), key=lambda r: r.idx)
+        for i, (r, e) in enumerate(zip(rows, expected)):
+            want_rt = e.get("auditd.log.record_type")
+            if want_rt is not None:
+                assert r.f0 == want_rt, (log.name, i)
+            else:
+                # some record types fold into event.action and are
+                # removed (e.g. MAC_IPSEC_EVENT → mac_ipsec_event)
+                assert r.f0 is not None, (log.name, i)
+                if isinstance(e.get("event.action"), str):
+                    assert r.f0.lower() == e["event.action"], (log.name, i)
+            assert int(r.f3) == e["auditd.log.sequence"], (log.name, i)
+            if e.get("auditd.log.node") is not None:
+                assert r.f1 == e["auditd.log.node"], (log.name, i)
+            # @timestamp = date(epoch, UNIX) at millisecond precision
+            ts = datetime.datetime.fromtimestamp(
+                float(r.f2), datetime.timezone.utc
+            )
+            want_ts = ts.strftime("%Y-%m-%dT%H:%M:%S.") + (
+                "%03dZ" % round(ts.microsecond / 1000)
+            )
+            assert e["@timestamp"] == want_ts, (log.name, i, want_ts)
+            total += 3
+            merged = _auditd_norm({**(r._kv1 or {}), **(r._kv2 or {})})
+            for k, want in e.items():
+                if k.startswith("auditd.log.") and k not in (
+                    "auditd.log.record_type", "auditd.log.sequence",
+                    "auditd.log.epoch", "auditd.log.node",
+                    "auditd.log.kv", "auditd.log.sub_kv",
+                ):
+                    short = k[len("auditd.log."):]
+                    gv = merged.get(short)
+                    if gv is None:
+                        continue  # keys produced by later ECS stages
+                    if isinstance(want, int):
+                        gv = int(gv)
+                    if isinstance(want, list):
+                        # ES kv accumulates duplicate keys into arrays;
+                        # our map keeps one (LAST_WIN) — membership
+                        assert gv in want, (log.name, i, k, gv, want)
+                    else:
+                        assert gv == want, (log.name, i, k, gv, want)
+                    total += 1
+            # direct ECS renames
+            # (uid→user.id is record-type-dependent in the go-libaudit
+            # table — USER_* events take user.id from auid — so only
+            # the stable renames are asserted)
+            for src, dst in (("pid", "process.pid"),
+                             ("auid", "user.audit.id"), ("ses", "auditd.log.ses"),
+                             ("cwd", "process.working_directory"),
+                             ("exe", "process.executable"),
+                             ("comm", "process.name")):
+                want, gv = e.get(dst), merged.get(src)
+                if want is None or gv is None:
+                    continue
+                if isinstance(want, int):
+                    gv = int(gv)
+                assert gv == want, (log.name, i, dst, gv, want)
+                total += 1
+                if src in ("cwd", "exe", "comm"):
+                    hex_checks += 1
+            # hex-decoded cmd → space-split process.args
+            if merged.get("cmd") is not None and e.get("process.args"):
+                assert merged["cmd"].split(" ") == e["process.args"], (
+                    log.name, i, merged["cmd"])
+                total += 1
+                hex_checks += 1
+    assert total >= 1000, total
+    assert hex_checks >= 20, hex_checks  # hex-decode path non-vacuous
+
+
+# --- osquery/result + kibana/log (ndjson pipelines) ------------------------
+
+
+def test_grok_golden_osquery_result(spark):
+    """osquery/result (`module/osquery/result/ingest/pipeline.json`):
+    pure ndjson decode — dynamic `columns`/`decorations` objects land
+    as map<string,string> (the Spark analog of ES dynamic keys), the
+    snake_case rename map (hostIdentifier→host_identifier, …) and the
+    UNIX-seconds unixTime → @timestamp replayed against all 4 corpora."""
+    import datetime
+
+    total = 0
+    for log in sorted((MODULES / "osquery/result/test").glob("*.log")):
+        expected = _expected(log)
+        lines = [l for l in log.read_text().splitlines() if l]
+        # darwin corpus: expected truncated to the first 100 events
+        assert len(lines) >= len(expected), log.name
+        df = spark.createDataFrame(
+            list(enumerate(lines[: len(expected)])), "idx long, message string"
+        )
+        df = compile_one(
+            {
+                "decode_json_fields": {
+                    "fields": ["message"],
+                    "target": "oq",
+                    "schemas": {
+                        "message": "struct<name string, hostIdentifier "
+                        "string, calendarTime string, unixTime string, "
+                        "epoch string, counter string, action string, "
+                        "columns map<string,string>, "
+                        "decorations map<string,string>>"
+                    },
+                }
+            }
+        )(df)
+        rows = sorted(df.select("idx", "oq").collect(), key=lambda r: r.idx)
+        for i, (r, e) in enumerate(zip(rows, expected)):
+            o = r.oq
+            for gv, key in (
+                (o.name, "osquery.result.name"),
+                (o.action, "osquery.result.action"),
+                (o.calendarTime, "osquery.result.calendar_time"),
+                (o.hostIdentifier, "osquery.result.host_identifier"),
+                (o.epoch, "osquery.result.epoch"),
+                (o.counter, "osquery.result.counter"),
+                (o.unixTime, "osquery.result.unix_time"),
+            ):
+                want = e.get(key)
+                if want is None or gv is None:
+                    continue
+                if isinstance(want, int):
+                    gv = int(gv)
+                assert gv == want, (log.name, i, key, gv, want)
+                total += 1
+            for k, v in (o.columns or {}).items():
+                want = e.get(f"osquery.result.columns.{k}")
+                if want is not None:
+                    assert v == want, (log.name, i, k, v, want)
+                    total += 1
+            if o.unixTime is not None:
+                ts = datetime.datetime.fromtimestamp(
+                    int(o.unixTime), datetime.timezone.utc
+                )
+                assert e["@timestamp"] == ts.strftime(
+                    "%Y-%m-%dT%H:%M:%S.000Z"
+                ), (log.name, i)
+                total += 1
+    assert total >= 400, total
+
+
+def test_grok_golden_kibana_log(spark):
+    """kibana/log, both generations: 6.x json (84-event 624 corpus —
+    message/state/pid extracted, leftovers under kibana.log.meta, tags
+    compared as sets) and the 8.x ECS-keyed stream (830 corpus —
+    nested http request/response structs surfacing as the flattened
+    http.* expected keys) (`module/kibana/log/ingest/`)."""
+    log = MODULES / "kibana/log/test/log.624.log"
+    expected = _expected(log)
+    lines = [l for l in log.read_text().splitlines() if l]
+    assert len(lines) == len(expected)
+    df = spark.createDataFrame(list(enumerate(lines)), "idx long, message string")
+    df = compile_one(
+        {
+            "decode_json_fields": {
+                "fields": ["message"],
+                "target": "kb",
+                "schemas": {
+                    "message": "struct<type string, tags array<string>, "
+                    "pid long, state string, message string, "
+                    "prevState string, prevMsg string>"
+                },
+            }
+        }
+    )(df)
+    rows = sorted(df.select("idx", "kb").collect(), key=lambda r: r.idx)
+    total = 0
+    for i, (r, e) in enumerate(zip(rows, expected)):
+        k = r.kb
+        for gv, key in ((k.message, "message"),
+                        (k.state, "kibana.log.state"),
+                        (k.pid, "process.pid"),
+                        (k.type, "kibana.log.meta.type"),
+                        (k.prevState, "kibana.log.meta.prevState"),
+                        (k.prevMsg, "kibana.log.meta.prevMsg")):
+            want = e.get(key)
+            if want is None or gv is None:
+                continue
+            assert gv == want, (i, key, gv, want)
+            total += 1
+        if k.tags is not None and e.get("kibana.log.tags") is not None:
+            assert sorted(k.tags) == sorted(e["kibana.log.tags"]), i
+            total += 1
+    # 8.x ECS-keyed corpus
+    log = MODULES / "kibana/log/test/log.830.log"
+    expected = _expected(log)
+    lines = [l for l in log.read_text().splitlines() if l]
+    assert len(lines) == len(expected)
+    df = spark.createDataFrame(list(enumerate(lines)), "idx long, message string")
+    df = compile_one(
+        {
+            "decode_json_fields": {
+                "fields": ["message"],
+                "target": "kb",
+                "schemas": {
+                    "message": "struct<http struct<request struct<"
+                    "id string, method string>, response struct<"
+                    "body struct<bytes long>, status_code long>>, "
+                    "url struct<path string>, message string, "
+                    "log struct<level string, logger string>>"
+                },
+            }
+        }
+    )(df)
+    rows = sorted(df.select("idx", "kb").collect(), key=lambda r: r.idx)
+    for i, (r, e) in enumerate(zip(rows, expected)):
+        k = r.kb
+        checks = (
+            (k.http.request.id if k.http and k.http.request else None,
+             "http.request.id"),
+            (k.http.request.method if k.http and k.http.request else None,
+             "http.request.method"),
+            (k.http.response.status_code if k.http and k.http.response
+             else None, "http.response.status_code"),
+            (k.http.response.body.bytes if k.http and k.http.response
+             and k.http.response.body else None, "http.response.body.bytes"),
+            (k.url.path if k.url else None, "url.path"),
+            (k.message, "message"),
+            (k.log.level if k.log else None, "log.level"),
+        )
+        for gv, key in checks:
+            want = e.get(key)
+            if want is None or gv is None:
+                continue
+            assert gv == want, (i, key, gv, want)
+            total += 1
+    assert total >= 250, total

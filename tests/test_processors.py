@@ -572,3 +572,81 @@ def test_script_pandas_escape_hatch(spark):
 
     with _pt.raises(NotImplementedError, match="Migrating"):
         compile_one({"script": {}})(df)
+
+
+def test_kv_processor(spark):
+    """ES-ingest kv analog (processors/parse.py KV): lookaround
+    splits, include/exclude/prefix, last-wins duplicates, null and
+    missing-field behavior."""
+    df = spark.createDataFrame(
+        [
+            (0, 'a=1 b=two c="3 with spaces" d=?'),
+            (1, "a=1 a=2"),          # duplicate key → LAST_WIN
+            (2, None),
+            (3, "novalue plain k=v"),  # pairs without '=' dropped
+        ],
+        "idx long, kvs string",
+    )
+    out = compile_one(
+        {
+            "kv": {
+                "field": "kvs",
+                "target_field": "m",
+                # split on spaces not inside the quoted-value idiom the
+                # auditd module uses
+                "field_split": r'\s(?![\w\"]+?(\s+|$))',
+                "value_split": r"(?<!\\)=",
+            }
+        }
+    )(df)
+    rows = {r.idx: r.m for r in out.select("idx", "m").collect()}
+    assert rows[0]["a"] == "1" and rows[0]["b"] == "two"
+    assert rows[0]["c"] == '"3 with spaces"' and rows[0]["d"] == "?"
+    assert rows[1] == {"a": "2"}
+    assert rows[2] is None
+    assert rows[3] == {"k": "v"}
+
+    # include/exclude/prefix
+    out2 = compile_one(
+        {
+            "kv": {
+                "field": "kvs",
+                "target_field": "m",
+                "field_split": r"\s+",
+                "value_split": "=",
+                "include_keys": ["a", "b"],
+                "exclude_keys": ["b"],
+                "prefix": "p_",
+            }
+        }
+    )(df)
+    # include/exclude filter on the ORIGINAL key (before prefix),
+    # matching ES kv
+    r0 = {r.idx: r.m for r in out2.select("idx", "m").collect()}[0]
+    assert r0 == {"p_a": "1"}
+
+    out3 = compile_one(
+        {
+            "kv": {
+                "field": "kvs",
+                "target_field": "m",
+                "field_split": r"\s+",
+                "value_split": "=",
+                "include_keys": ["a", "b"],
+            }
+        }
+    )(df)
+    r0 = {r.idx: r.m for r in out3.select("idx", "m").collect()}[0]
+    assert r0 == {"a": "1", "b": "two"}
+
+    # missing field: ignore_missing=True is a no-op, default raises
+    assert compile_one(
+        {"kv": {"field": "nope", "field_split": " ", "value_split": "=",
+                "ignore_missing": True}}
+    )(df).columns == df.columns
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="kv: missing"):
+        compile_one(
+            {"kv": {"field": "nope", "field_split": " ", "value_split": "="}}
+        )(df)
