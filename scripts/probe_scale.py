@@ -44,6 +44,9 @@ PROBE_QUERIES = [
     "q34_repetition",
     "q37_scrub",
     "q38_quality_funnel",
+    # round-4 ops (q41 consumes embeddings, q42 only o_orderkey)
+    "q41_ivf_dup_pairs",
+    "q42_kv",
 ]
 
 
