@@ -182,19 +182,32 @@ def generate_documents(spark: SparkSession, n_docs: int, parts: int | None = Non
 
 
 def generate_embeddings(
-    spark: SparkSession, n_vecs: int, dim: int = 64, parts: int | None = None
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    parts: int | None = None,
+    n_clusters: int = 10,
 ) -> DataFrame:
     """Deterministic embeddings table (vec_id, embedding:array<float>,
-    label) with 10 cluster centroids + per-vector noise; every 25th
-    vector duplicates the previous one (cos=1.0) so near-dup pair
-    counts grow linearly with n."""
+    label) with `n_clusters` cluster centroids + per-vector noise;
+    every 25th vector duplicates the previous one (cos=1.0) so planted
+    near-dup pair counts grow linearly with n.
+
+    Same-cluster vectors sit above typical dup thresholds (cos≈0.7),
+    so with the default FIXED 10 clusters the all-pairs-above-τ count
+    grows quadratically in n — fine for recall/cluster tests at one
+    scale, wrong for scaling probes. A growing corpus adds topics, it
+    doesn't densify the same ten: pass n_clusters ∝ n (constant
+    cluster size) to hold the per-vector dup rate constant, which is
+    the regime the 10× probe measures (scripts/probe_scale.py)."""
     from pyspark.sql import functions as F
 
     rng = spark.range(
         0, n_vecs, numPartitions=parts or spark.sparkContext.defaultParallelism
     )
     nk = F.when(F.col("id") % 25 == 24, F.col("id") - 1).otherwise(F.col("id"))
-    lbl = nk % 10  # label follows the content key so planted dups share a centroid
+    # label follows the content key so planted dups share a centroid
+    lbl = nk % n_clusters
 
     def _component(d):
         cent = (

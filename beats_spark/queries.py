@@ -1058,13 +1058,20 @@ WHERE cos_sim >= 0.42 ORDER BY id_a, id_b"""
 
 def q_ivf_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cosine_dup_pairs(cells=…) — the IVF-bucketed candidate mode
-    (VERDICT r03 item 5): every vector probes its 2 nearest of 16
-    coarse cells, candidates share a cell, exact verify >= 0.42.
+    (VERDICT r03 item 5): every vector probes its 2 nearest coarse
+    cells, candidates share a cell, exact verify >= 0.42.
     Deterministic ±1 mixer centroids stand in for trained ones so the
     oracle reproduces the exact cell assignment (the q26 recipe); the
     q28 planted twins guarantee >0 rows at every scale. Recall-vs-
     volume superiority of trained cells over sign planes is asserted
-    by test_ivf_dup_recall_beats_sign_lsh_at_equal_volume."""
+    by test_ivf_dup_recall_beats_sign_lsh_at_equal_volume.
+
+    The cell count follows recommended_cells(n) = max(16, n // 128) —
+    integer arithmetic the DuckDB oracle recomputes from the same
+    count(*), so both engines derive identical cells at every scale.
+    A fixed k=16 measured α=1.78 (quadratic candidate growth) in the
+    round-4 10× probe; scaling k ∝ n holds the per-cell verify volume
+    constant."""
     from beats_spark.training import similarity
 
     raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1072,13 +1079,14 @@ def q_ivf_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
     embs = raw.select("vec_id", "embedding").unionByName(twins)
+    cells = similarity.recommended_cells(embs.count())
     return similarity.cosine_dup_pairs(
         embs,
         threshold=0.42,
         dim=64,
-        cells=16,
+        cells=cells,
         n_probe=2,
-        centroids=similarity.ivf_centroids(64, 16),
+        centroids=similarity.ivf_centroids(64, cells),
     ).orderBy("id_a", "id_b")
 
 
@@ -1109,7 +1117,9 @@ WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings
   UNION ALL
   SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings WHERE vec_id < 5),
-cells AS (SELECT unnest(range(0, 16)) AS c),
+-- recommended_cells(n): max(16, n // 128), same integer arithmetic as Spark
+k AS (SELECT greatest(16, CAST(count(*) // 128 AS BIGINT)) AS kc FROM corpus),
+cells AS (SELECT unnest(range(0, (SELECT kc FROM k))) AS c),
 cdots AS (
   SELECT vec_id, embedding, c, {dot_cent} AS d
   FROM corpus CROSS JOIN cells),

@@ -608,6 +608,31 @@ def recommended_planes(n_rows: int, floor: int = 12) -> int:
     return p
 
 
+def recommended_cells(n_rows: int, target_bucket: int = 128, floor: int = 16) -> int:
+    """IVF cell count that keeps VERIFY volume ~linear in the corpus:
+    pairs per cell are ~(n/k)², so k ≈ n / target_bucket holds the
+    expected bucket size (and thus n²/k candidate volume ≈ 128·n)
+    constant. Integer arithmetic only so a DuckDB oracle reproduces
+    the same k from the same count (the round-4 10× probe measured a
+    FIXED k=16 at α=1.78 — quadratic — before this rule; with it q41
+    measures α=0.84).
+
+    Cost model, for the 100 TB audit: assignment costs n·k·dim dot
+    products (each vector scores every centroid), verification
+    n²·dim/k, so single-level IVF is minimized at k ∝ √n (total
+    O(n^1.5)); k ∝ n makes verify linear but assignment O(n²/128).
+    In the probed regime (n ≤ 4·10⁴) assignment is the cheap term and
+    n//128 wins while staying oracle-reproducible (√n needs float
+    sqrt both engines — a 1-ulp hazard). At true 100 TB scale the
+    assignment itself must go sub-brute-force: cluster the k
+    centroids into √k groups (or an HNSW graph over centroids) and
+    score each vector against one group — n·√k ≈ O(n^1.5/11) with
+    the same buckets, the standard FAISS IVF construction. That is a
+    constant-factor engineering step on top of this API (centroids
+    are a parameter), not a change to the candidate semantics."""
+    return max(floor, n_rows // target_bucket)
+
+
 def dup_candidate_pairs(
     df: DataFrame,
     dim: int = 64,

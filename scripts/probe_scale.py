@@ -60,9 +60,15 @@ def build_dir(spark: SparkSession, path: str, mult: int) -> None:
     datagen.generate_documents(spark, X1["documents"] * mult).write.parquet(
         f"{path}/documents.parquet"
     )
-    datagen.generate_embeddings(spark, X1["embeddings"] * mult).write.parquet(
-        f"{path}/embeddings.parquet"
-    )
+    # A growing corpus adds topics rather than densifying the same ten:
+    # n_clusters ∝ n holds cluster size (and the per-vector near-dup
+    # rate) constant, the regime the 10× exponent is meant to measure.
+    # A fixed 10 clusters makes the ≥τ pair count itself quadratic in n
+    # (measured α=1.78 on q41 before this change) — that exponent is a
+    # property of the synthetic data, not of the operators.
+    datagen.generate_embeddings(
+        spark, X1["embeddings"] * mult, n_clusters=10 * mult
+    ).write.parquet(f"{path}/embeddings.parquet")
     # q24's loader only consumes o_orderkey (the token-table seed);
     # q37 also reads o_custkey — derive it deterministically so both
     # probe scales share the distribution
