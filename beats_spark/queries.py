@@ -1285,6 +1285,80 @@ FROM t ORDER BY doc_id"""
 # --- catalog -----------------------------------------------------------------
 
 
+# --- q43/q44: event-time windowed rollups (windows.py) -----------------------
+
+
+def q_windowed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows over the events table
+    (F.window groupBy — the ES date_histogram / metricbeat period
+    rollup a Beats user runs downstream): per (window, event_type) →
+    count, integer milli-value sum, exact distinct users. window_start
+    is epoch seconds (F.window aligns to the 1970 epoch, so the oracle
+    re-derives it as floor(epoch/3600)·3600)."""
+    from beats_spark.windows import tumbling_metrics
+
+    return tumbling_metrics(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        every="1 hour",
+        keys=("event_type",),
+        value_col="value",
+        distinct_col="user_id",
+    ).orderBy("window_start", "event_type")
+
+
+def q_windowed_metrics_oracle() -> str:
+    return """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       count(DISTINCT user_id) AS n_distinct
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (F.session_window, gap=12h) of the
+    events table per user: one row per session with integer epoch-µs
+    extent, event count, and milli-value sum. The oracle rebuilds the
+    same sessions with lag + running-sum session ids — exercising
+    Spark's session-merge semantics against first-principles SQL."""
+    from beats_spark.windows import user_sessions
+
+    return user_sessions(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        key="user_id",
+        gap="12 hours",
+        value_col="value",
+    ).orderBy("user_id", "session_start_us")
+
+
+def q_sessions_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 43200000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+s AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) AS session_end_us,
+       count(*) AS n_events,
+       CAST(sum(vm) AS BIGINT) AS sum_value_milli
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start_us"""
+
+
 def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from beats_spark import queries_training
 
@@ -1304,6 +1378,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_media_decode": q_media_decode,
         "q41_ivf_dup_pairs": q_ivf_dup_pairs,
         "q42_kv": q_kv,
+        "q43_windowed_metrics": q_windowed_metrics,
+        "q44_sessions": q_sessions,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1356,4 +1432,6 @@ def _base_oracles() -> dict[str, str]:
         "q40_media_decode": q_media_decode_oracle(),
         "q41_ivf_dup_pairs": q_ivf_dup_pairs_oracle(),
         "q42_kv": q_kv_oracle(),
+        "q43_windowed_metrics": q_windowed_metrics_oracle(),
+        "q44_sessions": q_sessions_oracle(),
     }

@@ -541,3 +541,185 @@ def test_streaming_composition_kill_restart_exactly_once(spark, tmp_path):
     # 1 head + 4 continuations, 2 of which arrived after the restart
     n24 = got.filter(F.col("evt_id") == "24").collect()
     assert len(n24) == 1 and n24[0].n_lines == 5, n24
+
+
+# --- event-time windowed rollups under watermarks (windows.py) ---------------
+
+
+def _write_event_file(src: str, name: str, rows: list[dict]) -> None:
+    import time as _time
+
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    _time.sleep(1.1)  # distinct mtimes order the file-source batches
+
+
+_EVENT_SCHEMA = "ts string, event_type string, user_id bigint, value double"
+
+
+def _event_stream(spark, src: str):
+    return (
+        spark.readStream.format("json")
+        .schema(_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+
+
+def test_streaming_tumbling_watermark_closes_windows_and_drops_late(spark, tmp_path):
+    """Append-mode tumbling aggregation: each window emits exactly once
+    when the watermark passes its end; an event arriving after its
+    window was finalized is dropped (never a duplicate window row);
+    a window the watermark has not passed stays open and unemitted.
+    Semantics pinned empirically on Spark 4: the filtering watermark
+    lags one micro-batch (computed from batch N-1's max event time),
+    and trigger(availableNow) runs a final no-data batch that evicts
+    with the last watermark."""
+    from beats_spark.windows import tumbling_metrics
+
+    src = str(tmp_path / "twin_src")
+    ckpt = str(tmp_path / "twin_ckpt")
+    os.makedirs(src)
+    ev = lambda ts, uid: {"ts": ts, "event_type": "a", "user_id": uid, "value": 1.5}
+    # batch 0: hour-0 event + an event advancing max event time to 02:50
+    _write_event_file(src, "f1.json", [ev("2024-01-01 00:10:00", 1), ev("2024-01-01 02:50:00", 2)])
+    # batch 1 (wm = 02:40): hour-3 event; hour-0 window [.., 01:00) evicts + emits here
+    _write_event_file(src, "f2.json", [ev("2024-01-01 03:00:00", 3)])
+    # batch 2 (wm = 02:50): LATE hour-0 event — its window is finalized: dropped
+    _write_event_file(src, "f3.json", [ev("2024-01-01 00:30:00", 4)])
+    # batch 3: sentinel far ahead so the final no-data batch closes hours 2 and 3
+    _write_event_file(src, "f4.json", [ev("2024-01-01 10:00:00", 5)])
+
+    agg = tumbling_metrics(
+        _event_stream(spark, src),
+        ts_col="ts",
+        every="1 hour",
+        keys=("event_type",),
+        value_col="value",
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_tumbling")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.window_start: r for r in spark.sql("SELECT * FROM win_tumbling").collect()}
+
+    h = lambda hour: 1704067200 + 3600 * hour  # 2024-01-01 00:00 UTC epoch
+    # hour-0 emitted exactly once, WITHOUT the late event (n=1, not 2)
+    assert set(rows) == {h(0), h(2), h(3)}, rows
+    assert rows[h(0)].n_events == 1 and rows[h(0)].sum_value_milli == 1500
+    assert rows[h(2)].n_events == 1 and rows[h(3)].n_events == 1
+    # the sentinel's own hour-10 window is still open: not emitted
+    assert h(10) not in rows
+
+
+def test_streaming_session_window_watermark(spark, tmp_path):
+    """session_window under a watermark in append mode: sessions emit
+    once they can no longer grow (watermark past last-event + gap);
+    a gap larger than 30m splits sessions; an open session (the
+    sentinel's) never emits."""
+    from beats_spark.windows import user_sessions
+
+    src = str(tmp_path / "sess_src")
+    ckpt = str(tmp_path / "sess_ckpt")
+    os.makedirs(src)
+    ev = lambda ts, uid, v: {"ts": ts, "event_type": "a", "user_id": uid, "value": v}
+    _write_event_file(
+        src,
+        "f1.json",
+        [
+            ev("2024-01-01 00:00:00", 1, 1.0),
+            ev("2024-01-01 00:05:00", 1, 2.0),  # merges (5m < 30m gap)
+            ev("2024-01-01 01:00:00", 1, 4.0),  # 55m > gap: new session
+        ],
+    )
+    # sentinel advances the watermark past 01:00 + 30m so both sessions close
+    _write_event_file(src, "f2.json", [ev("2024-01-01 09:00:00", 99, 0.0)])
+    _write_event_file(src, "f3.json", [ev("2024-01-01 09:00:01", 99, 0.0)])
+
+    sess = user_sessions(
+        _event_stream(spark, src),
+        ts_col="ts",
+        key="user_id",
+        gap="30 minutes",
+        value_col="value",
+        watermark="10 minutes",
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("win_sessions")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.sql("SELECT * FROM win_sessions").collect(),
+        key=lambda r: (r.user_id, r.session_start_us),
+    )
+    base_us = 1704067200 * 1_000_000
+    assert [(r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.sum_value_milli) for r in rows] == [
+        (1, base_us, base_us + 300 * 1_000_000, 2, 3000),
+        (1, base_us + 3600 * 1_000_000, base_us + 3600 * 1_000_000, 1, 4000),
+    ], rows
+
+
+def test_streaming_tumbling_matches_batch_on_closed_windows(spark, tmp_path):
+    """Batch/stream parity: the streamed append-mode output equals the
+    batch tumbling_metrics over the same rows, restricted to windows
+    the final watermark closed (the on-time subset — here all but the
+    sentinel's window)."""
+    from beats_spark.windows import tumbling_metrics
+
+    src = str(tmp_path / "par_src")
+    ckpt = str(tmp_path / "par_ckpt")
+    os.makedirs(src)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    pdf = events.orderBy("event_id").limit(200).toPandas()
+    rows = [
+        {
+            "ts": str(r.ts),
+            "event_type": r.event_type,
+            "user_id": int(r.user_id),
+            "value": float(r.value),
+        }
+        for r in pdf.itertuples()
+    ]
+    _write_event_file(src, "f1.json", rows[:120])
+    _write_event_file(src, "f2.json", rows[120:])
+    # sentinel a year ahead: closes every data window
+    _write_event_file(src, "f3.json", [{"ts": "2025-06-01 00:00:00", "event_type": "x", "user_id": 0, "value": 0.0}])
+    _write_event_file(src, "f4.json", [{"ts": "2025-06-01 00:00:01", "event_type": "x", "user_id": 0, "value": 0.0}])
+
+    kw = dict(ts_col="ts", every="1 hour", keys=("event_type",), value_col="value")
+    q = (
+        tumbling_metrics(_event_stream(spark, src), watermark="10 minutes", **kw)
+        .writeStream.format("memory")
+        .queryName("win_parity")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value_milli)
+        for r in spark.sql("SELECT * FROM win_parity").collect()
+        if r.event_type != "x"
+    }
+    want_df = tumbling_metrics(
+        spark.createDataFrame(pdf).withColumn("ts", F.col("ts").cast("timestamp")), **kw
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value_milli)
+        for r in want_df.collect()
+    }
+    assert got == want
