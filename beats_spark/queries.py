@@ -1318,6 +1318,44 @@ FROM events
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+def q_sliding_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (F.window with slideDuration): 1-hour
+    windows advancing every 15 minutes, so each event lands in exactly
+    4 overlapping windows. HLL++ approx-distinct is exercised by the
+    streaming twin test, not here — the oracle needs exact arithmetic,
+    and DuckDB's HLL differs from Spark's; the oracle instead re-derives
+    the window multiplicity by unnesting each event's 4 aligned starts."""
+    from beats_spark.windows import tumbling_metrics
+
+    return tumbling_metrics(
+        _events(spark, sf_dir),
+        ts_col="ts",
+        every="1 hour",
+        slide="15 minutes",
+        keys=("event_type",),
+        value_col="value",
+        distinct_col="user_id",
+    ).orderBy("window_start", "event_type")
+
+
+def q_sliding_metrics_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT event_type, user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS vm,
+         CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS s_max
+  FROM events),
+w AS (
+  SELECT event_type, user_id, vm,
+         unnest(range(s_max - 2700, s_max + 900, 900)) AS window_start
+  FROM t)
+SELECT window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(vm) AS BIGINT) AS sum_value_milli,
+       count(DISTINCT user_id) AS n_distinct
+FROM w GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def q_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (F.session_window, gap=12h) of the
     events table per user: one row per session with integer epoch-µs
@@ -1380,6 +1418,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_kv": q_kv,
         "q43_windowed_metrics": q_windowed_metrics,
         "q44_sessions": q_sessions,
+        "q45_sliding_metrics": q_sliding_metrics,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1434,4 +1473,5 @@ def _base_oracles() -> dict[str, str]:
         "q42_kv": q_kv_oracle(),
         "q43_windowed_metrics": q_windowed_metrics_oracle(),
         "q44_sessions": q_sessions_oracle(),
+        "q45_sliding_metrics": q_sliding_metrics_oracle(),
     }

@@ -51,21 +51,28 @@ def tumbling_metrics(
     value_col: str = "value",
     distinct_col: str | None = None,
     watermark: str | None = None,
+    slide: str | None = None,
+    approx_distinct: bool = False,
 ) -> DataFrame:
-    """Fixed tumbling event-time windows (ES date_histogram analog):
-    per (window, *keys) → n_events, sum_value_milli (+ n_distinct when
-    `distinct_col` is given). `window_start` is emitted as epoch
-    seconds (BIGINT; `F.window` aligns buckets to the 1970 epoch, so
-    for "1 hour" it equals floor(epoch/3600)·3600 — the arithmetic a
-    SQL oracle re-derives without engine-specific bucket origins).
+    """Fixed tumbling (or, with `slide`, overlapping sliding)
+    event-time windows (ES date_histogram analog): per (window, *keys)
+    → n_events, sum_value_milli (+ n_distinct when `distinct_col` is
+    given). `window_start` is emitted as epoch seconds (BIGINT;
+    `F.window` aligns buckets to the 1970 epoch, so for "1 hour" it
+    equals floor(epoch/3600)·3600 — the arithmetic a SQL oracle
+    re-derives without engine-specific bucket origins; with a slide,
+    each event lands in every/slide aligned windows, which the oracle
+    re-derives by unnesting the aligned start range per event).
 
     Streaming: pass `watermark` (e.g. "10 minutes") on a readStream
     frame — append-mode emits each window once, when the watermark
     passes its end; events arriving later than the watermark bound are
     dropped from closed windows (the documented late-data contract).
-    count_distinct is batch-only (Spark disallows exact distinct in
-    streaming aggs — leave `distinct_col=None` and the query plans an
-    ordinary count/sum agg that streams)."""
+    Exact count_distinct is batch-only (Spark disallows exact distinct
+    in streaming aggs) — set `approx_distinct=True` to count via
+    approx_count_distinct (HLL++), which streams AND removes the
+    two-phase distinct-expand exchange from the batch plan (the
+    recommended 100 TB form)."""
     ts = _ltz(ts_col)
     if watermark is not None:
         df = df.withColumn("__ts_ltz__", ts).withWatermark("__ts_ltz__", watermark)
@@ -75,10 +82,14 @@ def tumbling_metrics(
         F.sum(_value_milli(value_col)).alias("sum_value_milli"),
     ]
     if distinct_col is not None:
-        aggs.append(F.count_distinct(F.col(distinct_col)).alias("n_distinct"))
-    out = df.groupBy(F.window(ts, every).alias("__w__"), *[F.col(k) for k in keys]).agg(
-        *aggs
-    )
+        dc = (
+            F.approx_count_distinct(F.col(distinct_col))
+            if approx_distinct
+            else F.count_distinct(F.col(distinct_col))
+        )
+        aggs.append(dc.alias("n_distinct"))
+    win = F.window(ts, every, slide) if slide is not None else F.window(ts, every)
+    out = df.groupBy(win.alias("__w__"), *[F.col(k) for k in keys]).agg(*aggs)
     return out.select(
         F.col("__w__.start").cast("timestamp_ltz").cast("double").cast("long").alias(
             "window_start"

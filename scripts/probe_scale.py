@@ -33,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession
 
 # sf0.1-equivalent row counts (the bench scale)
-X1 = {"documents": 5_000, "embeddings": 2_000, "orders": 150_000}
+X1 = {"documents": 5_000, "embeddings": 2_000, "orders": 150_000, "events": 100_000}
 PROBE_QUERIES = [
     "q16_minhash_lsh",
     "q17_simhash",
@@ -47,6 +47,9 @@ PROBE_QUERIES = [
     # round-4 ops (q41 consumes embeddings, q42 only o_orderkey)
     "q41_ivf_dup_pairs",
     "q42_kv",
+    # event-time windowed rollups (consume events)
+    "q43_windowed_metrics",
+    "q44_sessions",
 ]
 
 
@@ -76,6 +79,24 @@ def build_dir(spark: SparkSession, path: str, mult: int) -> None:
         F.col("id").alias("o_orderkey"),
         (F.col("id") * 37 % 15000 + 1).alias("o_custkey"),
     ).write.parquet(f"{path}/orders.parquet")
+    # events for q43/q44: sf0.1 distribution is 100k events / 1500 users
+    # over a fixed 30-day span. Users scale ∝ n (constant per-user rate —
+    # a bigger corpus is more users, not the same users densified), the
+    # regime where session counts stay ∝ n; timestamps are a Knuth-mix
+    # pseudo-uniform spread over the span.
+    n_users = 1_500 * mult
+    span_us = 30 * 86_400 * 1_000_000
+    base_us = 1_704_067_200 * 1_000_000  # 2024-01-01 UTC
+    types = F.array(*[F.lit(t) for t in ("view", "click", "purchase", "signup", "error")])
+    spark.range(1, X1["events"] * mult + 1).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + (F.col("id") * 2654435761) % span_us
+        ).alias("ts"),
+        (F.col("id") * 31 % n_users).alias("user_id"),
+        F.element_at(types, (F.col("id") % 5 + 1).cast("int")).alias("event_type"),
+        ((F.col("id") % 10000) / 100.0).alias("value"),
+    ).write.parquet(f"{path}/events.parquet")
 
 
 def main() -> None:

@@ -723,3 +723,62 @@ def test_streaming_tumbling_matches_batch_on_closed_windows(spark, tmp_path):
         for r in want_df.collect()
     }
     assert got == want
+
+
+def test_streaming_sliding_window_approx_distinct(spark, tmp_path):
+    """Sliding windows + approx_count_distinct stream in append mode
+    (exact distinct cannot): each event lands in every/slide = 4
+    overlapping windows; closed windows emit once with the HLL++
+    distinct (exact at these tiny cardinalities)."""
+    from beats_spark.windows import tumbling_metrics
+
+    src = str(tmp_path / "slide_src")
+    ckpt = str(tmp_path / "slide_ckpt")
+    os.makedirs(src)
+    ev = lambda ts, uid: {"ts": ts, "event_type": "a", "user_id": uid, "value": 2.0}
+    _write_event_file(
+        src,
+        "f1.json",
+        [ev("2024-01-01 00:10:00", 1), ev("2024-01-01 00:10:30", 1), ev("2024-01-01 00:40:00", 2)],
+    )
+    # sentinels push the watermark far past every data window
+    _write_event_file(src, "f2.json", [ev("2024-01-01 09:00:00", 99)])
+    _write_event_file(src, "f3.json", [ev("2024-01-01 09:00:01", 99)])
+
+    agg = tumbling_metrics(
+        _event_stream(spark, src),
+        ts_col="ts",
+        every="1 hour",
+        slide="15 minutes",
+        keys=("event_type",),
+        value_col="value",
+        distinct_col="user_id",
+        approx_distinct=True,
+        watermark="10 minutes",
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_sliding")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r.window_start: (r.n_events, r.sum_value_milli, r.n_distinct)
+        for r in spark.sql("SELECT * FROM win_sliding").collect()
+    }
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    m = lambda mins: base + 60 * mins
+    # events at 00:10/00:10:30 (user 1) and 00:40 (user 2); 1h windows
+    # sliding by 15m: the 00:10s land in starts 23:15..00:00, the 00:40
+    # in 23:45..00:30 — so 23:45 and 00:00 hold all three events.
+    assert rows[m(-45)] == (2, 4000, 1)
+    assert rows[m(-30)] == (2, 4000, 1)
+    assert rows[m(-15)] == (3, 6000, 2)
+    assert rows[m(0)] == (3, 6000, 2)
+    assert rows[m(15)] == (1, 2000, 1)
+    assert rows[m(30)] == (1, 2000, 1)
+    # every data event fell in exactly 4 windows; sentinel windows open
+    assert len(rows) == 6, rows
