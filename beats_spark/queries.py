@@ -1397,6 +1397,110 @@ FROM s GROUP BY user_id, sid
 ORDER BY user_id, session_start_us"""
 
 
+# --- q46/q47: temporal joins (joins.py) --------------------------------------
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (joins.py asof_join — union + one keyed
+    shuffle + running last-ignorenulls, never a theta-join): each event
+    picks the user's plan as of its timestamp, where the plan-version
+    dimension is derived from the user's signup events (plan =
+    event_id % 3). Events before a user's first signup keep NULL.
+    Aggregated per (event_type, plan) with an event-id sum so any
+    misassigned row shifts a sum. Oracle: DuckDB's native ASOF LEFT
+    JOIN — two independent implementations of the same semantics."""
+    from beats_spark.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    dim = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("valid_from"),
+            (F.col("event_id") % 3).alias("plan"),
+        )
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        dim,
+        on=("user_id",),
+        left_ts="ts",
+        right_ts="valid_from",
+        right_cols=("plan",),
+    )
+    return (
+        joined.groupBy("event_type", "plan")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("event_type", "plan")
+    )
+
+
+def q_asof_join_oracle() -> str:
+    return """
+WITH dim AS (
+  SELECT user_id, ts AS valid_from, event_id % 3 AS plan
+  FROM events WHERE event_type = 'signup')
+SELECT e.event_type, d.plan,
+       count(*) AS n_events,
+       CAST(sum(e.event_id) AS BIGINT) AS sum_event_id
+FROM events e ASOF LEFT JOIN dim d
+  ON e.user_id = d.user_id AND e.ts >= d.valid_from
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment range join (joins.py range_join — the
+    bucketed equi-join formulation, never a nested-loop): every 97th
+    event opens a 4-hour per-user incident window; count and checksum
+    the user's events inside each window. The oracle states the same
+    thing as a plain inequality join — DuckDB plans its own IEJoin,
+    Spark gets the bucket join; results must agree exactly."""
+    from beats_spark.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    incidents = ev.filter(F.col("event_id") % 97 == 0).select(
+        "user_id",
+        F.col("event_id").alias("incident_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("end_ts"),
+    )
+    joined = range_join(
+        ev.select("user_id", "event_id", "ts"),
+        incidents,
+        left_ts="ts",
+        right_start="start_ts",
+        right_end="end_ts",
+        on=("user_id",),
+        bucket_seconds=4 * 3600,
+    )
+    return (
+        joined.groupBy("incident_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_event_id"),
+        )
+        .orderBy("incident_id")
+    )
+
+
+def q_range_join_oracle() -> str:
+    return """
+WITH inc AS (
+  SELECT user_id, event_id AS incident_id, ts AS start_ts,
+         ts + INTERVAL 4 HOUR AS end_ts
+  FROM events WHERE event_id % 97 = 0)
+SELECT inc.incident_id,
+       count(*) AS n_events,
+       CAST(sum(e.event_id) AS BIGINT) AS sum_event_id
+FROM events e JOIN inc
+  ON e.user_id = inc.user_id
+ AND e.ts >= inc.start_ts AND e.ts <= inc.end_ts
+GROUP BY 1 ORDER BY 1"""
+
+
 def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from beats_spark import queries_training
 
@@ -1419,6 +1523,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_windowed_metrics": q_windowed_metrics,
         "q44_sessions": q_sessions,
         "q45_sliding_metrics": q_sliding_metrics,
+        "q46_asof_join": q_asof_join,
+        "q47_range_join": q_range_join,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1474,4 +1580,6 @@ def _base_oracles() -> dict[str, str]:
         "q43_windowed_metrics": q_windowed_metrics_oracle(),
         "q44_sessions": q_sessions_oracle(),
         "q45_sliding_metrics": q_sliding_metrics_oracle(),
+        "q46_asof_join": q_asof_join_oracle(),
+        "q47_range_join": q_range_join_oracle(),
     }
