@@ -1501,6 +1501,48 @@ FROM events e JOIN inc
 GROUP BY 1 ORDER BY 1"""
 
 
+# --- q48: exact percentile rollup --------------------------------------------
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observability percentile rollup (p50/p95/p99 of the integer
+    milli-value per event_type) via Spark's EXACT `percentile` — both
+    engines use the same p·(n−1) linear-interpolation definition and
+    IEEE doubles (verified bit-identical on a probe vector), rounded
+    to 4dp as the house cross-engine recipe. At 100 TB swap in
+    approx_percentile (KLL sketch, mergeable map-side) — exact
+    percentile materializes per-group value multisets; the oracle
+    needs the exact form."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    pct = F.percentile("vm", F.lit([0.5, 0.95, 0.99]))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(pct[0], 4).alias("p50"),
+            F.round(pct[1], 4).alias("p95"),
+            F.round(pct[2], 4).alias("p99"),
+            F.max("vm").alias("max_vm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_percentiles_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_type,
+       count(*) AS n_events,
+       round(quantile_cont(vm, 0.5), 4) AS p50,
+       round(quantile_cont(vm, 0.95), 4) AS p95,
+       round(quantile_cont(vm, 0.99), 4) AS p99,
+       max(vm) AS max_vm
+FROM t GROUP BY 1 ORDER BY 1"""
+
+
 def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from beats_spark import queries_training
 
@@ -1525,6 +1567,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_sliding_metrics": q_sliding_metrics,
         "q46_asof_join": q_asof_join,
         "q47_range_join": q_range_join,
+        "q48_percentiles": q_percentiles,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1582,4 +1625,5 @@ def _base_oracles() -> dict[str, str]:
         "q45_sliding_metrics": q_sliding_metrics_oracle(),
         "q46_asof_join": q_asof_join_oracle(),
         "q47_range_join": q_range_join_oracle(),
+        "q48_percentiles": q_percentiles_oracle(),
     }

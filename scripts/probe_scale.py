@@ -47,9 +47,13 @@ PROBE_QUERIES = [
     # round-4 ops (q41 consumes embeddings, q42 only o_orderkey)
     "q41_ivf_dup_pairs",
     "q42_kv",
-    # event-time windowed rollups (consume events)
+    # event-time windowed rollups + temporal joins + percentiles
+    # (consume events)
     "q43_windowed_metrics",
     "q44_sessions",
+    "q46_asof_join",
+    "q47_range_join",
+    "q48_percentiles",
 ]
 
 
