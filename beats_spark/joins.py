@@ -28,6 +28,17 @@ here are the shuffle-bounded ones:
   qualifying pair meets in exactly one bucket — the left row's — so no
   dedup pass is needed. Cost = hash join on a key that parallelizes by
   time, never a nested-loop.
+- interval (event-to-event within a time window, e.g. click→purchase
+  correlation): batch uses the same bucketing — a plain equi-join on
+  the key followed by a range filter materializes EVERY within-key
+  pair before filtering, which is quadratic on a hot key; adding the
+  time bucket to the equi-join key bounds each hash cell by the
+  window span. Streaming uses Spark's native watermarked
+  stream-stream join (StreamingSymmetricHashJoin): the range
+  condition on the two event-time columns lets Spark derive a state
+  watermark and evict buffered rows once no future match is possible
+  — the physically right strategy for unbounded input, where
+  bucketing would buffer forever anyway.
 """
 
 from __future__ import annotations
@@ -136,3 +147,108 @@ def range_join(
         & (_us(F.col(left_ts)) <= _us(F.col(right_end)))
     )
     return joined.drop("__bkt__")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    include_lower: bool = True,
+    include_upper: bool = True,
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """Inner event-to-event interval join: pair (l, r) when
+    `l.left_ts + lower_seconds <= r.right_ts <= l.left_ts +
+    upper_seconds` within the same `on` key (bound strictness per the
+    `include_*` flags). The click→purchase / request→response
+    correlation shape.
+
+    Formulation: equivalently `r.right_ts - upper <= l.left_ts <=
+    r.right_ts - lower`, i.e. a range join where each right event
+    carries a derived interval over left time — so the same bucketed
+    equi-join applies: left maps to its one time bucket, right
+    explodes over the ≤ `(upper-lower)/bucket + 1` buckets its derived
+    interval covers, join on (keys, bucket), refine on the exact µs
+    delta. Each qualifying pair meets in exactly one bucket (the left
+    row's), no dedup. Never a per-key cartesian: a hot key's hash cell
+    is bounded by the window span, not the key's row count.
+
+    Default `bucket_seconds` = the window span (right fan-out exactly
+    2). Output = left columns + right columns (non-`on` names must not
+    collide). For unbounded streams use `interval_join_stream`."""
+    if upper_seconds < lower_seconds:
+        raise ValueError("interval_join: upper_seconds < lower_seconds")
+    dup = [c for c in right.columns if c in left.columns and c not in on]
+    if dup:
+        raise ValueError(f"interval_join: overlapping column names: {dup}")
+    if bucket_seconds is None:
+        bucket_seconds = max(1, int(upper_seconds - lower_seconds))
+    b = F.lit(int(bucket_seconds) * 1_000_000)
+    lo = F.lit(int(lower_seconds * 1_000_000))
+    hi = F.lit(int(upper_seconds * 1_000_000))
+    l = left.withColumn("__bkt__", F.floor(_us(F.col(left_ts)) / b))
+    r = right.withColumn(
+        "__bkt__",
+        F.explode(
+            F.sequence(
+                F.floor((_us(F.col(right_ts)) - hi) / b),
+                F.floor((_us(F.col(right_ts)) - lo) / b),
+            )
+        ),
+    )
+    delta = _us(F.col(right_ts)) - _us(F.col(left_ts))
+    cond = (delta >= lo) if include_lower else (delta > lo)
+    cond = cond & ((delta <= hi) if include_upper else (delta < hi))
+    return l.join(r, on=[*on, "__bkt__"], how="inner").filter(cond).drop("__bkt__")
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_seconds: float,
+    upper_seconds: float,
+    watermark: str = "1 hour",
+    include_lower: bool = True,
+    include_upper: bool = True,
+) -> DataFrame:
+    """Streaming twin of `interval_join` over two `readStream` inputs,
+    same match semantics, built on Spark's native watermarked
+    stream-stream inner join. Both sides get `withWatermark` on their
+    event-time column; the join condition carries the time range
+    BETWEEN the two event-time columns directly, which is what lets
+    Spark derive per-side state watermarks and evict buffered rows as
+    soon as no future match is possible (state ∝ watermark delay +
+    window span, not stream length).
+
+    `watermark` bounds how out-of-order each side may arrive and
+    still match: a row later than that against its side's max event
+    time can be dropped from the join state before its partner shows
+    up. Works under `trigger(availableNow=True)` for drain-and-stop
+    jobs (matches emit as both sides arrive; inner join needs no
+    window-close wait). Ref analog: the reference has no cross-stream
+    correlation — events pair only in ES after indexing; this is the
+    in-pipeline form."""
+    dup = [c for c in right.columns if c in left.columns and c not in on]
+    if dup:
+        raise ValueError(f"interval_join_stream: overlapping column names: {dup}")
+    l = left.withWatermark(left_ts, watermark).alias("__L__")
+    r = right.withWatermark(right_ts, watermark).alias("__R__")
+    lts = F.col(f"__L__.{left_ts}")
+    rts = F.col(f"__R__.{right_ts}")
+    lo_bound = lts + F.expr(f"INTERVAL {int(lower_seconds)} SECONDS")
+    hi_bound = lts + F.expr(f"INTERVAL {int(upper_seconds)} SECONDS")
+    cond = (rts >= lo_bound) if include_lower else (rts > lo_bound)
+    cond = cond & ((rts <= hi_bound) if include_upper else (rts < hi_bound))
+    for k in on:
+        cond = cond & (F.col(f"__L__.{k}") == F.col(f"__R__.{k}"))
+    return l.join(r, cond, "inner").select(
+        *[F.col(f"__L__.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__R__.{c}").alias(c) for c in right.columns if c not in on],
+    )

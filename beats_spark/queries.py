@@ -1501,6 +1501,66 @@ FROM events e JOIN inc
 GROUP BY 1 ORDER BY 1"""
 
 
+# --- q49: event-to-event interval join (click→purchase correlation) ----------
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase correlation within 2 hours per user (joins.py
+    interval_join — bucketed equi-join on (user, time-bucket), never a
+    per-key cartesian; the streaming twin interval_join_stream runs
+    the same semantics as a watermarked stream-stream join). Emits the
+    raw pairs with the exact µs gap and the purchase milli-value; the
+    oracle states it as a plain inequality self-join."""
+    from beats_spark.joins import interval_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+        F.floor(F.col("value") * 1000).cast("long").alias("buy_vm"),
+    )
+    pairs = interval_join(
+        clicks,
+        buys,
+        on=("user_id",),
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        lower_seconds=0,
+        upper_seconds=7200,
+        include_lower=False,  # strictly after the click
+    )
+    return pairs.select(
+        "click_id",
+        "buy_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("buy_ts").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp_ltz"))
+        ).alias("gap_us"),
+        "buy_vm",
+    ).orderBy("click_id", "buy_id")
+
+
+def q_interval_join_oracle() -> str:
+    return """
+SELECT l.event_id AS click_id,
+       r.event_id AS buy_id,
+       l.user_id AS user_id,
+       CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS gap_us,
+       CAST(floor(r.value * 1000) AS BIGINT) AS buy_vm
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'click' AND r.event_type = 'purchase'
+ AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 7200 SECONDS
+ORDER BY 1, 2"""
+
+
 # --- q48: exact percentile rollup --------------------------------------------
 
 
@@ -1568,6 +1628,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_asof_join": q_asof_join,
         "q47_range_join": q_range_join,
         "q48_percentiles": q_percentiles,
+        "q49_interval_join": q_interval_join,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1626,4 +1687,5 @@ def _base_oracles() -> dict[str, str]:
         "q46_asof_join": q_asof_join_oracle(),
         "q47_range_join": q_range_join_oracle(),
         "q48_percentiles": q_percentiles_oracle(),
+        "q49_interval_join": q_interval_join_oracle(),
     }
