@@ -1,0 +1,113 @@
+"""Metric-series operators: counter→rate and fixed-width histograms.
+
+Metricbeat ships raw monotonic counter SAMPLES (cpu ticks, network
+bytes, `metricbeat/module/system/*`) and delegates the derivative to
+the store (ES rate agg / Prometheus `rate()`); the ES `histogram`
+aggregation is the standard value-distribution rollup. A Spark-first
+engine expresses both natively:
+
+- `counter_rate`: per-sample derivative of a monotonic counter with
+  the Prometheus reset rule — a decrease means the process restarted,
+  so the increase since the reset is the new value itself (resets that
+  don't decrease the counter are undetectable, as in Prometheus).
+  ONE keyed shuffle: a window partitioned by the series key, ordered
+  by event time; a hot series is one sorted run bounded by that
+  series' samples. No row multiplies.
+- `value_histogram`: ES `histogram` agg analog — fixed-width buckets
+  `floor(value/interval)*interval`, count + sum per (keys, bucket).
+  Map-side partial aggregation; post-shuffle cardinality is
+  value-range/interval × |keys|, independent of row count.
+
+Oracle portability (CLAUDE.md): counters and values are integers
+(milli-units); the rate divides exact-integer µs quantities as IEEE
+doubles and floors — bit-identical in Spark and DuckDB. Window order
+always carries an integer tiebreak column: event timestamps CAN
+collide at µs resolution, and a tie-broken ROWS frame is the only
+cross-engine-deterministic cumulative.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(ts_col: str) -> Column:
+    # NTZ → LTZ before epoch math (session tz is UTC)
+    return F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+
+
+def counter_rate(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    counter_col: str,
+    tiebreak_col: str | None = None,
+    per_seconds: float = 1.0,
+) -> DataFrame:
+    """Per-sample rate of a monotonic integer counter with reset
+    detection. Adds three columns:
+
+    - `rate_milli_per_s`: floor(increase · 1e6 · per_seconds / Δt_µs)
+      — the counter is assumed to be in milli-units, so this is
+      milli-units per `per_seconds` seconds; NULL for each series'
+      first sample and for Δt = 0 duplicates.
+    - `counter_reset`: true when the counter decreased vs the previous
+      sample (process restart); the increase then counts from 0, i.e.
+      equals the new sample (Prometheus `rate()` reset rule).
+    - `dt_us`: µs gap to the previous sample (NULL on first).
+
+    Cost: one exchange keyed by `keys`, per-series sort. Ref analog:
+    metricbeat emits the raw samples and leaves this derivative to ES
+    (`metricbeat/mb/module/wrapper.go` period collector); this is the
+    in-pipeline form.
+    """
+    order = [_us(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    c = F.col(counter_col)
+    prev_c = F.lag(c).over(w)
+    prev_us = F.lag(_us(ts_col)).over(w)
+    dt = _us(ts_col) - prev_us
+    reset = prev_c.isNotNull() & (c < prev_c)
+    increase = F.when(reset, c).otherwise(c - prev_c)
+    scale = F.lit(int(1_000_000 * per_seconds))
+    rate = F.when(
+        prev_c.isNotNull() & (dt > 0), F.floor(increase * scale / dt)
+    ).cast("long")
+    return df.select(
+        "*",
+        rate.alias("rate_milli_per_s"),
+        reset.alias("counter_reset"),
+        F.when(prev_c.isNotNull(), dt).alias("dt_us"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    interval: int,
+    keys: Sequence[str] = (),
+    min_doc_count: int = 1,
+) -> DataFrame:
+    """ES `histogram` aggregation analog over an integer value column:
+    fixed-width buckets keyed by `floor(value/interval)*interval`,
+    emitting `bucket`, `n` and `sum_value` per (keys, bucket). Buckets
+    with fewer than `min_doc_count` rows are dropped (ES default 0
+    keeps empties only with extended_bounds — empty buckets don't
+    exist in a groupBy, so the floor here is 1)."""
+    if interval <= 0:
+        raise ValueError("value_histogram: interval must be positive")
+    b = (F.floor(F.col(value_col) / F.lit(int(interval))) * int(interval)).cast(
+        "long"
+    )
+    out = df.groupBy(*[F.col(k) for k in keys], b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col)).alias("sum_value"),
+    )
+    if min_doc_count > 1:
+        out = out.filter(F.col("n") >= int(min_doc_count))
+    return out

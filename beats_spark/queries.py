@@ -1561,6 +1561,123 @@ FROM events l JOIN events r
 ORDER BY 1, 2"""
 
 
+# --- q50: counter→rate with reset detection ----------------------------------
+
+
+def q_counter_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter derivative with the Prometheus reset rule
+    (metrics.py counter_rate — metricbeat ships the raw samples,
+    `metricbeat/mb/module/wrapper.go` period collector; the derivative
+    lives downstream). Counter samples are synthesized deterministically
+    from events: per-user cumulative milli-value, restarting at every
+    event_id % 211 == 0 (a "process restart"). Windows order by
+    (ts, event_id) — µs timestamps CAN collide, and only a tie-broken
+    ROWS frame is cross-engine deterministic."""
+    from beats_spark.metrics import counter_rate
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+        (F.col("event_id") % 211 == 0).cast("int").alias("rst"),
+    )
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w_user = (
+        Window.partitionBy("user_id")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = ev.withColumn("grp", F.sum("rst").over(w_user))
+    w_run = (
+        Window.partitionBy("user_id", "grp")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    samples = grouped.withColumn("ctr", F.sum("vm").over(w_run))
+    rated = counter_rate(
+        samples, keys=("user_id",), ts_col="ts",
+        counter_col="ctr", tiebreak_col="event_id",
+    )
+    return (
+        rated.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum(F.col("counter_reset").cast("int")).alias("n_resets"),
+            F.sum("rate_milli_per_s").alias("sum_rate"),
+            F.max("rate_milli_per_s").alias("max_rate"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_counter_rate_oracle() -> str:
+    return """
+WITH s AS (
+  SELECT user_id, event_id, ts,
+         CAST(floor(value * 1000) AS BIGINT) AS vm,
+         CASE WHEN event_id % 211 = 0 THEN 1 ELSE 0 END AS rst
+  FROM events),
+g AS (
+  SELECT *, sum(rst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS grp FROM s),
+c AS (
+  SELECT *, sum(vm) OVER (PARTITION BY user_id, grp ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS ctr FROM g),
+r AS (
+  SELECT user_id, ctr,
+         lag(ctr) OVER w AS prev_c,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt
+  FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+rr AS (
+  SELECT user_id,
+         CASE WHEN prev_c IS NOT NULL AND ctr < prev_c THEN 1 ELSE 0 END AS is_reset,
+         CASE WHEN prev_c IS NOT NULL AND dt > 0 THEN
+           CAST(floor((CASE WHEN ctr < prev_c THEN ctr ELSE ctr - prev_c END)
+                      * 1000000 / dt) AS BIGINT)
+         END AS rate
+  FROM r)
+SELECT user_id,
+       count(*) AS n_samples,
+       CAST(sum(is_reset) AS BIGINT) AS n_resets,
+       CAST(sum(rate) AS BIGINT) AS sum_rate,
+       max(rate) AS max_rate
+FROM rr GROUP BY 1 ORDER BY 1"""
+
+
+# --- q51: fixed-width value histogram (ES histogram agg analog) --------------
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `histogram` aggregation analog (metrics.py value_histogram):
+    25k-milli-unit fixed-width buckets of the event value per
+    event_type — count and integer sum per bucket. One map-side
+    partial agg; post-shuffle cardinality = value-range/interval ×
+    |event types|, independent of row count."""
+    from beats_spark.metrics import value_histogram
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    out = value_histogram(ev, "vm", interval=25_000, keys=("event_type",))
+    return out.select(
+        "event_type", "bucket", "n", F.col("sum_value").alias("sum_vm")
+    ).orderBy("event_type", "bucket")
+
+
+def q_histogram_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events)
+SELECT event_type,
+       CAST(floor(vm / 25000) AS BIGINT) * 25000 AS bucket,
+       count(*) AS n,
+       CAST(sum(vm) AS BIGINT) AS sum_vm
+FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # --- q48: exact percentile rollup --------------------------------------------
 
 
@@ -1629,6 +1746,8 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_range_join": q_range_join,
         "q48_percentiles": q_percentiles,
         "q49_interval_join": q_interval_join,
+        "q50_counter_rate": q_counter_rate,
+        "q51_histogram": q_histogram,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1688,4 +1807,6 @@ def _base_oracles() -> dict[str, str]:
         "q47_range_join": q_range_join_oracle(),
         "q48_percentiles": q_percentiles_oracle(),
         "q49_interval_join": q_interval_join_oracle(),
+        "q50_counter_rate": q_counter_rate_oracle(),
+        "q51_histogram": q_histogram_oracle(),
     }

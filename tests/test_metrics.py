@@ -1,0 +1,76 @@
+"""Metric-series operators (beats_spark/metrics.py) vs hand oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beats_spark.metrics import counter_rate, value_histogram
+
+
+def _samples(spark):
+    # host h1: steady counter, then a restart (300 -> 40)
+    # host h2: a zero-dt duplicate sample
+    return spark.createDataFrame(
+        [
+            ("h1", 1, "2024-01-01 00:00:00", 100),
+            ("h1", 2, "2024-01-01 00:00:10", 300),
+            ("h1", 3, "2024-01-01 00:00:20", 40),   # reset: counts from 0
+            ("h1", 4, "2024-01-01 00:00:30", 140),
+            ("h2", 5, "2024-01-01 00:00:00", 50),
+            ("h2", 6, "2024-01-01 00:00:00", 70),   # dt = 0 → NULL rate
+            ("h2", 7, "2024-01-01 00:00:05", 120),
+        ],
+        "host string, sid long, ts string, ctr long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_counter_rate_reset_rule_and_zero_dt(spark):
+    out = counter_rate(
+        _samples(spark), keys=("host",), ts_col="ts",
+        counter_col="ctr", tiebreak_col="sid",
+    )
+    rows = {r.sid: r for r in out.collect()}
+    # first sample per series: everything NULL
+    assert rows[1].rate_milli_per_s is None and rows[1].dt_us is None
+    # 200 over 10s = 20/s
+    assert rows[2].rate_milli_per_s == 20 and not rows[2].counter_reset
+    # reset: increase = the new value (40), over 10s = 4/s
+    assert rows[3].counter_reset and rows[3].rate_milli_per_s == 4
+    # post-reset resumes normal deltas: 100 over 10s
+    assert rows[4].rate_milli_per_s == 10 and not rows[4].counter_reset
+    # zero-dt duplicate: rate NULL, not a reset (70 >= 50), dt recorded
+    assert rows[6].rate_milli_per_s is None
+    assert not rows[6].counter_reset and rows[6].dt_us == 0
+    # tiebreak made the 00:00:05 sample diff against sid=6 (ctr 70)
+    assert rows[7].rate_milli_per_s == 10  # (120-70)/5s
+    assert out.count() == 7  # no row multiplied or lost
+
+
+def test_counter_rate_undetectable_reset_is_plain_delta(spark):
+    # a restart that lands ABOVE the previous sample cannot be seen
+    # (Prometheus semantics): treated as a normal increase
+    df = spark.createDataFrame(
+        [("h", 1, "2024-01-01 00:00:00", 10), ("h", 2, "2024-01-01 00:00:01", 90)],
+        "host string, sid long, ts string, ctr long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = counter_rate(df, keys=("host",), ts_col="ts", counter_col="ctr",
+                       tiebreak_col="sid").collect()
+    r = {x.sid: x for x in out}[2]
+    assert not r.counter_reset and r.rate_milli_per_s == 80
+
+
+def test_value_histogram_buckets_and_min_doc_count(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 7), ("a", 12), ("a", 27), ("b", 12)],
+        "k string, v long",
+    )
+    out = value_histogram(df, "v", interval=10, keys=("k",))
+    got = {(r.k, r.bucket): (r.n, r.sum_value) for r in out.collect()}
+    assert got == {
+        ("a", 0): (2, 10),
+        ("a", 10): (1, 12),
+        ("a", 20): (1, 27),
+        ("b", 10): (1, 12),
+    }
+    kept = value_histogram(df, "v", interval=10, keys=("k",), min_doc_count=2)
+    assert [(r.k, r.bucket) for r in kept.collect()] == [("a", 0)]
