@@ -1678,6 +1678,38 @@ SELECT event_type,
 FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+# --- q52: log template mining -------------------------------------------------
+
+
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining over the token payloads (templates.py
+    mine_templates — regexp_replace mask chain in one codegen span,
+    map-side partial agg, TakeOrderedAndProject top-k): the corpus
+    collapses onto one template per log level + the CORRUPT arm. The
+    oracle runs the IDENTICAL mask chain (RE2 ∩ java.util.regex
+    subset) with DuckDB's 'g' flag; top-k is safe because the
+    ordering (n DESC, template) is total."""
+    from beats_spark.templates import mine_templates
+
+    tok = _tokens(spark, sf_dir).select("payload", "source")
+    out = mine_templates(tok, "payload", k=20, distinct_col="source")
+    return out.select("template", "n", "example", "n_distinct")
+
+
+def q_log_templates_oracle() -> str:
+    from beats_spark.templates import DEFAULT_MASKS
+
+    expr = "payload"
+    for pat, repl in DEFAULT_MASKS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH events AS ({token_events_sql('duckdb')}),
+t AS (SELECT {expr} AS template, payload, source FROM events)
+SELECT template, count(*) AS n, min(payload) AS example,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_distinct
+FROM t GROUP BY 1 ORDER BY n DESC, template LIMIT 20"""
+
+
 # --- q48: exact percentile rollup --------------------------------------------
 
 
@@ -1748,6 +1780,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_interval_join": q_interval_join,
         "q50_counter_rate": q_counter_rate,
         "q51_histogram": q_histogram,
+        "q52_log_templates": q_log_templates,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1809,4 +1842,5 @@ def _base_oracles() -> dict[str, str]:
         "q49_interval_join": q_interval_join_oracle(),
         "q50_counter_rate": q_counter_rate_oracle(),
         "q51_histogram": q_histogram_oracle(),
+        "q52_log_templates": q_log_templates_oracle(),
     }
