@@ -1,0 +1,109 @@
+"""Ordered event funnel (ClickHouse windowFunnel / ES sequence analog).
+
+How deep into an ordered stage chain (view → click → purchase …) does
+each user get? Stage k counts only when a stage-k event occurs
+STRICTLY AFTER some event that completed stage k−1, optionally within
+a time budget of the user's first stage-0 event. Beats ships the raw
+events and leaves journeys to the store; this is the in-pipeline form.
+
+Spark-first shape: the stage automaton unrolls into k chained window
+expressions over ONE (user, time) partition — `reached_k(row) =
+type == stages[k] AND max(reached_{k-1}) over [unbounded, -1] = 1`.
+All windows share the same partitioning and sort, so the plan is one
+exchange + one sort feeding k Window operators back-to-back (no
+re-exchange, no re-sort — verified in the physical plan). A hot user
+is one sorted run bounded by that user's events; no row multiplies,
+and there is no per-user collect_list (which would materialize whole
+user histories as single rows).
+
+Determinism: window order carries an integer tiebreak (µs timestamps
+collide in real data), and every emitted quantity is a count.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _us(ts_col: str) -> Column:
+    return F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+
+
+def funnel_depth(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within_seconds: float | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-user funnel depth: one row per user with `depth` = the
+    number of consecutive stages completed in order (0 = never did
+    stage 0). With `within_seconds`, stages past the first must also
+    land within that budget of the user's FIRST stage-0 event
+    (windowFunnel's window argument)."""
+    if len(stages) < 2:
+        raise ValueError("funnel_depth: need at least 2 stages")
+    order = [_us(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = F.col(type_col)
+    out = df
+    reached_cur = (t == stages[0]).cast("int")
+    out = out.withColumn("__r0__", reached_cur)
+    if within_seconds is not None:
+        # earliest stage-0 µs among strictly-previous rows
+        first0 = F.min(F.when(t == stages[0], _us(ts_col))).over(w_prev)
+        budget_us = F.lit(int(within_seconds * 1_000_000))
+    for k in range(1, len(stages)):
+        prev_done = F.coalesce(F.max(F.col(f"__r{k-1}__")).over(w_prev), F.lit(0))
+        cond = (t == stages[k]) & (prev_done == 1)
+        if within_seconds is not None:
+            cond = cond & (_us(ts_col) <= first0 + budget_us)
+        out = out.withColumn(f"__r{k}__", cond.cast("int"))
+    agg = [
+        F.max(F.col(f"__r{k}__")).alias(f"__s{k}__") for k in range(len(stages))
+    ]
+    per_user = out.groupBy(user_col).agg(*agg)
+    # depth = longest prefix of completed stages (reached_k already
+    # implies reached_{k-1} happened earlier, so the sum IS the prefix)
+    depth = sum(F.col(f"__s{k}__") for k in range(len(stages)))
+    return per_user.select(F.col(user_col), depth.cast("int").alias("depth"))
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    stages: Sequence[str],
+    within_seconds: float | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Funnel rollup: one row per stage with `stage` (1-based),
+    `stage_name`, and `n_users` = users whose depth reaches it —
+    non-increasing down the chain by construction."""
+    depths = funnel_depth(
+        df, user_col, ts_col, type_col, stages, within_seconds, tiebreak_col
+    )
+    spark = df.sparkSession
+    stage_rows = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(stages)], "stage int, stage_name string"
+    )
+    # |stages| × |users after agg| — the depth table is already the
+    # small side of the pipeline; broadcast the stage dimension
+    return (
+        depths.join(F.broadcast(stage_rows), F.col("depth") >= F.col("stage"))
+        .groupBy("stage", "stage_name")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )

@@ -86,6 +86,71 @@ def counter_rate(
     )
 
 
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    z: float = 3.0,
+) -> DataFrame:
+    """Flag rows whose integer `value_col` deviates more than `z`
+    population standard deviations from their group mean — the
+    classic per-dimension anomaly gate. Adds a boolean `is_outlier`.
+
+    Scale shape: per-group (n, Σv, Σv²) via groupBy (map-side partial
+    → |keys| rows) then a BROADCAST join back onto the facts — the
+    fact table is scanned twice but never shuffled, which beats a
+    window formulation (one full exchange of every row) as soon as
+    network is the bottleneck.
+
+    Cross-engine determinism (the oracle recipe): the test
+    |v − μ| > z·σ is cross-multiplied to
+        (n·v − Σv)² > z²·(n·Σv² − (Σv)²)
+    with `n·v − Σv` exact in int64 and the squares/products evaluated
+    as IEEE doubles in a fixed tree — both engines round identically,
+    so the flag is bit-reproducible even where the doubles are
+    inexact. No sqrt, no float mean, no order-dependent float sum.
+    """
+    n = F.count(F.lit(1)).cast("long").alias("__n__")
+    s1 = F.sum(F.col(value_col)).cast("long").alias("__s1__")
+    s2 = F.sum(F.col(value_col) * F.col(value_col)).cast("long").alias("__s2__")
+    stats = df.groupBy(*[F.col(k) for k in keys]).agg(n, s1, s2)
+    joined = df.join(F.broadcast(stats), on=list(keys), how="inner")
+    dev = (F.col("__n__") * F.col(value_col) - F.col("__s1__")).cast("double")
+    var_n2 = F.col("__n__").cast("double") * F.col("__s2__").cast("double") - (
+        F.col("__s1__").cast("double") * F.col("__s1__").cast("double")
+    )
+    flag = (dev * dev) > (F.lit(float(z) * float(z)) * var_n2)
+    return joined.withColumn("is_outlier", flag).drop("__n__", "__s1__", "__s2__")
+
+
+def grouped_topk(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k rows per group by `order_col` (desc by default), with a
+    1-based `rank` column. The ordering is made total via
+    `tiebreak_col` so the selected set is engine-reproducible.
+
+    Scale shape: `row_number() <= k` over a (keys, order) window is
+    rewritten by Spark 4's WindowGroupLimit: each map task keeps only
+    its local top-k per group BEFORE the exchange, so the shuffle
+    carries ≤ k·|groups| rows per task, not the corpus — the
+    distributed heap-select you'd hand-write, for free from the
+    declarative form."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
 def value_histogram(
     df: DataFrame,
     value_col: str,

@@ -1678,6 +1678,184 @@ SELECT event_type,
 FROM t GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+# --- q54: ordered funnel (windowFunnel analog) --------------------------------
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click→purchase funnel, each later stage strictly after a
+    completed previous stage AND within 24 h of the user's first view
+    (funnel.py — stage automaton as chained windows over ONE
+    exchange+sort; no collect_list, no row multiplication). Output:
+    users reaching each stage."""
+    from beats_spark.funnel import funnel_counts
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type", "event_id")
+    return funnel_counts(
+        ev,
+        user_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        stages=("view", "click", "purchase"),
+        within_seconds=24 * 3600,
+        tiebreak_col="event_id",
+    )
+
+
+def q_funnel_oracle() -> str:
+    budget = 24 * 3600 * 1_000_000
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id FROM events),
+a AS (SELECT *, CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS r0 FROM e),
+b AS (SELECT *, CASE WHEN event_type = 'click' AND coalesce(max(r0) OVER w, 0) = 1
+        AND us <= min(CASE WHEN event_type = 'view' THEN us END) OVER w + {budget}
+        THEN 1 ELSE 0 END AS r1 FROM a
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+c AS (SELECT *, CASE WHEN event_type = 'purchase' AND coalesce(max(r1) OVER w, 0) = 1
+        AND us <= min(CASE WHEN event_type = 'view' THEN us END) OVER w + {budget}
+        THEN 1 ELSE 0 END AS r2 FROM b
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+d AS (SELECT user_id, max(r0) AS s0, max(r1) AS s1, max(r2) AS s2 FROM c GROUP BY 1)
+SELECT * FROM (
+  SELECT 1 AS stage, 'view' AS stage_name, CAST(sum(s0) AS BIGINT) AS n_users FROM d
+  UNION ALL
+  SELECT 2, 'click', CAST(sum(s1) AS BIGINT) FROM d
+  UNION ALL
+  SELECT 3, 'purchase', CAST(sum(s2) AS BIGINT) FROM d)
+ORDER BY stage"""
+
+
+# --- q55: top-k per group (WindowGroupLimit) -----------------------------------
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 largest events per event_type (metrics.py grouped_topk):
+    the declarative row_number()<=k form that Spark 4 rewrites into
+    WindowGroupLimit — map tasks pre-select their local top-3 per
+    group, the exchange carries ≤ 3·|groups| rows per task. Ordering
+    totalized by event_id."""
+    from beats_spark.metrics import grouped_topk
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    out = grouped_topk(
+        ev, keys=("event_type",), order_col="vm", k=3, tiebreak_col="event_id"
+    )
+    return out.select("event_type", "rank", "event_id", "vm").orderBy(
+        "event_type", "rank"
+    )
+
+
+def q_topk_per_group_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT event_type, event_id, CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events),
+r AS (
+  SELECT event_type, event_id, vm,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY vm DESC, event_id) AS INT) AS rank
+  FROM t)
+SELECT event_type, rank, event_id, vm FROM r
+WHERE rank <= 3 ORDER BY event_type, rank"""
+
+
+# --- q56: terms-matrix pivot ---------------------------------------------------
+
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-cohort × event-type count matrix (ES terms-agg matrix /
+    OLAP pivot): groupBy(cohort).pivot(type, explicit values) —
+    explicit value list keeps the plan single-pass (no extra distinct
+    job) and compiles to one partial-agg exchange with the matrix
+    built map-side."""
+    ev = _events(spark, sf_dir).select(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    )
+    out = (
+        ev.groupBy("cohort")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = out.select(
+        "cohort",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _PIVOT_TYPES
+        ],
+    )
+    return renamed.orderBy("cohort")
+
+
+def q_pivot_matrix_oracle() -> str:
+    conds = ",\n       ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{t}"
+        for t in _PIVOT_TYPES
+    )
+    return f"""
+SELECT user_id % 10 AS cohort,
+       {conds}
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+# --- q53: z-score anomaly flags ------------------------------------------------
+
+
+def q_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 3σ anomaly gate (metrics.py zscore_outliers —
+    broadcast-stats formulation, fact table never shuffles). The
+    |v−μ| > zσ test is cross-multiplied into exact-int64 deviations
+    and a fixed IEEE-double comparison tree, so Spark and DuckDB flag
+    identical rows with no sqrt/float-mean anywhere."""
+    from beats_spark.metrics import zscore_outliers
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.floor(F.col("value") * 1000).cast("long").alias("vm")
+    )
+    flagged = zscore_outliers(ev, "vm", keys=("event_type",), z=3.0)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("is_outlier").cast("int")).alias("n_anom"),
+            F.max(F.when(F.col("is_outlier"), F.col("vm"))).alias("max_anom_vm"),
+            F.min(F.when(F.col("is_outlier"), F.col("vm"))).alias("min_anom_vm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_zscore_anomalies_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+s AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(vm) AS BIGINT) AS s1,
+         CAST(sum(vm * vm) AS BIGINT) AS s2
+  FROM t GROUP BY 1),
+f AS (
+  SELECT t.event_type, vm,
+         CASE WHEN CAST(n * vm - s1 AS DOUBLE) * CAST(n * vm - s1 AS DOUBLE)
+                   > 9.0 * (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              THEN 1 ELSE 0 END AS flag
+  FROM t JOIN s USING (event_type))
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(flag) AS BIGINT) AS n_anom,
+       max(CASE WHEN flag = 1 THEN vm END) AS max_anom_vm,
+       min(CASE WHEN flag = 1 THEN vm END) AS min_anom_vm
+FROM f GROUP BY 1 ORDER BY 1"""
+
+
 # --- q52: log template mining -------------------------------------------------
 
 
@@ -1781,6 +1959,10 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_counter_rate": q_counter_rate,
         "q51_histogram": q_histogram,
         "q52_log_templates": q_log_templates,
+        "q53_zscore_anomalies": q_zscore_anomalies,
+        "q54_funnel": q_funnel,
+        "q55_topk_per_group": q_topk_per_group,
+        "q56_pivot_matrix": q_pivot_matrix,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -1843,4 +2025,8 @@ def _base_oracles() -> dict[str, str]:
         "q50_counter_rate": q_counter_rate_oracle(),
         "q51_histogram": q_histogram_oracle(),
         "q52_log_templates": q_log_templates_oracle(),
+        "q53_zscore_anomalies": q_zscore_anomalies_oracle(),
+        "q54_funnel": q_funnel_oracle(),
+        "q55_topk_per_group": q_topk_per_group_oracle(),
+        "q56_pivot_matrix": q_pivot_matrix_oracle(),
     }

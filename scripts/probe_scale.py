@@ -54,6 +54,11 @@ PROBE_QUERIES = [
     "q46_asof_join",
     "q47_range_join",
     "q48_percentiles",
+    "q49_interval_join",
+    "q50_counter_rate",
+    "q51_histogram",
+    # log-analytics ops (q52 consumes the token table via o_orderkey)
+    "q52_log_templates",
 ]
 
 

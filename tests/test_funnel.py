@@ -1,0 +1,98 @@
+"""Ordered funnel (beats_spark/funnel.py) vs hand oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beats_spark.funnel import funnel_counts, funnel_depth
+
+STAGES = ("view", "click", "purchase")
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id string, eid long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def _depths(spark, rows, **kw):
+    df = funnel_depth(
+        _ev(spark, rows), "user_id", "ts", "event_type", STAGES,
+        tiebreak_col="eid", **kw,
+    )
+    return {r.user_id: r.depth for r in df.collect()}
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # u1: full chain in order
+        ("u1", 1, "2024-01-01 00:00:00", "view"),
+        ("u1", 2, "2024-01-01 01:00:00", "click"),
+        ("u1", 3, "2024-01-01 02:00:00", "purchase"),
+        # u2: purchase BEFORE the click chain completes → depth 2
+        ("u2", 4, "2024-01-01 00:00:00", "view"),
+        ("u2", 5, "2024-01-01 00:30:00", "purchase"),
+        ("u2", 6, "2024-01-01 01:00:00", "click"),
+        # u3: click with no prior view → depth 0
+        ("u3", 7, "2024-01-01 00:00:00", "click"),
+        ("u3", 8, "2024-01-01 01:00:00", "purchase"),
+        # u4: stage events at the SAME timestamp do not chain
+        # (strictly-after via the [unbounded, -1) frame + eid tiebreak)
+        ("u4", 9, "2024-01-01 00:00:00", "view"),
+        ("u4", 10, "2024-01-01 00:00:00", "click"),
+    ]
+    got = _depths(spark, rows)
+    assert got == {"u1": 3, "u2": 2, "u3": 0, "u4": 2}
+    # u4 = 2 because the click row sorts after the view row (eid
+    # tiebreak) — same µs still counts as strictly after
+
+
+def test_funnel_within_budget(spark):
+    rows = [
+        ("u1", 1, "2024-01-01 00:00:00", "view"),
+        ("u1", 2, "2024-01-03 00:00:00", "click"),      # 48h later
+        ("u1", 3, "2024-01-03 01:00:00", "purchase"),
+        # u2 stays inside the budget
+        ("u2", 4, "2024-01-01 00:00:00", "view"),
+        ("u2", 5, "2024-01-01 12:00:00", "click"),
+        ("u2", 6, "2024-01-01 23:00:00", "purchase"),
+    ]
+    got = _depths(spark, rows, within_seconds=24 * 3600)
+    assert got == {"u1": 1, "u2": 3}
+    # budget anchors at the FIRST view: a later re-view doesn't reset
+    rows.append(("u1", 7, "2024-01-02 23:30:00", "view"))
+    got = _depths(spark, rows, within_seconds=24 * 3600)
+    assert got["u1"] == 1
+
+
+def test_funnel_counts_monotone(spark):
+    rows = [
+        ("u1", 1, "2024-01-01 00:00:00", "view"),
+        ("u1", 2, "2024-01-01 01:00:00", "click"),
+        ("u1", 3, "2024-01-01 02:00:00", "purchase"),
+        ("u2", 4, "2024-01-01 00:00:00", "view"),
+        ("u2", 5, "2024-01-01 01:00:00", "click"),
+        ("u3", 6, "2024-01-01 00:00:00", "view"),
+        ("u4", 7, "2024-01-01 00:00:00", "error"),
+    ]
+    out = funnel_counts(
+        _ev(spark, rows), "user_id", "ts", "event_type", STAGES,
+        tiebreak_col="eid",
+    ).collect()
+    assert [(r.stage, r.stage_name, r.n_users) for r in out] == [
+        (1, "view", 3), (2, "click", 2), (3, "purchase", 1),
+    ]
+
+
+def test_funnel_plan_single_exchange(spark):
+    """All chained windows share one partitioning+sort: exactly one
+    exchange before the per-user aggregate."""
+    rows = [("u1", 1, "2024-01-01 00:00:00", "view")]
+    df = funnel_depth(
+        _ev(spark, rows), "user_id", "ts", "event_type", STAGES,
+        tiebreak_col="eid",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    # one for the windows; the groupBy reuses the user_id partitioning
+    assert n_exchanges <= 2, plan

@@ -59,6 +59,49 @@ def test_counter_rate_undetectable_reset_is_plain_delta(spark):
     assert not r.counter_reset and r.rate_milli_per_s == 80
 
 
+def test_grouped_topk_rank_ties_and_plan(spark):
+    from beats_spark.metrics import grouped_topk
+
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 30), ("a", 4, 20), ("b", 5, 7)],
+        "k string, id long, v long",
+    )
+    out = grouped_topk(df, keys=("k",), order_col="v", k=2, tiebreak_col="id")
+    got = [(r.k, r.rank, r.id, r.v) for r in out.orderBy("k", "rank").collect()]
+    # tie at v=30 broken by id asc; v=20 misses the cut
+    assert got == [("a", 1, 2, 30), ("a", 2, 3, 30), ("b", 1, 5, 7)]
+    # ascending mode
+    asc = grouped_topk(df, keys=("k",), order_col="v", k=1, ascending=True,
+                       tiebreak_col="id")
+    assert [(r.k, r.id) for r in asc.orderBy("k").collect()] == [("a", 1), ("b", 5)]
+    # Spark 4 rewrites row_number()<=k into a pre-shuffle group limit
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_zscore_outliers_hand_oracle(spark):
+    from beats_spark.metrics import zscore_outliers
+
+    # group a: mean 20, pop-var 2560 (σ≈50.6) → only the 100 clears z=1
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 0), ("a", 0), ("a", 0), ("a", 100),
+         ("b", 5), ("b", 5)],
+        "k string, v long",
+    )
+    out = zscore_outliers(df, "v", keys=("k",), z=1.0)
+    got = sorted((r.k, r.v, r.is_outlier) for r in out.collect())
+    assert got == [
+        ("a", 0, False), ("a", 0, False), ("a", 0, False), ("a", 0, False),
+        ("a", 100, True),
+        ("b", 5, False), ("b", 5, False),  # zero variance: nothing flags
+    ]
+    # z=3 unflags it: dev²=160000 vs 9·40000
+    strict = zscore_outliers(df, "v", keys=("k",), z=3.0)
+    assert not any(r.is_outlier for r in strict.collect())
+    # helper columns never leak
+    assert out.columns == ["k", "v", "is_outlier"]
+
+
 def test_value_histogram_buckets_and_min_doc_count(spark):
     df = spark.createDataFrame(
         [("a", 3), ("a", 7), ("a", 12), ("a", 27), ("b", 12)],
