@@ -80,6 +80,44 @@ def funnel_depth(
     return per_user.select(F.col(user_col), depth.cast("int").alias("depth"))
 
 
+def retention_triangle(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period_seconds: int,
+    epoch_us: int = 1_704_067_200_000_000,  # 2024-01-01 UTC
+) -> DataFrame:
+    """Cohort retention triangle: users bucketed by the period of
+    their FIRST event (`cohort`), counted distinct in each period
+    `offset` after it — the classic product-analytics rollup.
+
+    Scale shape: the user's first-event time comes from a window min
+    over the (user) partition — ONE exchange of the facts, no join
+    against a user-dimension table (users grow ∝ corpus, so the
+    firsts table is never broadcastable; the window avoids shuffling
+    it at all). The distinct-count rollup's output is
+    |cohorts| × |offsets| rows — bounded by (time range / period)²,
+    independent of corpus size.
+
+    Determinism: period indices divide exact integer µs as IEEE
+    doubles then floor — both engines round identically (quotient
+    error ≪ the 1 µs integer gap to the nearest period boundary)."""
+    us = _us(ts_col)
+    w = Window.partitionBy(user_col)
+    fu = F.min(us).over(w)
+    per = F.lit(int(period_seconds) * 1_000_000)
+    return (
+        df.select(
+            F.col(user_col),
+            F.floor((fu - F.lit(int(epoch_us))) / per).alias("cohort"),
+            F.floor((us - fu) / per).alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+        .orderBy("cohort", "offset")
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     user_col: str,

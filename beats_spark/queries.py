@@ -1726,6 +1726,34 @@ SELECT * FROM (
 ORDER BY stage"""
 
 
+# --- q57: cohort retention triangle --------------------------------------------
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention (funnel.py retention_triangle): users
+    bucketed by the day of their first event, distinct-counted in
+    each day-offset after it. First-event time via a window min —
+    one exchange of facts, never a join against a user dimension."""
+    from beats_spark.funnel import retention_triangle
+
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    return retention_triangle(ev, "user_id", "ts", period_seconds=86_400)
+
+
+def q_retention_oracle() -> str:
+    day_us = 86_400 * 1_000_000
+    return f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         min(epoch_us(ts)) OVER (PARTITION BY user_id) AS fu
+  FROM events)
+SELECT CAST(floor((fu - epoch_us(TIMESTAMP '2024-01-01')) / {day_us}) AS BIGINT)
+         AS cohort,
+       CAST(floor((us - fu) / {day_us}) AS BIGINT) AS offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM e GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # --- q55: top-k per group (WindowGroupLimit) -----------------------------------
 
 
@@ -1963,6 +1991,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_funnel": q_funnel,
         "q55_topk_per_group": q_topk_per_group,
         "q56_pivot_matrix": q_pivot_matrix,
+        "q57_retention": q_retention,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -2029,4 +2058,5 @@ def _base_oracles() -> dict[str, str]:
         "q54_funnel": q_funnel_oracle(),
         "q55_topk_per_group": q_topk_per_group_oracle(),
         "q56_pivot_matrix": q_pivot_matrix_oracle(),
+        "q57_retention": q_retention_oracle(),
     }

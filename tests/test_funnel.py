@@ -96,3 +96,32 @@ def test_funnel_plan_single_exchange(spark):
     n_exchanges = plan.count("Exchange hashpartitioning")
     # one for the windows; the groupBy reuses the user_id partitioning
     assert n_exchanges <= 2, plan
+
+
+def test_retention_triangle_hand_oracle(spark):
+    from beats_spark.funnel import retention_triangle
+
+    rows = [
+        # u1 first Jan1 08:00 → offsets 0 (12h), 1 (25h), 2 (71h)
+        ("u1", "2024-01-01 08:00:00"),
+        ("u1", "2024-01-01 20:00:00"),
+        ("u1", "2024-01-02 09:00:00"),
+        ("u1", "2024-01-04 07:00:00"),
+        # u2 first Jan3 12:00 → cohort floor(2.5) = 2
+        ("u2", "2024-01-03 12:00:00"),
+        # u3: offsets anchor at ITS first event, not calendar days —
+        # the 22:00 next-day event is 23h later → still offset 0
+        ("u3", "2024-01-01 23:00:00"),
+        ("u3", "2024-01-02 22:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = retention_triangle(df, "user_id", "ts", period_seconds=86_400)
+    got = {(r.cohort, r.offset): r.n_users for r in out.collect()}
+    assert got == {
+        (0, 0): 2,   # u1 + u3 within 24h of their firsts
+        (0, 1): 1,   # u1 at 25h
+        (0, 2): 1,   # u1 at 71h
+        (2, 0): 1,   # u2
+    }
