@@ -1726,6 +1726,51 @@ SELECT * FROM (
 ORDER BY stage"""
 
 
+# --- q58: multi-level rollup (grouping sets) ------------------------------------
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over (event_type, cohort) — the ES
+    composite/multi-level terms-agg analog, expressed as Spark's
+    native `rollup` (ONE pass over the facts computes all three
+    grouping levels via the Expand operator; no per-level re-scan).
+    Grouped-out columns are coalesced to sentinels ('ALL', -1) and the
+    level is emitted as an explicit integer so the cross-engine hash
+    never sees NULL-dtype ambiguity."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.col("user_id") % 10).alias("cohort"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"),
+    )
+    out = ev.rollup("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("sum_vm"),
+        (F.grouping("event_type") * 2 + F.grouping("cohort")).alias("lvl"),
+    )
+    return out.select(
+        F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("cohort"), F.lit(-1)).cast("long").alias("cohort"),
+        F.col("lvl").cast("int").alias("lvl"),
+        "n",
+        "sum_vm",
+    ).orderBy("lvl", "event_type", "cohort")
+
+
+def q_rollup_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT event_type, user_id % 10 AS cohort,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       CAST(coalesce(cohort, -1) AS BIGINT) AS cohort,
+       CAST(GROUPING(event_type) * 2 + GROUPING(cohort) AS INT) AS lvl,
+       count(*) AS n,
+       CAST(sum(vm) AS BIGINT) AS sum_vm
+FROM t GROUP BY ROLLUP(event_type, cohort)
+ORDER BY lvl, event_type, cohort"""
+
+
 # --- q57: cohort retention triangle --------------------------------------------
 
 
@@ -1992,6 +2037,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_topk_per_group": q_topk_per_group,
         "q56_pivot_matrix": q_pivot_matrix,
         "q57_retention": q_retention,
+        "q58_rollup": q_rollup,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -2059,4 +2105,5 @@ def _base_oracles() -> dict[str, str]:
         "q55_topk_per_group": q_topk_per_group_oracle(),
         "q56_pivot_matrix": q_pivot_matrix_oracle(),
         "q57_retention": q_retention_oracle(),
+        "q58_rollup": q_rollup_oracle(),
     }
