@@ -1726,6 +1726,43 @@ SELECT * FROM (
 ORDER BY stage"""
 
 
+# --- q59: event-type transition matrix ------------------------------------------
+
+
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type bigram (Markov transition) counts — the
+    clickstream path-analysis rollup. One keyed window shuffle
+    (user, time, tiebreak) for the lag, then a map-side-combined
+    aggregate whose output is |types|² rows. The per-user first event
+    has no predecessor and is dropped (lag NULL)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    w = Window.partitionBy("user_id").orderBy(us, F.col("event_id"))
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return (
+        pairs.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
+
+
+def q_transitions_oracle() -> str:
+    return """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events)
+SELECT from_type, to_type, count(*) AS n
+FROM p WHERE from_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 # --- q58: multi-level rollup (grouping sets) ------------------------------------
 
 
@@ -2038,6 +2075,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_pivot_matrix": q_pivot_matrix,
         "q57_retention": q_retention,
         "q58_rollup": q_rollup,
+        "q59_transitions": q_transitions,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -2106,4 +2144,5 @@ def _base_oracles() -> dict[str, str]:
         "q56_pivot_matrix": q_pivot_matrix_oracle(),
         "q57_retention": q_retention_oracle(),
         "q58_rollup": q_rollup_oracle(),
+        "q59_transitions": q_transitions_oracle(),
     }

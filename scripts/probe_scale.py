@@ -59,6 +59,10 @@ PROBE_QUERIES = [
     "q51_histogram",
     # log-analytics ops (q52 consumes the token table via o_orderkey)
     "q52_log_templates",
+    "q53_zscore_anomalies",
+    "q54_funnel",
+    "q57_retention",
+    "q58_rollup",
 ]
 
 
