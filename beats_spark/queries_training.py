@@ -176,6 +176,74 @@ WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.05
 ORDER BY id_a, id_b"""
 
 
+# --- q60: winnowing shared-passage pairs -------------------------------------
+
+
+def q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint pairs — catches a 20-word passage
+    quoted inside an otherwise-unrelated document, the regime where
+    whole-document Jaccard/MinHash are diluted below any usable
+    threshold. Planted quoters (doc_id + 200000) embed the first 20
+    words of docs 0-4 between fixed filler — derived from the table
+    itself with engine-portable arithmetic (slice + join on the same
+    whitespace split both engines use), so the compare is non-vacuous
+    at every scale: each quoter must pair with its source."""
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 30).select("doc_id", "text")
+    ws = text.words(F.col("text"))
+    passage = F.array_join(F.slice(ws, 1, 20), " ")
+    quoters = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta eta theta "),
+            passage,
+            F.lit(" iota kappa lambda mu nu xi omicron pi"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(quoters)
+    return dedup.winnow_dup_pairs(
+        corpus, k=4, w=4, min_shared=2, portable=True
+    ).orderBy("id_a", "id_b")
+
+
+def q_winnow_oracle() -> str:
+    split = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+    gram = (
+        "('0x' || substring(md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2], "
+        "' ', ws[i+3])), 1, 15))::BIGINT"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 30),
+src AS (SELECT doc_id, {split} AS ws FROM base WHERE doc_id < 5),
+quot AS (
+  SELECT doc_id + 200000 AS doc_id,
+         concat('alpha beta gamma delta epsilon zeta eta theta ',
+                array_to_string(ws[1:20], ' '),
+                ' iota kappa lambda mu nu xi omicron pi') AS text
+  FROM src),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM quot),
+wz AS (SELECT doc_id, {split} AS ws FROM corpus),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(ws) - 3, 0) + 1), i -> {gram}) AS hs
+  FROM wz),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, (CASE WHEN len(hs) = 0 THEN 0
+                          ELSE greatest(len(hs) - 3, 1) END) + 1),
+           p -> list_min(hs[p:p+3]))) AS fps
+  FROM g),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.fps, b.fps)) AS n_shared,
+         len(a.fps) AS n_a, len(b.fps) AS n_b
+  FROM f a JOIN f b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / least(n_a, n_b), 6) AS overlap
+FROM pairs WHERE n_shared >= 2
+ORDER BY id_a, id_b"""
+
+
 # --- q15: multiline sessionization ------------------------------------------
 
 
@@ -846,6 +914,7 @@ def catalog():
         "q13_cosine_topk": q_cosine_topk,
         "q14_jaccard_pairs": q_jaccard_pairs,
         "q15_multiline": q_multiline,
+        "q60_winnow": q_winnow,
         "q24_token_window_dups": q_token_window_dups,
         "q25_quality": q_quality,
         "q30_dup_clusters": q_dup_clusters,
@@ -868,6 +937,7 @@ def oracles():
         "q13_cosine_topk": q_cosine_topk_oracle(),
         "q14_jaccard_pairs": q_jaccard_pairs_oracle(),
         "q15_multiline": q_multiline_oracle(),
+        "q60_winnow": q_winnow_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
         "q25_quality": q_quality_oracle(),
         "q30_dup_clusters": q_dup_clusters_oracle(),

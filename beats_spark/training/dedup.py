@@ -166,6 +166,92 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- Winnowing (rolling-hash document fingerprints) --------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, fp) distinct winnowing fingerprints — the MOSS algorithm
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03) over word k-grams: every
+    window of `w` consecutive gram hashes contributes its minimum, and
+    the distinct minima are the document's fingerprint set. Guarantee:
+    any shared passage of >= w+k-1 consecutive words contains a full
+    shared window, hence at least one shared fingerprint — so partial
+    plagiarism/quotation is caught even when whole-document Jaccard is
+    tiny (the regime MinHash misses by design). Expected density is
+    2/(w+1) of the gram count, so the fingerprint set is ~2.5x smaller
+    than the shingle set at w=4.
+
+    Plan shape: posexplode + lead grams (codegen, no HOF lambdas), ONE
+    exchange on id that the ordered min-frame, the per-doc count and
+    the distinct all reuse. Docs with 0 < n_grams < w emit the min of
+    all their grams (one truncated window); docs with < k words emit
+    nothing. Mirrors the reference's fingerprint processor only in
+    spirit (libbeat/processors/fingerprint/fingerprint.go:40 hashes
+    whole field sets); passage-level fingerprinting has no Beats
+    analog and comes from the published algorithm."""
+    from pyspark.sql.window import Window
+
+    ex = exploded_shingles(df, text_col, id_col, k, portable=portable, keep_pos=True)
+    part = Window.partitionBy("id")
+    frame = part.orderBy("pos").rowsBetween(0, w - 1)
+    fp = ex.select(
+        "id",
+        "pos",
+        F.min("h").over(frame).alias("fp"),
+        F.count(F.lit(1)).over(part).alias("n_grams"),
+    ).filter(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+    return fp.select("id", "fp").dropDuplicates(["id", "fp"])
+
+
+def winnow_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+    portable: bool = False,
+) -> DataFrame:
+    """Pairs sharing >= min_shared winnowing fingerprints, with
+    `overlap` = n_shared / min(|fps_a|, |fps_b|) (containment — the
+    right measure for a short passage quoted inside a long doc, where
+    Jaccard is diluted by the long side). Bucketed by fingerprint like
+    the shingle join: candidates shuffle (fp, id) only, and
+    `max_fp_freq` drops boilerplate fingerprints before the self-join
+    (same hot-key guard + lower-bound caveat as ngram_jaccard_pairs).
+    """
+    from pyspark.sql.window import Window
+
+    fps = winnow_fingerprints(df, text_col, id_col, k, w, portable)
+    sized = fps.withColumn("n_fp", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    if max_fp_freq is not None:
+        freq = sized.groupBy("fp").agg(F.count(F.lit(1)).alias("f"))
+        sized = sized.join(
+            freq.filter(F.col("f") <= max_fp_freq).select("fp"), "fp", "left_semi"
+        )
+    a = sized.select("fp", F.col("id").alias("id_a"), F.col("n_fp").alias("n_a"))
+    b = sized.select("fp", F.col("id").alias("id_b"), F.col("n_fp").alias("n_b"))
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    overlap = F.col("n_shared").cast("double") / F.least("n_a", "n_b")
+    return shared.select(
+        "id_a", "id_b", "n_shared", F.round(overlap, 6).alias("overlap")
+    )
+
+
 # --- MinHash + LSH -----------------------------------------------------------
 
 
@@ -221,6 +307,7 @@ def exploded_shingles(
     k: int = 3,
     portable: bool = False,
     distinct: bool = False,
+    keep_pos: bool = False,
 ) -> DataFrame:
     """(id, h) rows — one per word k-gram — built with posexplode +
     window lead instead of per-row HOF lambdas: HOFs evaluate
@@ -230,7 +317,10 @@ def exploded_shingles(
     One shuffle on id (the window); downstream groupBy(id) reuses the
     partitioning. distinct=True adds the per-doc dedup that
     array_distinct provided (needed for vote/count semantics; min-based
-    signatures don't need it)."""
+    signatures don't need it). keep_pos=True keeps the gram's 0-based
+    start word position (full grams only, so positions stay the
+    contiguous run 0..n_words-k — winnowing's window frames rely on
+    that)."""
     par = df.sparkSession.sparkContext.defaultParallelism
     ws = words(F.col(text_col))
     ex = df.repartition(par).select(
@@ -248,8 +338,9 @@ def exploded_shingles(
         )
     else:
         h = F.xxhash64(gram)
+    cols = ["id", "pos"] if keep_pos else ["id"]
     out = (
-        ex.select("id", h.alias("h"), last.alias("__last__"))
+        ex.select(*cols, h.alias("h"), last.alias("__last__"))
         .filter(F.col("__last__").isNotNull())  # full k-grams only
         .drop("__last__")
     )

@@ -63,6 +63,7 @@ PROBE_QUERIES = [
     "q54_funnel",
     "q57_retention",
     "q58_rollup",
+    "q59_transitions",
 ]
 
 

@@ -262,6 +262,77 @@ def test_ngram_jaccard_hot_shingle_capped(spark):
     # 'BOILERPLATE PREFIX unique<i>' keeps per-doc uniqueness)
 
 
+def _py_winnow(txt: str, k: int = 4, w: int = 4) -> set[int]:
+    import hashlib
+
+    ws = txt.split()
+    hs = [
+        int(hashlib.md5(" ".join(ws[i : i + k]).encode()).hexdigest()[:15], 16)
+        for i in range(max(len(ws) - k + 1, 0))
+    ]
+    if not hs:
+        return set()
+    return {min(hs[p : p + w]) for p in range(max(len(hs) - w + 1, 1))}
+
+
+def test_winnow_fingerprints_vs_python(spark, docs):
+    """Spark winnowing == pure-Python MOSS over the same md5-60bit
+    grams, including the short-doc edges: < k words -> no fingerprints,
+    0 < n_grams < w -> one truncated window (min of all grams)."""
+    sample = docs.limit(20).select("doc_id", "text")
+    edges = spark.createDataFrame(
+        [
+            (9001, ""),  # no words
+            (9002, "one two three"),  # < k words: no grams
+            (9003, "a b c d e"),  # 2 grams < w: one truncated window
+            (9004, "x " * 12),  # all-identical grams: single fp
+        ],
+        "doc_id long, text string",
+    )
+    corpus = sample.unionByName(edges)
+    got: dict = {}
+    for r in dedup.winnow_fingerprints(corpus, portable=True).collect():
+        got.setdefault(r.id, set()).add(r.fp)
+    want = {
+        r.doc_id: _py_winnow(r.text) for r in corpus.collect() if _py_winnow(r.text)
+    }
+    assert got == want
+    assert 9001 not in got and 9002 not in got
+    assert len(got[9003]) == 1 and len(got[9004]) == 1
+
+
+def test_winnow_detects_planted_passage(spark):
+    """The MOSS guarantee: a shared run of >= w+k-1 words contains a
+    full shared window, hence >= 1 shared fingerprint — even when the
+    documents are otherwise disjoint and whole-doc Jaccard is far
+    below any usable threshold."""
+    passage = "the quick brown fox jumps over lazy dogs"  # 8 >= w+k-1=7
+    a_words = [f"alpha{i}" for i in range(60)]
+    b_words = [f"beta{i}" for i in range(60)]
+    a = " ".join(a_words[:25] + passage.split() + a_words[25:])
+    b = " ".join(b_words[:7] + passage.split() + b_words[7:])
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    pairs = dedup.winnow_dup_pairs(df, min_shared=1, portable=True).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    # the same pair is invisible to whole-doc Jaccard at any real
+    # threshold (shared shingles diluted by 120 disjoint filler words)
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.2).collect()
+    assert jac == []
+
+
+def test_winnow_plan_single_keyed_exchange(spark, docs):
+    """Fingerprint extraction shuffles the grams ONCE on id: the
+    ordered min-frame, the per-doc count and the (id, fp) distinct all
+    reuse that partitioning (subset-key clustering)."""
+    plan = (
+        dedup.winnow_fingerprints(docs.limit(50))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_exploded_shingles_equals_column_form(spark, docs):
     """The bulk exploded-gram builder and the column-expression
     shingles() must produce identical per-doc hash sets, for both hash
