@@ -244,6 +244,38 @@ FROM pairs WHERE n_shared >= 2
 ORDER BY id_a, id_b"""
 
 
+# --- q61: exact-k stratified sample ------------------------------------------
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source reservoir: exactly min(7, n_src) docs
+    per source, picked by salted-hash rank — the training-mix
+    subsampling primitive. Output is 7 * |sources| rows at every
+    scale; the plan must show WindowGroupLimit (map-side local top-k
+    before the one exchange)."""
+    from beats_spark.training import curate
+
+    docs = _docs(spark, sf_dir)
+    return (
+        curate.stratified_sample(docs, group_col="source", k=7)
+        .select("source", "sample_rank", "doc_id")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def q_stratified_sample_oracle() -> str:
+    return """
+WITH ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS sample_rank
+  FROM documents)
+SELECT source, sample_rank, doc_id FROM ranked
+WHERE sample_rank <= 7 ORDER BY source, sample_rank"""
+
+
 # --- q15: multiline sessionization ------------------------------------------
 
 
@@ -915,6 +947,7 @@ def catalog():
         "q14_jaccard_pairs": q_jaccard_pairs,
         "q15_multiline": q_multiline,
         "q60_winnow": q_winnow,
+        "q61_stratified_sample": q_stratified_sample,
         "q24_token_window_dups": q_token_window_dups,
         "q25_quality": q_quality,
         "q30_dup_clusters": q_dup_clusters,
@@ -938,6 +971,7 @@ def oracles():
         "q14_jaccard_pairs": q_jaccard_pairs_oracle(),
         "q15_multiline": q_multiline_oracle(),
         "q60_winnow": q_winnow_oracle(),
+        "q61_stratified_sample": q_stratified_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
         "q25_quality": q_quality_oracle(),
         "q30_dup_clusters": q_dup_clusters_oracle(),

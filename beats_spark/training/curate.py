@@ -205,6 +205,44 @@ def hash_sample(
     return df.filter(split_bucket(F.col(id_col), salt) < percent)
 
 
+def stratified_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    k: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "strat:",
+) -> DataFrame:
+    """Exactly min(k, n_g) rows per group — the distributed reservoir
+    sample, deterministically: rank rows inside each group by a salted
+    engine-portable hash of the id (uniform pseudo-order, id tiebreak)
+    and keep `sample_rank` <= k. Membership is a pure function of
+    (salt, id), so reruns, backfills and the DuckDB oracle pick the
+    SAME rows (unlike randomSplit/reservoir state); a different salt
+    is an independent redraw.
+
+    Scale shape: the row_number() <= k form is the one Spark 4
+    rewrites to WindowGroupLimit — every map task heap-selects its
+    local k per group BEFORE the exchange (asserted in tests), so the
+    shuffle carries <= k * |groups| rows per task, not the corpus.
+    DuckDB twin of the rank hash:
+      ('0x' || substring(md5('<salt>' || CAST(id AS VARCHAR)), 1, 15))::BIGINT
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    with_h = df.withColumn("__h", h)
+    w = Window.partitionBy(group_col).orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        with_h.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__h")
+    )
+
+
 # --- curation funnel ------------------------------------------------------------
 
 

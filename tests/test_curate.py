@@ -203,3 +203,46 @@ def test_funnel_first_failing_attribution(spark):
 def test_temperature_mix_weights_zero_count_source():
     w = curate.temperature_mix_weights({"web": 1000, "empty": 0}, alpha=0.5)
     assert w["empty"] == 0.0 and w["web"] == 1.0
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    """Exactly min(k, n_g) per group; membership is a pure function of
+    (salt, id) — Spark matches a pure-Python rank over the same md5
+    hash, a rerun is identical, and a different salt redraws."""
+    rows = [(i, f"g{i % 3}") for i in range(40)] + [(100, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = curate.stratified_sample(df, group_col="source", k=5).collect()
+    by_g: dict = {}
+    for r in got:
+        by_g.setdefault(r.source, []).append((r.sample_rank, r.doc_id))
+    assert {g: len(v) for g, v in by_g.items()} == {
+        "g0": 5, "g1": 5, "g2": 5, "tiny": 1
+    }
+
+    def h(i):
+        return int(hashlib.md5(f"strat:{i}".encode()).hexdigest()[:15], 16)
+
+    for g, members in by_g.items():
+        ids = [i for i, src in rows if src == g]
+        want = sorted(ids, key=lambda i: (h(i), i))[:5]
+        assert [i for _, i in sorted(members)] == want
+    again = curate.stratified_sample(df, group_col="source", k=5).collect()
+    assert sorted(r.doc_id for r in again) == sorted(r.doc_id for r in got)
+    other = curate.stratified_sample(df, group_col="source", k=5, salt="x:").collect()
+    assert sorted(r.doc_id for r in other) != sorted(r.doc_id for r in got)
+
+
+def test_stratified_sample_plan_window_group_limit(spark):
+    """The map-side local-top-k rewrite must fire: shuffle carries
+    <= k*|groups| rows per task, not the corpus."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).cast("string").alias("source")
+    )
+    plan = (
+        curate.stratified_sample(df, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange") == 1, plan
