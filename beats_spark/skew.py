@@ -51,3 +51,31 @@ def repartition_salted(
         num_partitions, F.col(key), F.col(SALT_COL)
     )
     return out.drop(SALT_COL)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt_src: str = "doc_id",
+    buckets: int = 32,
+) -> DataFrame:
+    """Skew-proof equi-join for a dim too big to broadcast: the fact
+    side salts each row (hash of `salt_src`, NOT of the join key — the
+    hot key must spread), the dim side replicates each row across all
+    `buckets` salts (explode of a sequence literal — one codegen
+    Generate, no shuffle of its own), and the join runs on
+    (on, __salt__), fanning the hot key over `buckets` reducers.
+
+    Cost model: dim moves `buckets`× — use only when
+    |dim| * buckets << |fact partition skew saved|, i.e. medium dims
+    joined on keys where one value holds >> 1/parallelism of the
+    facts. AQE's skew-join split handles this adaptively when it can;
+    this form is for when it can't: bucketed layouts it would break,
+    sort-merge plans feeding a downstream co-partitioned op, or
+    deterministic plan shape for regression-tested jobs."""
+    f = salted(fact, salt_src, buckets)
+    d = dim.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
+    )
+    return f.join(d, on=[on, SALT_COL]).drop(SALT_COL)
