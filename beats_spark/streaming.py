@@ -17,6 +17,7 @@ a 277× constant factor on the streaming hot path.
 
 from __future__ import annotations
 
+import math
 from typing import Any, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -385,4 +386,99 @@ def streaming_rate_limit(
         .applyInPandasWithState(
             update, _RL_OUT, _RL_STATE, "update", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+# --- stateful counter→rate (metric derivative across micro-batches) ----------
+
+_CR_OUT = (
+    "key string, ts_us long, counter long, "
+    "rate_milli_per_s long, counter_reset boolean, dt_us long"
+)
+_CR_STATE = "last_us long, last_counter long"
+
+
+def streaming_counter_rate(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    counter_col: str,
+    per_seconds: float = 1.0,
+    tiebreak_col: str | None = None,
+):
+    """Continuous twin of `metrics.counter_rate`: per-series rate of a
+    monotonic counter with the Prometheus reset rule, where the
+    previous sample is carried ACROSS micro-batches in GroupState
+    (last_us, last_counter) — a restart from checkpoint resumes with
+    the same carry, so rates at batch boundaries equal the batch
+    engine's (pinned in tests over multi-file micro-batches, with a
+    reset placed exactly on a boundary).
+
+    Same in-order-per-key arrival contract as streaming_multiline
+    (file-ordered sources); within a batch rows sort by
+    (ts_us, tiebreak). All arithmetic is exact Python ints (floor
+    division) — identical results to the batch window form's
+    long arithmetic, which is what makes stream == batch testable
+    by value. Emits integer columns only (µs timestamps, milli
+    rates): NULL rate on each series' first-ever sample and on
+    Δt = 0 duplicates."""
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+    scale = int(1_000_000 * per_seconds)
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        last_us, last_c = state.get if state.exists else (None, None)
+        out_us: list = []
+        out_c: list = []
+        out_rate: list = []
+        out_reset: list = []
+        out_dt: list = []
+        for pdf in pdfs:
+            order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(order)
+            us_v = pdf[ts_us_col].astype("int64").tolist()
+            c_v = pdf[counter_col].astype("int64").tolist()
+            for i in range(len(us_v)):
+                us, c = us_v[i], c_v[i]
+                if last_c is None:
+                    rate, reset, dt = None, False, None
+                else:
+                    dt = us - last_us
+                    reset = c < last_c
+                    inc = c if reset else c - last_c
+                    # mirror the batch form's IEEE arithmetic exactly:
+                    # Spark evaluates floor(long*long / long) as int64
+                    # product → double division → floor, so convert
+                    # each operand the same way (int // int would
+                    # differ at quotients a half-ulp below an integer)
+                    rate = (
+                        math.floor(float(inc * scale) / float(dt))
+                        if dt > 0
+                        else None
+                    )
+                out_us.append(us)
+                out_c.append(c)
+                out_rate.append(rate)
+                out_reset.append(reset)
+                out_dt.append(dt)
+                last_us, last_c = us, c
+        state.update((last_us, last_c))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(out_us),
+                "ts_us": out_us,
+                "counter": out_c,
+                "rate_milli_per_s": pd.array(out_rate, dtype="Int64"),
+                "counter_reset": out_reset,
+                "dt_us": pd.array(out_dt, dtype="Int64"),
+            }
+        )
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update, _CR_OUT, _CR_STATE, "update", GroupStateTimeout.NoTimeout
     )
