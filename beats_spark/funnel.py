@@ -145,3 +145,67 @@ def funnel_counts(
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("stage")
     )
+
+
+def session_paths(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    type_col: str = "event_type",
+    gap_us: int = 43_200_000_000,
+    max_len: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session opening paths — the clickstream path-mining
+    rollup: sessionize per key by inactivity gap, take each session's
+    first `max_len` event types in (time, tiebreak) order, join them
+    into a '>'-separated path string, count sessions per path, return
+    the k most common under a total order (n desc, path asc).
+
+    Built on first-principles lag+cumsum session ids (not
+    F.session_window) because the within-session ORDER matters here:
+    the tiebreak column makes the order total on both engines (µs
+    timestamps collide ~13x at sf0.1), which session_window's
+    unordered aggregation never exposes.
+
+    Scale shape: the lag, the running session-id sum and the
+    per-session row_number all share ONE hash exchange on `key`
+    (partitionBy(key, sid) is subset-clustered by key; only an
+    in-partition re-sort is added). The (key, sid) path build is also
+    exchange-free for the same reason; the path-count aggregate then
+    moves one row per session, and top-k is TakeOrderedAndProject.
+    Three window ops + one aggregate = 2 exchanges total.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    base = df.select(F.col(key), us.alias("us"), F.col(tiebreak_col), F.col(type_col))
+    w = Window.partitionBy(key).orderBy("us", tiebreak_col)
+    # window expressions don't nest: materialize the session-open flag,
+    # then run the cumulative sum over it (same two levels as the SQL twin)
+    new_s = F.when(
+        F.lag("us").over(w).isNull() | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wk = Window.partitionBy(key, "sid").orderBy("us", tiebreak_col)
+    r = (
+        base.withColumn("new_s", new_s)
+        .withColumn("sid", F.sum("new_s").over(run))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= max_len)
+    )
+    paths = r.groupBy(key, "sid").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", type_col))),
+                lambda x: x[type_col],
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

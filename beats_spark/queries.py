@@ -1763,6 +1763,54 @@ FROM p WHERE from_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
 
 
+# --- q62: session opening paths --------------------------------------------------
+
+
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session opening paths (first 5 event types per 12h-gap
+    session) — clickstream path mining. Order within session is load-
+    bearing, so both engines share the tie-broken (us, event_id) total
+    order; sessionization is the same first-principles lag+cumsum the
+    q44 oracle uses."""
+    from beats_spark.funnel import session_paths
+
+    return session_paths(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        type_col="event_type",
+        gap_us=43_200_000_000,
+        max_len=5,
+        k=20,
+    )
+
+
+def q_session_paths_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 43200000000
+                 THEN 1 ELSE 0 END AS new_s
+  FROM t WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT *, sum(new_s) OVER (
+    PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, sid ORDER BY us, event_id) AS rn
+  FROM s),
+p AS (
+  SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= 5 GROUP BY user_id, sid)
+SELECT path, count(*) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT 20"""
+
+
 # --- q58: multi-level rollup (grouping sets) ------------------------------------
 
 
@@ -2076,6 +2124,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_retention": q_retention,
         "q58_rollup": q_rollup,
         "q59_transitions": q_transitions,
+        "q62_session_paths": q_session_paths,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -2145,4 +2194,5 @@ def _base_oracles() -> dict[str, str]:
         "q57_retention": q_retention_oracle(),
         "q58_rollup": q_rollup_oracle(),
         "q59_transitions": q_transitions_oracle(),
+        "q62_session_paths": q_session_paths_oracle(),
     }

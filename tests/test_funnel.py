@@ -125,3 +125,33 @@ def test_retention_triangle_hand_oracle(spark):
         (0, 2): 1,   # u1 at 71h
         (2, 0): 1,   # u2
     }
+
+
+def test_session_paths_hand_oracle(spark):
+    """Gap splits, tie-broken order at equal timestamps, the 5-event
+    opening cap, and the (n desc, path) total order — against a
+    hand-computed expectation."""
+    from beats_spark.funnel import session_paths
+
+    us = 1_700_000_000_000_000
+    H12 = 43_200_000_000
+    rows = [
+        # u1 session 1: a>b  (tie at identical ts: event_id orders b after a)
+        (1, us, 10, "a"), (1, us, 11, "b"),
+        # u1 session 2 (gap > 12h): 7 events -> path capped at first 5
+        *[(1, us + H12 + (1 + i) * 1_000_000, 20 + i, t)
+          for i, t in enumerate(["a", "b", "c", "d", "e", "f", "g"])],
+        # u2: single-event session with path 'a>b'-colliding? no: 'a'
+        (2, us, 30, "a"),
+        # u2 second session: a>b again (shared path with u1 s1)
+        (2, us + 2 * H12, 31, "a"), (2, us + 2 * H12 + 5_000_000, 32, "b"),
+    ]
+    df = spark.createDataFrame(
+        [(u, t // 1_000_000, e, ty) for u, t, e, ty in rows],
+        "user_id long, sec long, event_id long, event_type string",
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "event_id",
+             "event_type")
+    got = [(r.path, r.n_sessions) for r in session_paths(df).collect()]
+    assert got == [("a>b", 2), ("a", 1), ("a>b>c>d>e", 1)]
+    plan = session_paths(df)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
