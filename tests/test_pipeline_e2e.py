@@ -560,3 +560,36 @@ def test_streaming_incremental_dedup_exactly_once_kill_restart(spark, tmp_path):
     q4.awaitTermination(120)
     assert resumed.committed_chunks() == {0, 1, 2, 3}
     assert corpus(resumed) == a  # identical corpus, identical representatives
+
+
+def test_checkpoint_schema_evolution_across_chunks(spark, tmp_path):
+    """A later chunk may carry NEW columns (pipeline config evolved
+    mid-ingest): result() unions by name with NULLs for pre-evolution
+    chunks, compact() preserves the merged schema, and time travel to
+    the pre-evolution snapshot still shows the ORIGINAL schema — the
+    Iceberg add-column semantics on the manifest sink."""
+    out = str(tmp_path / "evo")
+    runner = CheckpointedRunner(spark, out, n_chunks=2, run_id="evo")
+    v0 = spark.createDataFrame(
+        [(1, "a", "es"), (2, "b", "es")], "doc_id long, text string, sink string"
+    )
+    v1 = spark.createDataFrame(
+        [(3, "c", "en", "es"), (4, "d", "de", "es")],
+        "doc_id long, text string, lang string, sink string",
+    )
+    runner.commit_chunk(v0, 0)
+    pre = runner._current_version()[0]
+    runner.commit_chunk(v1, 1)
+
+    got = runner.result()
+    assert set(got.columns) >= {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r.lang for r in got.collect()}
+    assert rows == {1: None, 2: None, 3: "en", 4: "de"}
+
+    old = runner.result(version=pre)
+    assert "lang" not in old.columns
+    assert {r.doc_id for r in old.collect()} == {1, 2}
+
+    assert runner.compact() == 2
+    compacted = {r.doc_id: r.lang for r in runner.result().collect()}
+    assert compacted == rows
