@@ -64,6 +64,11 @@ PROBE_QUERIES = [
     "q57_retention",
     "q58_rollup",
     "q59_transitions",
+    # q61 consumes the full documents table; q62 the events table
+    # (q60's catalog query caps its corpus — probed via its operator
+    # tests instead)
+    "q61_stratified_sample",
+    "q62_session_paths",
 ]
 
 
