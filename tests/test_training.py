@@ -727,3 +727,51 @@ def test_cosine_dup_pairs_cells_mode_matches_bruteforce_on_planted(spark):
     for (a, b), sim in got.items():
         assert sim >= thr
         assert abs(sim - round(cos(a, b), 6)) < 2e-6
+
+
+def test_winnow_guarantee_battery(spark):
+    """Guarantee sweep: for every run length >= w+k-1 (=7) and a grid
+    of insertion positions, the pair sharing that run is detected with
+    min_shared=1; runs of k..k+2 words (1..3 shared grams < w) are NOT
+    guaranteed and must not crash. One Spark job for the whole grid."""
+    import random
+
+    rng = random.Random(4242)
+    rows, expected_pairs = [], set()
+    pid = 0
+    for run_len in (7, 8, 10, 14):
+        for pos_a, pos_b in ((0, 0), (3, 17), (25, 1), (11, 11)):
+            passage = [f"p{pid}w{j}" for j in range(run_len)]
+            a = [f"a{pid}x{rng.randrange(10**6)}" for _ in range(40)]
+            b = [f"b{pid}y{rng.randrange(10**6)}" for _ in range(40)]
+            a[pos_a:pos_a] = passage
+            b[pos_b:pos_b] = passage
+            rows.append((pid * 2, " ".join(a)))
+            rows.append((pid * 2 + 1, " ".join(b)))
+            expected_pairs.add((pid * 2, pid * 2 + 1))
+            pid += 1
+    # sub-guarantee runs: shared grams exist but < w of them — detection
+    # is permitted (a shared gram may still win a window on both sides)
+    # but not guaranteed
+    sub_pairs = set()
+    for run_len in (4, 5, 6):
+        passage = [f"q{pid}w{j}" for j in range(run_len)]
+        a = [f"a{pid}x{rng.randrange(10**6)}" for _ in range(40)]
+        b = [f"b{pid}y{rng.randrange(10**6)}" for _ in range(40)]
+        a[5:5] = passage
+        b[30:30] = passage
+        rows.append((pid * 2, " ".join(a)))
+        rows.append((pid * 2 + 1, " ".join(b)))
+        sub_pairs.add((pid * 2, pid * 2 + 1))
+        pid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.winnow_dup_pairs(df, min_shared=1, portable=True).collect()
+    }
+    # every guaranteed pair found; anything extra must be one of the
+    # sub-guarantee planted pairs (filler words are globally unique, so
+    # cross-pair detections would be a real bug)
+    assert expected_pairs <= got
+    extras = got - expected_pairs
+    assert extras <= sub_pairs, extras - sub_pairs
