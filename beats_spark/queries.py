@@ -1811,6 +1811,63 @@ FROM p GROUP BY path
 ORDER BY n_sessions DESC, path LIMIT 20"""
 
 
+# --- q63: mergeable distinct-count sketch rollup ---------------------------------
+
+
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users at three grains — (type), (day), (all) — all
+    answered from ONE (type, day) HLL sketch table built in a single
+    fact scan; the rollups merge sketches (hll_union_agg), never
+    re-reading events. Day bucketing is integer epoch-µs arithmetic so
+    both engines agree without timezone coupling. At test scales every
+    sketch stays in coupon (exact) mode with lg_k=14, so the exact
+    COUNT(DISTINCT) twin hash-matches; the estimate regime beyond is
+    documented on the operator."""
+    from beats_spark.metrics import distinct_sketch_table, rollup_sketches
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("day_idx"),
+        "user_id",
+    )
+    sk = distinct_sketch_table(ev, ["event_type", "day_idx"], "user_id").cache()
+    by_type = rollup_sketches(sk, ["event_type"]).select(
+        F.lit("type").alias("level"), F.col("event_type").alias("k"), "n_distinct"
+    )
+    by_day = rollup_sketches(sk, ["day_idx"]).select(
+        F.lit("day").alias("level"),
+        F.col("day_idx").cast("string").alias("k"),
+        "n_distinct",
+    )
+    total = rollup_sketches(sk, []).select(
+        F.lit("all").alias("level"), F.lit("*").alias("k"), "n_distinct"
+    )
+    return by_type.unionByName(by_day).unionByName(total).orderBy("level", "k")
+
+
+def q_sketch_rollup_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         user_id
+  FROM events)
+SELECT * FROM (
+  SELECT 'type' AS level, event_type AS k,
+         count(DISTINCT user_id) AS n_distinct
+  FROM t GROUP BY event_type
+  UNION ALL
+  SELECT 'day' AS level, CAST(day_idx AS VARCHAR) AS k,
+         count(DISTINCT user_id) AS n_distinct
+  FROM t GROUP BY day_idx
+  UNION ALL
+  SELECT 'all' AS level, '*' AS k, count(DISTINCT user_id) AS n_distinct
+  FROM t)
+ORDER BY level, k"""
+
+
 # --- q58: multi-level rollup (grouping sets) ------------------------------------
 
 
@@ -2125,6 +2182,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_rollup": q_rollup,
         "q59_transitions": q_transitions,
         "q62_session_paths": q_session_paths,
+        "q63_sketch_rollup": q_sketch_rollup,
     }
     return {**_base_catalog(), **queries_training.catalog(), **extra}
 
@@ -2195,4 +2253,5 @@ def _base_oracles() -> dict[str, str]:
         "q58_rollup": q_rollup_oracle(),
         "q59_transitions": q_transitions_oracle(),
         "q62_session_paths": q_session_paths_oracle(),
+        "q63_sketch_rollup": q_sketch_rollup_oracle(),
     }

@@ -192,3 +192,29 @@ def test_streaming_counter_rate_matches_batch_across_microbatches(spark, tmp_pat
         key=str,
     )
     assert h2_got == h2_want and len(h2_got) == 3
+
+
+def test_sketch_rollup_merge_equals_direct_and_error_bounded(spark):
+    """Mergeability (the whole point): the union of per-group sketches
+    estimates the same figure as one single-pass sketch of the union —
+    so coarse grains never need the facts again. Beyond coupon mode the
+    estimate is approximate but bounded (HLL sigma at lg_k=12 is
+    ~1.6%; this fixed dataset lands at 3.7% ~ 2.3 sigma — assert <5%)."""
+    from beats_spark.metrics import distinct_sketch_table, rollup_sketches
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 8).alias("g"), (F.col("id") % 50_000).alias("u")
+    )
+    sk = distinct_sketch_table(df, ["g"], "u", lg_k=12)
+    merged = rollup_sketches(sk, []).first().n_distinct
+    direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("u", F.lit(12))).alias("n")
+    ).first().n
+    assert merged == direct
+    assert abs(merged - 50_000) / 50_000 < 0.05
+    # per-group coupon-mode exactness at small cardinalities
+    small = spark.range(3_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") % 400).alias("u")
+    )
+    per = rollup_sketches(distinct_sketch_table(small, ["g"], "u"), ["g"]).collect()
+    assert all(r.n_distinct == 400 for r in per)
