@@ -69,6 +69,7 @@ PROBE_QUERIES = [
     # tests instead)
     "q61_stratified_sample",
     "q62_session_paths",
+    "q63_sketch_rollup",
 ]
 
 
