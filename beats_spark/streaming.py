@@ -155,7 +155,11 @@ def streaming_cache(
         # see _LOOP_BENCH note)
         current = state.get[0] if state.exists else None
         ids, cached = [], []
-        for pdf in pdfs:
+        # concat before sorting: a key's rows can span several Arrow
+        # chunks in one micro-batch, and per-chunk sorts would
+        # interleave the id order at chunk boundaries
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks)] if len(chunks) > 1 else chunks):
             pdf = pdf.sort_values(id_col)
             id_vals = pdf[id_col].astype("int64").tolist()
             put_vals = pdf[put_flag_col].tolist()
@@ -263,7 +267,8 @@ def streaming_multiline(
                 )
             return
 
-        for pdf in pdfs:
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks)] if len(chunks) > 1 else chunks):
             pdf = pdf.sort_values(order_col)
             # column lists, not iterrows (~40× per-row cost; _LOOP_BENCH)
             lines_v = pdf[line_col].tolist()
@@ -358,10 +363,9 @@ def streaming_rate_limit(
             tokens, last = cap, 0.0
         passed = dropped = 0
         max_ts = None
-        for pdf in pdfs:
+        chunks = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(chunks)] if len(chunks) > 1 else chunks):
             pdf = pdf.sort_values(ts_col)
-            if not len(pdf):
-                continue
             # numpy epoch floats instead of per-row Timestamp objects
             # (the bucket fold is sequential, but each step is now two
             # float ops; _LOOP_BENCH)
@@ -438,7 +442,12 @@ def streaming_counter_rate(
         out_rate: list = []
         out_reset: list = []
         out_dt: list = []
-        for pdf in pdfs:
+        # a key's rows may arrive split across several Arrow chunks in
+        # ONE micro-batch — concatenate before sorting, or chunk
+        # boundaries would interleave the time order
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
             order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
             pdf = pdf.sort_values(order)
             us_v = pdf[ts_us_col].astype("int64").tolist()

@@ -218,3 +218,56 @@ def test_sketch_rollup_merge_equals_direct_and_error_bounded(spark):
     )
     per = rollup_sketches(distinct_sketch_table(small, ["g"], "u"), ["g"]).collect()
     assert all(r.n_distinct == 400 for r in per)
+
+
+def test_streaming_counter_rate_multi_chunk_group(spark, tmp_path):
+    """A key's rows can span several Arrow chunks inside ONE
+    micro-batch: with maxRecordsPerBatch=3 and 12 shuffled samples in
+    a single file, per-chunk sorting would interleave the time order —
+    the handler must concat before sorting (regression for the
+    cross-chunk fix)."""
+    import json as _json
+    import os
+    import random
+
+    from beats_spark.streaming import streaming_counter_rate
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    samples = [
+        {"host": "h", "sid": i, "ts_us": 1_000_000 * (i + 1), "ctr": 10 * i}
+        for i in range(12)
+    ]
+    shuffled = samples[:]
+    random.Random(7).shuffle(shuffled)
+    with open(f"{src}/f0.json", "w") as fh:
+        fh.write("\n".join(_json.dumps(r) for r in shuffled))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        stream = (
+            spark.readStream.format("json")
+            .schema("host string, sid long, ts_us long, ctr long")
+            .load(src)
+        )
+        out = streaming_counter_rate(
+            stream, key_col="host", ts_us_col="ts_us", counter_col="ctr",
+            tiebreak_col="sid",
+        )
+        rows = []
+        q = (
+            out.writeStream.foreachBatch(lambda df, _: rows.extend(df.collect()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("update").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {r.ts_us: (r.rate_milli_per_s, r.dt_us) for r in rows}
+    # inc=10 per 1s step -> floor(10 * 1e6 / 1e6) = 10 milli-units/s
+    want = {1_000_000 * (i + 1): (
+        None if i == 0 else 10, None if i == 0 else 1_000_000
+    ) for i in range(12)}
+    assert got == want
