@@ -74,6 +74,9 @@ def salted_join(
     this form is for when it can't: bucketed layouts it would break,
     sort-merge plans feeding a downstream co-partitioned op, or
     deterministic plan shape for regression-tested jobs."""
+    dup = [c for c in dim.columns if c in fact.columns and c != on]
+    if dup:
+        raise ValueError(f"salted_join: overlapping column names: {dup}")
     f = salted(fact, salt_src, buckets)
     d = dim.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))
