@@ -24,13 +24,17 @@ def ensure_udf_portable() -> None:
     except ImportError:  # pragma: no cover - layout differences across versions
         import cloudpickle  # type: ignore[no-redef]
     import beats_spark.dissect as _dissect
+    import beats_spark.streaming as _streaming
     import beats_spark.training.media_codecs as _media_codecs
     import beats_spark.training.multimodal as _multimodal
 
     # media_codecs must register too: multimodal's default kernels call
     # into it, and a by-reference module global would re-raise
-    # ModuleNotFoundError on workers without the package on PYTHONPATH
-    for mod in (_dissect, _media_codecs, _multimodal):
+    # ModuleNotFoundError on workers without the package on PYTHONPATH.
+    # streaming registers because its stateful handlers share the
+    # module-level _merged_chunks helper — a by-reference global in
+    # every applyInPandasWithState closure
+    for mod in (_dissect, _streaming, _media_codecs, _multimodal):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover

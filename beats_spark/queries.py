@@ -1825,13 +1825,20 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented on the operator."""
     from beats_spark.metrics import distinct_sketch_table, rollup_sketches
 
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    d = F.lit(86_400_000_000)
+    # exact integer FLOOR division (matches DuckDB //): subtract the
+    # non-negative pmod first so the quotient is an exact multiple —
+    # the double division then has an integer result representable
+    # exactly for any |us| < 2^53 µs, negative epochs included (a bare
+    # /+cast would truncate toward zero and drift a double ulp)
+    day_idx = ((us - F.pmod(us, d)) / d).cast("long")
     ev = _events(spark, sf_dir).select(
-        "event_type",
-        (F.unix_micros(F.col("ts").cast("timestamp_ltz")) / F.lit(86_400_000_000))
-        .cast("long")
-        .alias("day_idx"),
-        "user_id",
+        "event_type", day_idx.alias("day_idx"), "user_id"
     )
+    # cached so the three grains share ONE fact scan; both harnesses
+    # (bench.py, tests/harness.compare) clearCache after each query, so
+    # the dimension-sized entry never outlives its invocation
     sk = distinct_sketch_table(ev, ["event_type", "day_idx"], "user_id").cache()
     by_type = rollup_sketches(sk, ["event_type"]).select(
         F.lit("type").alias("level"), F.col("event_type").alias("k"), "n_distinct"

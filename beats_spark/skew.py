@@ -77,6 +77,11 @@ def salted_join(
     dup = [c for c in dim.columns if c in fact.columns and c != on]
     if dup:
         raise ValueError(f"salted_join: overlapping column names: {dup}")
+    if SALT_COL in fact.columns or SALT_COL in dim.columns:
+        raise ValueError(
+            f"salted_join: an input already carries {SALT_COL!r} — "
+            "drop or rename it first (it would be silently clobbered)"
+        )
     f = salted(fact, salt_src, buckets)
     d = dim.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)).cast("array<long>"))

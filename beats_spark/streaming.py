@@ -123,6 +123,20 @@ def run_stream_dedup(
     return writer.start()
 
 
+def _merged_chunks(pdfs: Iterator["Any"]):
+    """All of a key's rows for one micro-batch as ONE frame (or None if
+    empty): the `pdfs` iterator yields Arrow chunks of
+    `arrow.maxRecordsPerBatch` rows each, so any handler that sorts
+    must concat FIRST or the order interleaves at chunk boundaries
+    (regression-tested at maxRecordsPerBatch=3)."""
+    import pandas as pd
+
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return None
+    return pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+
+
 # --- stateful cache (put→get KV across micro-batches) ------------------------
 
 _CACHE_OUT = "key string, event_id long, cached string"
@@ -155,11 +169,8 @@ def streaming_cache(
         # see _LOOP_BENCH note)
         current = state.get[0] if state.exists else None
         ids, cached = [], []
-        # concat before sorting: a key's rows can span several Arrow
-        # chunks in one micro-batch, and per-chunk sorts would
-        # interleave the id order at chunk boundaries
-        chunks = [p for p in pdfs if len(p)]
-        for pdf in ([pd.concat(chunks)] if len(chunks) > 1 else chunks):
+        merged = _merged_chunks(pdfs)
+        for pdf in ([merged] if merged is not None else []):
             pdf = pdf.sort_values(id_col)
             id_vals = pdf[id_col].astype("int64").tolist()
             put_vals = pdf[put_flag_col].tolist()
@@ -267,8 +278,8 @@ def streaming_multiline(
                 )
             return
 
-        chunks = [p for p in pdfs if len(p)]
-        for pdf in ([pd.concat(chunks)] if len(chunks) > 1 else chunks):
+        merged = _merged_chunks(pdfs)
+        for pdf in ([merged] if merged is not None else []):
             pdf = pdf.sort_values(order_col)
             # column lists, not iterrows (~40× per-row cost; _LOOP_BENCH)
             lines_v = pdf[line_col].tolist()
@@ -363,8 +374,8 @@ def streaming_rate_limit(
             tokens, last = cap, 0.0
         passed = dropped = 0
         max_ts = None
-        chunks = [p for p in pdfs if len(p)]
-        for pdf in ([pd.concat(chunks)] if len(chunks) > 1 else chunks):
+        merged = _merged_chunks(pdfs)
+        for pdf in ([merged] if merged is not None else []):
             pdf = pdf.sort_values(ts_col)
             # numpy epoch floats instead of per-row Timestamp objects
             # (the bucket fold is sequential, but each step is now two
@@ -442,12 +453,8 @@ def streaming_counter_rate(
         out_rate: list = []
         out_reset: list = []
         out_dt: list = []
-        # a key's rows may arrive split across several Arrow chunks in
-        # ONE micro-batch — concatenate before sorting, or chunk
-        # boundaries would interleave the time order
-        chunks = [p for p in pdfs if len(p)]
-        if chunks:
-            pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = _merged_chunks(pdfs)
+        if pdf is not None:
             order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
             pdf = pdf.sort_values(order)
             us_v = pdf[ts_us_col].astype("int64").tolist()
@@ -465,8 +472,17 @@ def streaming_counter_rate(
                     # product → double division → floor, so convert
                     # each operand the same way (int // int would
                     # differ at quotients a half-ulp below an integer)
+                    prod = inc * scale
+                    if not (-(1 << 63) <= prod < (1 << 63)):
+                        # ANSI parity: the batch form's int64 product
+                        # THROWS on overflow — don't silently emit a
+                        # value the batch engine would refuse
+                        raise ArithmeticError(
+                            "streaming_counter_rate: increase*scale "
+                            f"({prod}) overflows int64 (batch ANSI parity)"
+                        )
                     rate = (
-                        math.floor(float(inc * scale) / float(dt))
+                        math.floor(float(prod) / float(dt))
                         if dt > 0
                         else None
                     )

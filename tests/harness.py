@@ -106,3 +106,7 @@ def compare(spark, sf_dir: str, name: str, fn, sql: str,
     mism = [(a, b) for a, b in zip(sr, dr) if a != b]
     assert not mism, f"{name}: {len(mism)} mismatched rows; first: {mism[0]}"
     strict_hash_compare(sdf.toPandas(), con.execute(sql).df(), name)
+    # queries that persist intermediates (LSH signatures, q63's sketch
+    # table) must not leak cache entries into later timings/compares —
+    # same hygiene as bench.py's per-query clearCache
+    spark.catalog.clearCache()
