@@ -517,6 +517,32 @@ class CheckpointedRunner:
             out = out.unionByName(f, allowMissingColumns=True)
         return out
 
+    def result_latest(
+        self, key: str = "doc_id", version: int | None = None
+    ) -> DataFrame:
+        """Merge-on-read upsert view: where several committed chunks
+        carry the same `key`, the row from the HIGHEST chunk id wins —
+        so re-emitting a corrected document in a later chunk supersedes
+        the original without rewriting it (the Iceberg MERGE INTO /
+        CDC-correction analog on the append-only manifest; time travel
+        still shows the pre-correction corpus at older versions).
+
+        Contract: at most one row per key per chunk (the ingest dedup
+        guarantees it); ties within a chunk would be arbitrary.
+        Scale shape: one exchange keyed by `key` for the row_number —
+        the standard MOR read cost; run `compact()` on the PLAIN
+        result to keep history, or materialize this view into a fresh
+        run when the read tax matters more than the audit trail."""
+        from pyspark.sql.window import Window
+
+        base = self.result(version=version)
+        w = Window.partitionBy(key).orderBy(F.col(CHUNK_COL).desc())
+        return (
+            base.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
+
     def manifest(self, version: int | None = None) -> DataFrame:
         rows = [
             (

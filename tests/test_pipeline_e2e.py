@@ -593,3 +593,29 @@ def test_checkpoint_schema_evolution_across_chunks(spark, tmp_path):
     assert runner.compact() == 2
     compacted = {r.doc_id: r.lang for r in runner.result().collect()}
     assert compacted == rows
+
+
+def test_result_latest_upsert_semantics(spark, tmp_path):
+    """Merge-on-read: a later chunk re-emitting a doc_id supersedes the
+    earlier row; untouched rows survive; time travel to the
+    pre-correction snapshot still shows the original text."""
+    out = str(tmp_path / "mor")
+    runner = CheckpointedRunner(spark, out, n_chunks=2, run_id="mor")
+    c0 = spark.createDataFrame(
+        [(1, "orig-1", "es"), (2, "orig-2", "es")],
+        "doc_id long, text string, sink string",
+    )
+    c1 = spark.createDataFrame(
+        [(2, "fixed-2", "es"), (3, "new-3", "es")],
+        "doc_id long, text string, sink string",
+    )
+    runner.commit_chunk(c0, 0)
+    pre = runner._current_version()[0]
+    runner.commit_chunk(c1, 1)
+
+    latest = {r.doc_id: r.text for r in runner.result_latest().collect()}
+    assert latest == {1: "orig-1", 2: "fixed-2", 3: "new-3"}
+    # plain result keeps both versions of doc 2 (the audit trail)
+    assert runner.result().count() == 4
+    old = {r.doc_id: r.text for r in runner.result_latest(version=pre).collect()}
+    assert old == {1: "orig-1", 2: "orig-2"}
