@@ -518,7 +518,10 @@ class CheckpointedRunner:
         return out
 
     def result_latest(
-        self, key: str = "doc_id", version: int | None = None
+        self,
+        key: str = "doc_id",
+        version: int | None = None,
+        deleted_col: str | None = None,
     ) -> DataFrame:
         """Merge-on-read upsert view: where several committed chunks
         carry the same `key`, the row from the HIGHEST chunk id wins —
@@ -526,6 +529,14 @@ class CheckpointedRunner:
         the original without rewriting it (the Iceberg MERGE INTO /
         CDC-correction analog on the append-only manifest; time travel
         still shows the pre-correction corpus at older versions).
+
+        `deleted_col` adds tombstone semantics (the GDPR/takedown
+        path for training corpora): commit a chunk whose rows set that
+        boolean — when the TOMBSTONE is the winning version, the key
+        disappears from this view entirely, while plain `result()` and
+        older snapshots retain the full history until `cleanup()` GCs
+        the run (true erasure = compact the latest view into a fresh
+        run, then GC the old one).
 
         Contract: at most one row per key per chunk (the ingest dedup
         guarantees it); ties within a chunk would be arbitrary.
@@ -537,11 +548,14 @@ class CheckpointedRunner:
 
         base = self.result(version=version)
         w = Window.partitionBy(key).orderBy(F.col(CHUNK_COL).desc())
-        return (
+        out = (
             base.withColumn("__rn__", F.row_number().over(w))
             .filter(F.col("__rn__") == 1)
             .drop("__rn__")
         )
+        if deleted_col is not None and deleted_col in out.columns:
+            out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+        return out
 
     def manifest(self, version: int | None = None) -> DataFrame:
         rows = [

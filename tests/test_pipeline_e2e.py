@@ -619,3 +619,17 @@ def test_result_latest_upsert_semantics(spark, tmp_path):
     assert runner.result().count() == 4
     old = {r.doc_id: r.text for r in runner.result_latest(version=pre).collect()}
     assert old == {1: "orig-1", 2: "orig-2"}
+
+    # tombstone: a later chunk marks doc 1 deleted — it vanishes from
+    # the latest view, stays in result() and in older snapshots
+    c2 = spark.createDataFrame(
+        [(1, None, "es", True)],
+        "doc_id long, text string, sink string, is_deleted boolean",
+    )
+    runner.commit_chunk(c2, 2)
+    after = {
+        r.doc_id: r.text
+        for r in runner.result_latest(deleted_col="is_deleted").collect()
+    }
+    assert after == {2: "fixed-2", 3: "new-3"}
+    assert runner.result().count() == 5  # history intact until GC
