@@ -276,6 +276,38 @@ SELECT source, sample_rank, doc_id FROM ranked
 WHERE sample_rank <= 7 ORDER BY source, sample_rank"""
 
 
+# --- q64: weighted (importance) sampling --------------------------------------
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level Bernoulli sampling with keep probability = a
+    length-derived quality proxy (least(n_chars, 2000)/2000) — both
+    engines compute the weight AND the 52-bit hash-uniform with
+    identical IEEE bits, so the kept set matches row-for-row."""
+    from beats_spark.training import curate
+
+    docs = _docs(spark, sf_dir)
+    w = (F.least(F.col("n_chars"), F.lit(2000)) / F.lit(2000.0)).alias("w")
+    kept = curate.weighted_sample(docs.select("doc_id", "source", w), "w")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("sum_ids"))
+        .orderBy("source")
+    )
+
+
+def q_weighted_sample_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id, source,
+         ('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+           / 4503599627370496.0 AS u,
+         least(n_chars, 2000) / 2000.0 AS w
+  FROM documents)
+SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+FROM t WHERE u < w GROUP BY source ORDER BY source"""
+
+
 # --- q15: multiline sessionization ------------------------------------------
 
 
@@ -948,6 +980,7 @@ def catalog():
         "q15_multiline": q_multiline,
         "q60_winnow": q_winnow,
         "q61_stratified_sample": q_stratified_sample,
+        "q64_weighted_sample": q_weighted_sample,
         "q24_token_window_dups": q_token_window_dups,
         "q25_quality": q_quality,
         "q30_dup_clusters": q_dup_clusters,
@@ -972,6 +1005,7 @@ def oracles():
         "q15_multiline": q_multiline_oracle(),
         "q60_winnow": q_winnow_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
+        "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
         "q25_quality": q_quality_oracle(),
         "q30_dup_clusters": q_dup_clusters_oracle(),

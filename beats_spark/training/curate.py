@@ -243,6 +243,32 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wsamp:",
+) -> DataFrame:
+    """Independent Bernoulli keep with PER-DOC probability
+    clamp(weight, 0, 1) — importance sampling by a continuous score
+    (quality, dedup confidence, domain weight), the doc-level
+    counterpart of `rebalance_sources`' integer per-source rates.
+    Deterministic: the uniform draw is u = md5-52bit(salt||id) / 2^52 —
+    a 52-bit integer is exact in an IEEE double and the divisor is a
+    power of two, so u's BITS are identical in every engine and rerun;
+    membership is a pure function of (salt, id), E[kept] = Σ weights.
+    A different salt is an independent redraw. Pure scan-stage
+    arithmetic: no shuffle, no UDF."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = h / F.lit(float(1 << 52))
+    w = F.least(F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(u < w)
+
+
 # --- curation funnel ------------------------------------------------------------
 
 

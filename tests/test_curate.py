@@ -246,3 +246,33 @@ def test_stratified_sample_plan_window_group_limit(spark):
     )
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_weighted_sample_matches_python_and_is_calibrated(spark):
+    """Membership matches the pure-Python hash arithmetic row-for-row,
+    a rerun is identical, another salt redraws, and the kept count is
+    within binomial noise of sum(weights)."""
+    import math
+
+    n = 4_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), ((F.col("id") % 100) / 100.0).alias("w")
+    )
+    kept = sorted(r.doc_id for r in curate.weighted_sample(df, "w").collect())
+
+    def u(i):
+        return int(hashlib.md5(f"wsamp:{i}".encode()).hexdigest()[:13], 16) / float(
+            1 << 52
+        )
+
+    want = sorted(i for i in range(n) if u(i) < (i % 100) / 100.0)
+    assert kept == want
+    again = sorted(r.doc_id for r in curate.weighted_sample(df, "w").collect())
+    assert again == kept
+    other = sorted(
+        r.doc_id for r in curate.weighted_sample(df, "w", salt="x:").collect()
+    )
+    assert other != kept
+    ew = sum((i % 100) / 100.0 for i in range(n))
+    sd = math.sqrt(sum((i % 100) / 100.0 * (1 - (i % 100) / 100.0) for i in range(n)))
+    assert abs(len(kept) - ew) < 4 * sd
