@@ -70,6 +70,7 @@ PROBE_QUERIES = [
     "q61_stratified_sample",
     "q62_session_paths",
     "q63_sketch_rollup",
+    "q64_weighted_sample",
 ]
 
 
