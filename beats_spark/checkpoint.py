@@ -557,6 +557,36 @@ class CheckpointedRunner:
             out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
         return out
 
+    def materialize_latest(
+        self,
+        new_run_id: str,
+        key: str = "doc_id",
+        deleted_col: str | None = None,
+        version: int | None = None,
+    ) -> "CheckpointedRunner":
+        """True-erasure completion of the merge-on-read view: write
+        `result_latest(...)` into a FRESH run (one chunk, the usual
+        atomic attempt-dir → pointer-swap commit) and return its
+        runner. Until the caller then runs `cleanup({new_run_id})`,
+        every old snapshot stays readable (a crash mid-way loses
+        nothing); after it, the superseded and tombstoned rows are
+        PHYSICALLY deleted from disk — the GDPR/takedown guarantee the
+        read-side filter alone can't give. Tombstone marker rows are
+        dropped (not carried) and the marker column is removed."""
+        latest = self.result_latest(key=key, version=version, deleted_col=deleted_col)
+        latest = latest.drop(CHUNK_COL)
+        if deleted_col is not None and deleted_col in latest.columns:
+            latest = latest.drop(deleted_col)
+        nr = CheckpointedRunner(
+            self.spark,
+            self.out_dir,
+            n_chunks=1,
+            run_id=new_run_id,
+            source_snapshot=self.source_snapshot,
+        )
+        nr.commit_chunk(latest, 0)
+        return nr
+
     def manifest(self, version: int | None = None) -> DataFrame:
         rows = [
             (

@@ -633,3 +633,44 @@ def test_result_latest_upsert_semantics(spark, tmp_path):
     }
     assert after == {2: "fixed-2", 3: "new-3"}
     assert runner.result().count() == 5  # history intact until GC
+
+
+def test_materialize_latest_physically_erases(spark, tmp_path):
+    """The full takedown path: tombstone -> materialize the latest view
+    into a fresh run -> GC. After GC the deleted document's text (and
+    the superseded old version of a corrected one) is gone from EVERY
+    byte on disk, not just filtered at read time."""
+    import subprocess
+
+    out = str(tmp_path / "erase")
+    runner = CheckpointedRunner(spark, out, n_chunks=2, run_id="raw")
+    c0 = spark.createDataFrame(
+        [(1, "SECRET-REMOVE-ME", "es"), (2, "OLD-VERSION", "es")],
+        "doc_id long, text string, sink string",
+    )
+    c1 = spark.createDataFrame(
+        [(2, "new-version", "es", False), (1, None, "es", True)],
+        "doc_id long, text string, sink string, is_deleted boolean",
+    )
+    runner.commit_chunk(c0, 0)
+    runner.commit_chunk(c1, 1)
+
+    clean = runner.materialize_latest("clean", deleted_col="is_deleted")
+    got = {r.doc_id: r.text for r in clean.result().collect()}
+    assert got == {2: "new-version"}
+    assert "is_deleted" not in clean.result().columns
+
+    # pre-GC: the old snapshot (and its bytes) still exist — crash-safe
+    hits = subprocess.run(
+        ["grep", "-r", "-l", "SECRET-REMOVE-ME", out], capture_output=True
+    )
+    assert hits.returncode == 0, "history must survive until cleanup"
+
+    assert clean.cleanup({"clean"}) == 2
+    for needle in ("SECRET-REMOVE-ME", "OLD-VERSION"):
+        hits = subprocess.run(
+            ["grep", "-r", "-l", needle, out], capture_output=True
+        )
+        assert hits.returncode != 0, f"{needle} still on disk"
+    # the clean run still reads correctly after GC
+    assert {r.doc_id: r.text for r in clean.result().collect()} == {2: "new-version"}
