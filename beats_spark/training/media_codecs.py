@@ -211,3 +211,83 @@ def wav_features(payload: bytes) -> list[float]:
         float(zc),
         0.0,
     ]
+
+
+# --- BMP (24-bit BI_RGB) -------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """'BM' + BITMAPINFOHEADER, bpp=24, compression BI_RGB → uint8
+    (h, w, 3) RGB. On-disk rows are 4-byte padded BGR, bottom-up when
+    the header height is positive (top-down when negative)."""
+    if payload[:2] != b"BM":
+        raise MediaDecodeError("bmp: not a BM payload")
+    if len(payload) < 54:
+        raise MediaDecodeError("bmp: truncated header")
+    off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise MediaDecodeError("bmp: need BITMAPINFOHEADER (v3+)")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise MediaDecodeError(f"bmp: only 24-bit BI_RGB supported (bpp={bpp}, compression={comp})")
+    if w <= 0 or h == 0:
+        raise MediaDecodeError("bmp: bad dimensions")
+    top_down = h < 0
+    ah = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(payload) < off + stride * ah:
+        raise MediaDecodeError("bmp: truncated pixel data")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * ah, offset=off
+    ).reshape(ah, stride)
+    img = rows[:, : w * 3].reshape(ah, w, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[..., ::-1].copy()  # BGR → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → canonical 54-byte-header 24-bit BI_RGB
+    bottom-up BMP (4-byte padded rows)."""
+    h, w = img.shape[0], img.shape[1]
+    stride = ((w * 3 + 3) // 4) * 4
+    size = 54 + stride * h
+    hdr = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (stride * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    bgr = img[..., ::-1].astype(np.uint8)
+    pad = b"\x00" * (stride - w * 3)
+    body = b"".join(r.tobytes() + pad for r in bgr[::-1])
+    return hdr + body
+
+
+def bmp_features(payload: bytes) -> list[float]:
+    """Same integer-exact feature layout as ppm_features — decoding a
+    BMP and a PPM of the same pixels yields identical features."""
+    img = decode_bmp(payload)
+    h, w = img.shape[0], img.shape[1]
+    n = w * h
+    sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    ch = [float((1_000_000 * int(s)) // (255 * n)) / 1e6 for s in sums]
+    return [IMAGE_TAG, float(w), float(h), *ch, 255.0, float(n)]
+
+
+def bmp_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Decode-BMP → bilinear → re-encode-BMP."""
+    return encode_bmp(bilinear_resize(decode_bmp(payload), w, h))

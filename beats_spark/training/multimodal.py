@@ -76,6 +76,8 @@ def _default_image_decode(payload: bytes) -> list[float]:
     kernel for png/jpeg)."""
     if payload[:2] == b"P6":
         return media_codecs.ppm_features(payload)
+    if payload[:2] == b"BM":
+        return media_codecs.bmp_features(payload)
     return _fake_decode(payload)
 
 
@@ -114,13 +116,15 @@ def sniff_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
         F.when(magic(b"\x89PNG"), F.lit("png"))
         .when(magic(b"\xff\xd8\xff"), F.lit("jpeg"))
         .when(magic(b"GIF8"), F.lit("gif"))
+        .when(magic(b"P6"), F.lit("ppm"))
+        .when(magic(b"BM"), F.lit("bmp"))
         .when(magic(b"RIFF"), F.lit("wav"))
         .when(magic(b"ID3"), F.lit("mp3"))
         .when(magic(b"OggS"), F.lit("ogg"))
         .otherwise(F.lit("unknown"))
     )
     kind = (
-        F.when(fmt.isin("png", "jpeg", "gif"), F.lit("image"))
+        F.when(fmt.isin("png", "jpeg", "gif", "ppm", "bmp"), F.lit("image"))
         .when(fmt.isin("wav", "mp3", "ogg"), F.lit("audio"))
         .otherwise(F.lit("unknown"))
     )
@@ -226,6 +230,8 @@ def _default_image_resize(payload: bytes, w: int, h: int) -> bytes:
     byte-resample stub fallback for compressed formats."""
     if payload[:2] == b"P6":
         return media_codecs.ppm_resize(payload, w, h)
+    if payload[:2] == b"BM":
+        return media_codecs.bmp_resize(payload, w, h)
     return _fake_resize(payload, w, h)
 
 

@@ -173,3 +173,81 @@ def test_registered_kernel_still_wins_over_real_default(spark):
         from beats_spark.training.multimodal import _DECODERS
 
         _DECODERS.pop("image", None)
+
+
+def test_bmp_round_trip_padding_and_bgr():
+    """encode->decode is identity for a non-multiple-of-4 width (row
+    padding exercised); the on-disk byte order is BGR bottom-up, so a
+    hand-built file with a red top-left pixel must decode to RGB with
+    red at [0, 0]."""
+    import numpy as np
+
+    from beats_spark.training.media_codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # stride pad=3
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    # hand-built 1x1: blue=0 green=0 red=255 on disk -> RGB (255,0,0)
+    one = encode_bmp(np.array([[[255, 0, 0]]], dtype=np.uint8))
+    px_off = int.from_bytes(one[10:14], "little")
+    assert one[px_off:px_off + 3] == b"\x00\x00\xff"  # BGR on disk
+    assert decode_bmp(one)[0, 0].tolist() == [255, 0, 0]
+
+    # top-down variant (negative height) decodes without the flip
+    td = bytearray(encode_bmp(img))
+    td[22:26] = (-5).to_bytes(4, "little", signed=True)
+    flipped = decode_bmp(bytes(td))
+    assert np.array_equal(flipped, img[::-1])
+
+
+def test_bmp_features_match_ppm_for_same_pixels():
+    """The two real image codecs must agree: identical pixels encoded
+    as PPM and as BMP yield the SAME integer-exact feature vector, and
+    both dispatch through _default_image_decode."""
+    import numpy as np
+
+    from beats_spark.training.media_codecs import (
+        bmp_features, encode_bmp, encode_ppm, ppm_features,
+    )
+    from beats_spark.training.multimodal import _default_image_decode
+
+    img = (np.arange(8 * 4 * 3, dtype=np.uint8) % 251).reshape(8, 4, 3)
+    fb, fp = bmp_features(encode_bmp(img)), ppm_features(encode_ppm(img))
+    assert fb == fp
+    assert _default_image_decode(encode_bmp(img)) == fb
+    assert _default_image_decode(encode_ppm(img)) == fp
+
+
+def test_bmp_malformed_raises():
+    import numpy as np
+    import pytest
+
+    from beats_spark.training.media_codecs import (
+        MediaDecodeError, decode_bmp, encode_bmp,
+    )
+
+    with pytest.raises(MediaDecodeError, match="not a BM"):
+        decode_bmp(b"XX" + bytes(60))
+    good = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(MediaDecodeError, match="truncated pixel"):
+        decode_bmp(good[:-5])
+    bad_bpp = bytearray(good)
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(MediaDecodeError, match="only 24-bit"):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_bmp_resize_real_kernel():
+    """Constant-color image survives bilinear resize exactly, through
+    the BMP-routed default resizer."""
+    import numpy as np
+
+    from beats_spark.training.media_codecs import decode_bmp, encode_bmp
+    from beats_spark.training.multimodal import _default_image_resize
+
+    img = np.full((6, 6, 3), (10, 200, 30), dtype=np.uint8)
+    out = _default_image_resize(encode_bmp(img), 3, 2)
+    dec = decode_bmp(out)
+    assert dec.shape == (2, 3, 3)
+    assert np.array_equal(dec, np.full((2, 3, 3), (10, 200, 30), dtype=np.uint8))
