@@ -553,8 +553,25 @@ class CheckpointedRunner:
             .filter(F.col("__rn__") == 1)
             .drop("__rn__")
         )
-        if deleted_col is not None and deleted_col in out.columns:
-            out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+        if deleted_col is not None:
+            if deleted_col not in out.columns:
+                # advice-r04 #2: a silent skip here turns a misspelled
+                # column name into a "clean" materialization that still
+                # carries tombstoned keys — and materialize_latest +
+                # cleanup() would then GC the only copies that knew.
+                # Latest view ⇒ the tombstone column must exist; only
+                # explicit time travel to a pre-evolution snapshot may
+                # legitimately predate it.
+                if version is None:
+                    raise ValueError(
+                        f"deleted_col {deleted_col!r} not present in the "
+                        f"merged schema {out.columns} — refusing to "
+                        "silently skip tombstone filtering on the latest "
+                        "view (misspelled column?); pass an explicit "
+                        "`version` to time-travel past schema evolution"
+                    )
+            else:
+                out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
         return out
 
     def materialize_latest(

@@ -299,10 +299,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_weighted_sample_oracle() -> str:
     return """
 WITH t AS (
+  -- divisors pinned to IEEE DOUBLE via '…'::DOUBLE (advice-r04 #3):
+  -- bare numeric literals parse as DECIMAL and only happen to promote
+  -- to DOUBLE in current DuckDB; a row-hash-exact oracle must not
+  -- depend on version-specific decimal promotion rules
   SELECT doc_id, source,
-         ('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
-           / 4503599627370496.0 AS u,
-         least(n_chars, 2000) / 2000.0 AS w
+         ('0x' || substring(md5('wsamp:' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT::DOUBLE
+           / '4503599627370496'::DOUBLE AS u,
+         least(n_chars, 2000)::DOUBLE / '2000'::DOUBLE AS w
   FROM documents)
 SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
 FROM t WHERE u < w GROUP BY source ORDER BY source"""

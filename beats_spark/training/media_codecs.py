@@ -291,3 +291,201 @@ def bmp_features(payload: bytes) -> list[float]:
 def bmp_resize(payload: bytes, w: int, h: int) -> bytes:
     """Decode-BMP → bilinear → re-encode-BMP."""
     return encode_bmp(bilinear_resize(decode_bmp(payload), w, h))
+
+
+# --- PNG (8-bit RGB / RGBA, non-interlaced) -----------------------------------
+#
+# The first COMPRESSED real codec (verdict-r04 missing #2): stdlib zlib
+# inflates the IDAT stream, numpy unfilters the scanlines. Spec: the
+# PNG (Portable Network Graphics) Specification, W3C — signature,
+# chunk grammar (length/type/data/CRC32), IHDR fields, filter types
+# 0-4 (None/Sub/Up/Average/Paeth). Scope: bit depth 8, color types
+# 2 (RGB) and 6 (RGBA), interlace 0 — the dominant real-corpus image
+# shape; everything else raises MediaDecodeError (never misreads).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) for each chunk, verifying each CRC32 (over
+    type+data, per spec) — corrupt media must fail loudly into the
+    per-row decode_error column, not decode garbage."""
+    import zlib
+
+    pos, ln = 8, len(payload)
+    while pos + 8 <= ln:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + size]
+        if len(data) < size or pos + 12 + size > ln:
+            raise MediaDecodeError(f"png: truncated {ctype!r} chunk")
+        crc = int.from_bytes(payload[pos + 8 + size : pos + 12 + size], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise MediaDecodeError(f"png: CRC mismatch in {ctype!r} chunk")
+        yield ctype, data
+        pos += 12 + size
+        if ctype == b"IEND":
+            return
+    raise MediaDecodeError("png: missing IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Reverse per-scanline filtering. Each stored row = 1 filter byte +
+    w*ch filtered bytes. None/Up are whole-row numpy ops; Sub is a
+    per-lane cumsum (recon[x] = raw[x] + recon[x-ch] is prefix-sum mod
+    256 in each of the ch byte lanes); Average/Paeth depend on the
+    previous RECONSTRUCTED byte in both axes and are inherently
+    sequential in x — looped per pixel-column (rows stay vectorized
+    across channels; fine for the corpus-thumbnail sizes this kernel
+    targets)."""
+    stride = w * ch
+    rows = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint16)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.uint16)
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint16)
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 1:  # Sub
+            lanes = line.reshape(w, ch)
+            out[y] = (np.cumsum(lanes, axis=0, dtype=np.int64) % 256).reshape(
+                stride
+            )
+        elif ftype == 2:  # Up
+            out[y] = (line + prev) % 256
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for x in range(w):
+                lo, hi = x * ch, (x + 1) * ch
+                left = cur[lo - ch : lo] if x > 0 else np.zeros(ch, np.uint16)
+                cur[lo:hi] = (line[lo:hi] + (left + prev[lo:hi]) // 2) % 256
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            zero = np.zeros(ch, np.int32)
+            for x in range(w):
+                lo, hi = x * ch, (x + 1) * ch
+                a = cur[lo - ch : lo].astype(np.int32) if x > 0 else zero
+                b = prev[lo:hi].astype(np.int32)
+                c = (
+                    out[y - 1, lo - ch : lo].astype(np.int32)
+                    if x > 0 and y > 0
+                    else zero
+                )
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                cur[lo:hi] = (line[lo:hi].astype(np.int32) + pred) % 256
+        else:
+            raise MediaDecodeError(f"png: unknown filter type {ftype}")
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 (h, w, 3|4). Bit depth 8, color type 2 (RGB) or
+    6 (RGBA), non-interlaced, zlib-compressed (the only compression
+    method the spec defines)."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise MediaDecodeError("png: bad signature")
+    ihdr = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or len(ihdr) < 13:
+        raise MediaDecodeError("png: missing IHDR")
+    if not idat:
+        raise MediaDecodeError("png: missing IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, comp, filt, interlace = ihdr[8:13]
+    if w <= 0 or h <= 0:
+        raise MediaDecodeError(f"png: bad dimensions {w}x{h}")
+    if depth != 8 or color not in (2, 6):
+        raise MediaDecodeError(
+            f"png: only 8-bit RGB/RGBA supported (depth={depth}, color={color})"
+        )
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise MediaDecodeError(
+            f"png: unsupported comp/filter/interlace {comp}/{filt}/{interlace}"
+        )
+    ch = 3 if color == 2 else 4
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"png: IDAT inflate failed: {e}") from e
+    need = h * (1 + w * ch)
+    if len(raw) != need:
+        raise MediaDecodeError(
+            f"png: decompressed size {len(raw)} != expected {need}"
+        )
+    return _png_unfilter(np.frombuffer(raw, dtype=np.uint8), h, w, ch)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 (h, w, 3|4) → PNG bytes. `filter_type` picks ONE filter
+    for every scanline (0=None default; 1/2 exercised by round-trip
+    tests) — a real optimizing encoder chooses per-row, which the
+    decoder handles either way."""
+    import zlib
+
+    h, w = img.shape[0], img.shape[1]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    if ch not in (3, 4):
+        raise MediaDecodeError(f"png: encode supports RGB/RGBA only ({ch} ch)")
+    a = img.astype(np.uint8)
+    lines = []
+    for y in range(h):
+        row = a[y].reshape(-1).astype(np.int16)
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub
+            left = np.concatenate([np.zeros(ch, np.int16), row[:-ch]])
+            filt = (row - left) % 256
+        elif filter_type == 2:  # Up
+            up = a[y - 1].reshape(-1).astype(np.int16) if y > 0 else 0
+            filt = (row - up) % 256
+        else:
+            raise MediaDecodeError(f"png: encode filter {filter_type} unsupported")
+        lines.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+    body = zlib.compress(b"".join(lines), 6)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    color = 2 if ch == 3 else 6
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", body)
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_features(payload: bytes) -> list[float]:
+    """Same integer-exact feature layout as ppm_features, computed over
+    the RGB channels (alpha excluded so a PNG and a PPM of the same
+    pixels yield identical features)."""
+    img = decode_png(payload)
+    h, w = img.shape[0], img.shape[1]
+    n = w * h
+    sums = img[..., :3].reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    ch = [float((1_000_000 * int(s)) // (255 * n)) / 1e6 for s in sums]
+    return [IMAGE_TAG, float(w), float(h), *ch, 255.0, float(n)]
+
+
+def png_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Decode-PNG → bilinear (all channels incl. alpha) → re-encode."""
+    return encode_png(bilinear_resize(decode_png(payload), w, h))

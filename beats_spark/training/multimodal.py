@@ -78,6 +78,8 @@ def _default_image_decode(payload: bytes) -> list[float]:
         return media_codecs.ppm_features(payload)
     if payload[:2] == b"BM":
         return media_codecs.bmp_features(payload)
+    if payload[:8] == media_codecs._PNG_SIG:
+        return media_codecs.png_features(payload)
     return _fake_decode(payload)
 
 
@@ -232,6 +234,8 @@ def _default_image_resize(payload: bytes, w: int, h: int) -> bytes:
         return media_codecs.ppm_resize(payload, w, h)
     if payload[:2] == b"BM":
         return media_codecs.bmp_resize(payload, w, h)
+    if payload[:8] == media_codecs._PNG_SIG:
+        return media_codecs.png_resize(payload, w, h)
     return _fake_resize(payload, w, h)
 
 

@@ -308,23 +308,46 @@ def main() -> None:
         n for n, t in qtimes.items()
         if n in steady and steady[n] > 0 and t > 1.5 * steady[n]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "parse→enrich→route pipeline + operator catalog",
-                "value": total,
-                "unit": "sec",
-                "queries": qtimes,
-                "sf": sf_dir,
-                "pipeline": pipe,
-                "steady_state_min": {
-                    n: steady[n] for n in qtimes if n in steady
-                },
-                "noise_suspect": noise_suspect,
-                "disk_state": disk,
-            }
-        )
-    )
+    # BENCH_r04 lesson (verdict-r04 wrong #1): the driver captures only
+    # the LAST 2000 chars of stdout and parses the JSON line found
+    # there.  The r4 line (64 full query names + inline steady table)
+    # outgrew the window → `parsed: null`.  So: the rich record (full
+    # catalog names, steady minimums, per-run pipeline samples) goes to
+    # BENCH_FULL.json + stderr, and the FINAL stdout line is a compact
+    # record — qNN keys, 2-decimal times, no spaces — that fits the
+    # window with headroom (~1 kB at 70 queries).
+    full_record = {
+        "metric": "parse→enrich→route pipeline + operator catalog",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "pipeline": pipe,
+        "pipeline_runs": [r["sequences_per_sec"] for r in pipe_runs],
+        "steady_state_min": {n: steady[n] for n in qtimes if n in steady},
+        "noise_suspect": noise_suspect,
+        "disk_state": disk,
+    }
+    full_path = os.path.join(os.path.dirname(__file__), "BENCH_FULL.json")
+    with open(full_path, "w") as fh:
+        json.dump(full_record, fh, indent=1)
+    print(json.dumps(full_record), file=sys.stderr)
+    compact = {
+        "metric": "pipeline+catalog",
+        "value": total,
+        "unit": "sec",
+        "queries": {n.split("_", 1)[0]: round(t, 2) for n, t in qtimes.items()},
+        "sf": sf_dir,
+        "pipeline": {
+            "rows_in": pipe["rows_in"],
+            "elapsed_sec": pipe["elapsed_sec"],
+            "sequences_per_sec": pipe["sequences_per_sec"],
+        },
+        "noise_suspect": [n.split("_", 1)[0] for n in noise_suspect],
+        "disk_state": disk["state"],
+        "note": "qNN keys; full names+steady in BENCH_FULL.json",
+    }
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

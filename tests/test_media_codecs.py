@@ -117,7 +117,9 @@ def test_extract_features_real_kernels_and_error_column(spark):
         ("wav", wav, "audio"),
         ("corrupt_ppm", b"P6\n9 9\n255\nshort", "image"),
         ("corrupt_wav", b"RIFF\x10\x00\x00\x00WAVEdata", "audio"),
-        ("png_fallback", b"\x89PNG\r\n\x1a\n" + bytes(32), "image"),
+        ("png_real", mc.encode_png(np.full((2, 2, 3), 60, np.uint8)), "image"),
+        ("corrupt_png", b"\x89PNG\r\n\x1a\n" + bytes(32), "image"),
+        ("jpeg_fallback", b"\xff\xd8\xff\xe0" + bytes(32), "image"),
     ]
     df = spark.createDataFrame(rows, "key string, media binary, kind string")
     out = {r["key"]: r for r in extract_features(df, kind_col="kind").collect()}
@@ -134,11 +136,21 @@ def test_extract_features_real_kernels_and_error_column(spark):
     assert "raster short" in out["corrupt_ppm"].decode_error
     assert out["corrupt_wav"].feat is None
     assert "missing fmt or data" in out["corrupt_wav"].decode_error
-    # compressed format falls back to the deterministic stub
+    # PNG now decodes for REAL (round 5): same features as a PPM of the
+    # same pixels; a signature-bearing but malformed payload lands in
+    # decode_error instead of silently stubbing
+    assert ppm_ints(out["png_real"].feat) == ppm_ints(
+        mc.ppm_features(mc.encode_ppm(np.full((2, 2, 3), 60, np.uint8)))
+    )
+    assert out["corrupt_png"].feat is None
+    assert "png" in out["corrupt_png"].decode_error
+    # still-compressed formats (jpeg) fall back to the deterministic stub
     from beats_spark.training.multimodal import _fake_decode
 
-    assert ppm_ints(out["png_fallback"].feat) == ppm_ints(_fake_decode(rows[4][1]))
-    assert out["png_fallback"].decode_error is None
+    assert ppm_ints(out["jpeg_fallback"].feat) == ppm_ints(
+        _fake_decode(b"\xff\xd8\xff\xe0" + bytes(32))
+    )
+    assert out["jpeg_fallback"].decode_error is None
 
 
 def test_resize_media_real_bilinear_kernel(spark):
@@ -251,3 +263,130 @@ def test_bmp_resize_real_kernel():
     dec = decode_bmp(out)
     assert dec.shape == (2, 3, 3)
     assert np.array_equal(dec, np.full((2, 3, 3), (10, 200, 30), dtype=np.uint8))
+
+
+# --- PNG (round 5: first compressed-format real codec) ------------------------
+
+
+def _forward_filter(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Spec-literal forward filtering (the encoder side of filters the
+    repo encoder doesn't emit — Average=3, Paeth=4) so the decoder's
+    unfilter is tested against an independent implementation."""
+    import zlib
+
+    h, w, ch = img.shape
+    a = img.astype(np.int32)
+    recon = a.reshape(h, w * ch)
+    out = []
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        row = recon[y]
+        prev = recon[y - 1] if y > 0 else np.zeros(w * ch, np.int32)
+        filt = np.zeros(w * ch, np.int32)
+        for x in range(w * ch):
+            left = row[x - ch] if x >= ch else 0
+            up = prev[x]
+            ul = prev[x - ch] if x >= ch and y > 0 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) // 2
+            else:  # Paeth
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            filt[x] = (row[x] - pred) % 256
+        out.append(bytes([ft]) + filt.astype(np.uint8).tobytes())
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    color = 2 if ch == 3 else 6
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    return (
+        sig
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_round_trip_all_encode_filters():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (7, 9, 3), dtype=np.uint8)
+    for ft in (0, 1, 2):
+        assert (mc.decode_png(mc.encode_png(img, filter_type=ft)) == img).all()
+    rgba = rng.integers(0, 256, (5, 3, 4), dtype=np.uint8)
+    assert (mc.decode_png(mc.encode_png(rgba)) == rgba).all()
+
+
+def test_png_unfilter_average_and_paeth_against_spec_filter():
+    rng = np.random.default_rng(13)
+    for ch in (3, 4):
+        img = rng.integers(0, 256, (6, 5, ch), dtype=np.uint8)
+        # every filter type incl. 3/4, rotating per scanline
+        p = _forward_filter(img, [4, 3, 1, 2, 0, 4])
+        assert (mc.decode_png(p) == img).all()
+
+
+def test_png_multi_idat_and_feature_parity_with_ppm():
+    import zlib
+
+    img = np.arange(4 * 8 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    p = mc.encode_png(img)
+    # split the single IDAT into two chunks — decoders must concat
+    sig_ihdr, rest = p[:33], p[33:]
+    size = int.from_bytes(rest[:4], "big")
+    body = rest[8 : 8 + size]
+    iend = rest[12 + size :]
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    split = sig_ihdr + chunk(b"IDAT", body[:7]) + chunk(b"IDAT", body[7:]) + iend
+    assert (mc.decode_png(split) == img).all()
+    # PNG and PPM of the same pixels yield identical features
+    assert mc.png_features(p) == mc.ppm_features(mc.encode_ppm(img))
+
+
+@pytest.mark.parametrize(
+    "mutate,msg",
+    [
+        (lambda p: b"\x89PNJ" + p[4:], "bad signature"),
+        (lambda p: p[:40] + bytes([p[40] ^ 0xFF]) + p[41:], "CRC mismatch"),
+        (lambda p: p[:25] + bytes([1]) + p[26:], "CRC mismatch"),  # depth byte
+        (lambda p: p[: len(p) - 12], "missing IEND"),
+    ],
+)
+def test_png_malformed_raises(mutate, msg):
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    with pytest.raises(mc.MediaDecodeError, match=msg):
+        mc.decode_png(mutate(mc.encode_png(img)))
+
+
+def test_png_unsupported_shapes_rejected():
+    import zlib
+
+    # 16-bit depth and palette color types must raise, not misread
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    p = bytearray(mc.encode_png(img))
+    p[24] = 16  # bit depth field inside IHDR data
+    # rebuild IHDR CRC so the depth check (not CRC) is what fires
+    ihdr = bytes(p[12:29])
+    crc = zlib.crc32(ihdr) & 0xFFFFFFFF
+    p[29:33] = crc.to_bytes(4, "big")
+    with pytest.raises(mc.MediaDecodeError, match="8-bit RGB/RGBA"):
+        mc.decode_png(bytes(p))
+
+
+def test_png_resize_real_kernel():
+    img = np.full((4, 4, 3), 77, dtype=np.uint8)
+    out = mc.decode_png(mc.png_resize(mc.encode_png(img), 8, 2))
+    assert out.shape == (2, 8, 3) and (out == 77).all()

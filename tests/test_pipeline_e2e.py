@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import shutil
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from beats_spark.checkpoint import CheckpointedRunner
@@ -633,6 +635,21 @@ def test_result_latest_upsert_semantics(spark, tmp_path):
     }
     assert after == {2: "fixed-2", 3: "new-3"}
     assert runner.result().count() == 5  # history intact until GC
+
+    # advice-r04 #2: a misspelled tombstone column on the LATEST view
+    # must raise, not silently materialize a "clean" run that still
+    # carries the tombstoned keys
+    with pytest.raises(ValueError, match="is_delted"):
+        runner.result_latest(deleted_col="is_delted")
+    # explicit time travel to a pre-evolution snapshot (no tombstone
+    # column existed yet) legitimately skips the filter
+    pre_tt = {
+        r.doc_id: r.text
+        for r in runner.result_latest(
+            version=pre, deleted_col="is_deleted"
+        ).collect()
+    }
+    assert pre_tt == {1: "orig-1", 2: "orig-2"}
 
 
 def test_materialize_latest_physically_erases(spark, tmp_path):
