@@ -512,6 +512,140 @@ def _cell_assign(vec: Column, cents: list[list[float]], n_probe: int = 1) -> Col
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("c"))
 
 
+_MIXER_GROUP_OFFSET = 3_000_017  # distinct index space from cells/planes/dups
+
+
+def ivf_group_plan(k_cells: int) -> tuple[int, int, list[list[int]]]:
+    """Two-level assignment geometry (round-5 verdict item 4 — the
+    FAISS-style hierarchical coarse assignment): g = ⌈√k⌉ groups of
+    m = ⌈k/g⌉ contiguous cells. Pure integer arithmetic (isqrt-based
+    ceil, no float sqrt) so a SQL oracle re-derives the identical
+    (g, m) from the same k — and membership is simply cell // m ==
+    group. Every group is non-empty for k ≥ 1 ((g-1)·⌈k/g⌉ < k)."""
+    import math
+
+    g = math.isqrt(k_cells)
+    if g * g < k_cells:
+        g += 1
+    g = max(g, 1)
+    m = (k_cells + g - 1) // g
+    members = [
+        list(range(j * m, min((j + 1) * m, k_cells))) for j in range(g)
+    ]
+    assert all(members), (k_cells, g, m)
+    return g, m, members
+
+
+def ivf_group_dirs(dim: int, n_groups: int) -> list[list[float]]:
+    """Deterministic ±1 group directions from the integer mixer (the
+    ivf_centroids analog one level up) — oracle-recomputable via
+    mix_sign_sql at _MIXER_GROUP_OFFSET."""
+    return [
+        [
+            1.0 if _mix_sign_bit(_MIXER_GROUP_OFFSET + j * dim + i) else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_groups)
+    ]
+
+
+def group_centroids(
+    cents: list[list[float]], n_groups: int
+) -> tuple[list[list[float]], list[list[int]]]:
+    """Cluster the k coarse centroids into n_groups for trained-IVF
+    two-level assignment (k-means over k points — driver-side numpy,
+    deterministic: farthest-first seed from point 0 + 8 Lloyd steps).
+    Returns (group_dirs, members); empty groups are dropped. This is
+    the FAISS construction step that makes assignment n·(g + k/g)
+    dots instead of n·k — the clusters track the centroid layout, so
+    the nearest group almost always contains the nearest centroid."""
+    import numpy as np
+
+    arr = np.asarray(cents, dtype=np.float64)
+    k = arr.shape[0]
+    n_groups = min(n_groups, k)
+    seeds = [0]
+    d2 = ((arr - arr[0]) ** 2).sum(axis=1)
+    for _ in range(n_groups - 1):
+        nxt = int(d2.argmax())
+        seeds.append(nxt)
+        d2 = np.minimum(d2, ((arr - arr[nxt]) ** 2).sum(axis=1))
+    gc = arr[seeds].copy()
+    for _ in range(8):
+        assign = ((arr[:, None, :] - gc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+        for j in range(n_groups):
+            mask = assign == j
+            if mask.any():
+                gc[j] = arr[mask].mean(axis=0)
+    assign = ((arr[:, None, :] - gc[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    dirs, members = [], []
+    for j in range(n_groups):
+        cells = [int(c) for c in np.nonzero(assign == j)[0]]
+        if cells:
+            dirs.append([float(x) for x in gc[j]])
+            members.append(cells)
+    return dirs, members
+
+
+def _cell_assign_two_level(
+    vec: Column,
+    cents: list[list[float]],
+    n_probe: int,
+    group_dirs: list[list[float]],
+    members: list[list[int]],
+) -> Column:
+    """Hierarchical cell assignment: pick the best group by group-dir
+    dot (ties → lower group), then the n_probe best member cells of
+    THAT group by centroid dot (ties → lower cell). Per-row compute is
+    g + |group| dots — with g = ⌈√k⌉ balanced groups that is ~2√k
+    instead of k (the n·k term recommended_cells' cost model names as
+    the true-scale bottleneck). The CASE chain keeps evaluation lazy:
+    only the winning group's member dots run per row; plan size stays
+    O(k·dim) literals, same as single-level. Sequential folds →
+    cross-engine deterministic (the q26/q41 oracle recipe)."""
+
+    def dot_lits(cent: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    gstructs = F.array(
+        *[
+            F.struct((-dot_lits(gd)).alias("nd"), F.lit(j).alias("g"))
+            for j, gd in enumerate(group_dirs)
+        ]
+    )
+    best_g = F.element_at(F.array_sort(gstructs), 1).getField("g")
+    out: Column | None = None
+    for j, cells_in in enumerate(members):
+        ranked = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-dot_lits(cents[ci])).alias("nd"), F.lit(ci).alias("c")
+                    )
+                    for ci in cells_in
+                ]
+            )
+        )
+        sel = F.transform(
+            F.slice(ranked, 1, min(n_probe, len(cells_in))),
+            lambda s: s.getField("c"),
+        )
+        out = (
+            F.when(best_g == j, sel)
+            if out is None
+            else out.when(best_g == j, sel)
+        )
+    return out
+
+
 def ivf_topk(
     df: DataFrame,
     query_df: DataFrame,
@@ -522,6 +656,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest
     coarse cell (inverted lists = hash partition on cell id); each query
@@ -532,22 +667,39 @@ def ivf_topk(
     (k_cells dots, whole-stage JVM); candidate generation is an
     equi-join on cell id (hash join, no cartesian); only probed-cell
     vectors are scored. With trained centroids and balanced cells the
-    scored fraction ≈ n_probe / k_cells of the corpus."""
+    scored fraction ≈ n_probe / k_cells of the corpus.
+    `two_level=True` switches the corpus-side assignment to the
+    hierarchical ⌈√k⌉-group path (group_centroids + k-means groups):
+    ~2√k dots per corpus vector instead of k — the FAISS construction
+    that keeps assignment sub-n·k when k grows ∝ √n. Queries probe
+    their n_probe best cells WITHIN their best group then."""
     from pyspark.sql.window import Window
 
     cents = centroids if centroids is not None else ivf_centroids(dim, k_cells)
+    if two_level:
+        g, _, _ = ivf_group_plan(len(cents))
+        gdirs, members = group_centroids(cents, g)
+
+        def assign(vec: Column, probe: int) -> Column:
+            return _cell_assign_two_level(vec, cents, probe, gdirs, members)
+
+    else:
+
+        def assign(vec: Column, probe: int) -> Column:
+            return _cell_assign(vec, cents, probe)
+
     # spread the (often single-partition) corpus before the per-row
     # cell-assignment folds
     par = df.sparkSession.sparkContext.defaultParallelism
     corpus = df.repartition(par).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("c_vec"),
-        F.element_at(_cell_assign(F.col(vec_col), cents, 1), 1).alias("cell"),
+        F.element_at(assign(F.col(vec_col), 1), 1).alias("cell"),
     )
     queries = query_df.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_cell_assign(F.col(vec_col), cents, n_probe)).alias("cell"),
+        F.explode(assign(F.col(vec_col), n_probe)).alias("cell"),
     )
     cand = corpus.join(F.broadcast(queries), "cell").filter(
         F.col("cid") != F.col("qid")
@@ -701,6 +853,9 @@ def ivf_dup_candidate_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    two_level: bool = False,
+    group_dirs: list[list[float]] | None = None,
+    group_members: list[list[int]] | None = None,
 ) -> DataFrame:
     """IVF-bucketed candidate stage (VERDICT r03 item 5): bucket by
     TRAINED coarse cell instead of random sign planes. Each vector
@@ -722,11 +877,33 @@ def ivf_dup_candidate_pairs(
         if centroids is not None
         else train_centroids(df, dim, k_cells, id_col=id_col, vec_col=vec_col)
     )
+    if two_level:
+        # hierarchical assignment (round-5 verdict item 4): g + k/g dots
+        # per vector instead of k. group_dirs=None derives k-means groups
+        # from the centroids (the trained path); explicit mixer dirs +
+        # contiguous blocks keep the assignment SQL-oracle-reproducible
+        # (q41). Near-dup recall survives because assignment is a
+        # deterministic function of the vector — near-identical vectors
+        # take the same (group, cell) path.
+        if group_dirs is None:
+            g, _, _ = ivf_group_plan(len(cents))
+            gdirs, members = group_centroids(cents, g)
+        else:
+            gdirs = group_dirs
+            if group_members is None:
+                _, _, members = ivf_group_plan(len(cents))
+            else:
+                members = group_members
+        assign = _cell_assign_two_level(
+            F.col(vec_col), cents, n_probe, gdirs, members
+        )
+    else:
+        assign = _cell_assign(F.col(vec_col), cents, n_probe)
     df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     buckets = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.explode(_cell_assign(F.col(vec_col), cents, n_probe)).alias("bucket"),
+        F.explode(assign).alias("bucket"),
     ).persist()
     a = buckets.select("bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
     b = buckets.select("bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
@@ -749,6 +926,9 @@ def cosine_dup_pairs(
     cells: int | None = None,
     n_probe: int = 2,
     centroids: list[list[float]] | None = None,
+    two_level: bool = False,
+    group_dirs: list[list[float]] | None = None,
+    group_members: list[list[int]] | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) via LSH
     candidate generation + exact verification — the embedding analog of
@@ -775,6 +955,9 @@ def cosine_dup_pairs(
             id_col=id_col,
             vec_col=vec_col,
             centroids=centroids,
+            two_level=two_level,
+            group_dirs=group_dirs,
+            group_members=group_members,
         )
     else:
         pairs = dup_candidate_pairs(
