@@ -61,6 +61,12 @@ from beats_spark.fields import ERROR_COL
 
 CHUNK_COL = "__chunk__"
 
+
+def _bucket_table_name(run_id: str, chunk: int, attempt: int) -> str:
+    """Catalog-safe name for a bucketed chunk's external table."""
+    safe = "".join(c if c.isalnum() else "_" for c in run_id)
+    return f"bs_mor_{safe}_c{chunk}_t{attempt}"
+
 _MANIFEST_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType()),
@@ -294,6 +300,8 @@ class CheckpointedRunner:
         out: DataFrame,
         chunk: int,
         fail_before_commit: bool = False,
+        bucket_key: str | None = None,
+        num_buckets: int | None = None,
     ) -> int | None:
         """Write one already-transformed chunk to a fresh attempt dir
         and atomically publish it under `chunk` — the unit of
@@ -301,7 +309,17 @@ class CheckpointedRunner:
         micro-batches (run_stream_dedup uses batch_id as the chunk id).
         Returns the chunk id, or None when `fail_before_commit`
         simulates a crash after the data files land but before the
-        manifest pointer moves."""
+        manifest pointer moves.
+
+        `bucket_key`/`num_buckets` commit the chunk hash-BUCKETED on
+        the upsert key (verdict-r04 item 5): the write pays the key
+        shuffle once, and `result_latest_bucketed` then merges chunks
+        with ZERO Exchange (co-bucketed sort-merge anti-join cascade —
+        the storage-partitioned MOR read). All bucketed chunks of a
+        run must share (key, n). The commit protocol is unchanged:
+        data lands in the unique attempt dir (the catalog entry is
+        just metadata over it; a crash before the pointer swap leaves
+        an orphaned table name no manifest reader ever resolves)."""
         out = strip_internal(out, keep=(ERROR_COL, CHUNK_COL)).drop(CHUNK_COL)
         # manifest stats ride the write itself via Observation — no
         # second scan of the just-written chunk (same pattern as
@@ -328,7 +346,31 @@ class CheckpointedRunner:
                 1 for d in os.listdir(chunk_root) if d.startswith("try-")
             )
         attempt_dir = os.path.join(chunk_root, f"try-{attempt}")
-        out.write.partitionBy(SINK_COL).mode("overwrite").parquet(attempt_dir)
+        bucket_meta = None
+        if bucket_key is not None:
+            if not num_buckets:
+                raise ValueError("bucketed commit needs num_buckets")
+            # bucketed layout lives in the catalog; the sink partition
+            # column stays a plain data column here (this store serves
+            # the keyed upsert path, not the fan-out sinks)
+            table = _bucket_table_name(self.run_id, chunk, attempt)
+            (
+                out.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(int(num_buckets), bucket_key)
+                .sortBy(bucket_key)
+                .option("path", attempt_dir)
+                .saveAsTable(table)
+            )
+            bucket_meta = {
+                "key": bucket_key,
+                "n": int(num_buckets),
+                "table": table,
+            }
+        else:
+            out.write.partitionBy(SINK_COL).mode("overwrite").parquet(
+                attempt_dir
+            )
         if fail_before_commit:
             return None
         stats_d = obs.get
@@ -350,6 +392,8 @@ class CheckpointedRunner:
             },
             "committed_at": time.time(),
         }
+        if bucket_meta is not None:
+            entry["bucket"] = bucket_meta
         self._commit(self._entries() + [entry])
         return chunk
 
@@ -574,6 +618,96 @@ class CheckpointedRunner:
                 out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
         return out
 
+    def _bucketed_scan(self, e: dict[str, Any]) -> DataFrame:
+        """Scan one bucketed chunk THROUGH the catalog (a plain path
+        read would lose the bucket spec and re-introduce the exchange).
+        A fresh session re-registers the external table from the
+        manifest's bucket metadata — schema inferred from the parquet
+        footers, layout re-declared from the recorded (key, n); the
+        files carry their bucket ids in their names, so the re-created
+        table scan groups them identically."""
+        b = e["bucket"]
+        spark = self.spark
+        if not spark.catalog.tableExists(b["table"]):
+            schema = spark.read.parquet(e["path"]).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema
+            )
+            spark.sql(
+                f"CREATE TABLE `{b['table']}` ({cols}) USING parquet "
+                f"CLUSTERED BY (`{b['key']}`) SORTED BY (`{b['key']}`) "
+                f"INTO {b['n']} BUCKETS LOCATION '{e['path']}'"
+            )
+        return spark.table(b["table"])
+
+    def result_latest_bucketed(
+        self,
+        version: int | None = None,
+        deleted_col: str | None = None,
+    ) -> DataFrame:
+        """`result_latest` over BUCKETED chunks with ZERO Exchange
+        (verdict-r04 item 5): instead of the window's per-key shuffle,
+        the highest chunk wins by construction — take the newest chunk
+        whole, and anti-join each older chunk against the keys of every
+        newer one (a key present later supersedes it). Every anti-join
+        is a co-bucketed sort-merge join (`merge` hint, both sides
+        HashPartitioning(key, n) straight off the scans, anti output
+        keeps the left's partitioning), so the whole merge is network-
+        free — the storage-partitioned-join MOR read; only cheap
+        in-partition sorts remain. Cost is chunks²/2 local merge
+        passes, which periodic materialize_latest keeps small — the
+        write-side bucket shuffle was paid once per commit.
+
+        Requires every non-empty chunk of the run committed with the
+        same (bucket_key, num_buckets); raises on mixed layouts.
+        Tombstone semantics and the misspelled-column guard match
+        result_latest."""
+        mine = [
+            e
+            for e in self._entries_at(version)
+            if e["run_id"] == self.run_id and int(e["row_count"]) > 0
+        ]
+        if not mine:
+            raise FileNotFoundError(
+                f"no committed non-empty chunks for run {self.run_id!r}"
+            )
+        bad = [e["chunk_id"] for e in mine if "bucket" not in e]
+        if bad:
+            raise ValueError(
+                f"chunks {bad} were not committed bucketed — "
+                "use result_latest() (windowed) for mixed layouts"
+            )
+        specs = {(e["bucket"]["key"], e["bucket"]["n"]) for e in mine}
+        if len(specs) > 1:
+            raise ValueError(f"mixed bucket specs {specs}")
+        (key, _n) = next(iter(specs))
+        ordered = sorted(mine, key=lambda e: e["chunk_id"], reverse=True)
+        scans = [self._bucketed_scan(e) for e in ordered]
+        frames: list[DataFrame] = []
+        for i, (e, df) in enumerate(zip(ordered, scans)):
+            cur = df
+            for newer in scans[:i]:
+                cur = cur.hint("merge").join(
+                    newer.select(key), on=key, how="left_anti"
+                )
+            frames.append(cur.withColumn(CHUNK_COL, F.lit(e["chunk_id"])))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f, allowMissingColumns=True)
+        if deleted_col is not None:
+            if deleted_col not in out.columns:
+                if version is None:
+                    raise ValueError(
+                        f"deleted_col {deleted_col!r} not present in the "
+                        f"merged schema {out.columns} — refusing to "
+                        "silently skip tombstone filtering on the latest "
+                        "view (misspelled column?); pass an explicit "
+                        "`version` to time-travel past schema evolution"
+                    )
+            else:
+                out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+        return out
+
     def materialize_latest(
         self,
         new_run_id: str,
@@ -589,8 +723,27 @@ class CheckpointedRunner:
         nothing); after it, the superseded and tombstoned rows are
         PHYSICALLY deleted from disk — the GDPR/takedown guarantee the
         read-side filter alone can't give. Tombstone marker rows are
-        dropped (not carried) and the marker column is removed."""
-        latest = self.result_latest(key=key, version=version, deleted_col=deleted_col)
+        dropped (not carried) and the marker column is removed.
+
+        When every non-empty chunk was committed bucketed on `key`,
+        the merge uses the exchange-free anti-join cascade
+        (result_latest_bucketed) instead of the windowed shuffle."""
+        mine = [
+            e
+            for e in self._entries_at(version)
+            if e["run_id"] == self.run_id and int(e["row_count"]) > 0
+        ]
+        all_bucketed = bool(mine) and all(
+            e.get("bucket", {}).get("key") == key for e in mine
+        )
+        if all_bucketed:
+            latest = self.result_latest_bucketed(
+                version=version, deleted_col=deleted_col
+            )
+        else:
+            latest = self.result_latest(
+                key=key, version=version, deleted_col=deleted_col
+            )
         latest = latest.drop(CHUNK_COL)
         if deleted_col is not None and deleted_col in latest.columns:
             latest = latest.drop(deleted_col)

@@ -691,3 +691,94 @@ def test_materialize_latest_physically_erases(spark, tmp_path):
         assert hits.returncode != 0, f"{needle} still on disk"
     # the clean run still reads correctly after GC
     assert {r.doc_id: r.text for r in clean.result().collect()} == {2: "new-version"}
+
+
+def test_result_latest_bucketed_zero_exchange(spark, tmp_path):
+    """Verdict-r04 item 5: chunks committed bucketed on the upsert key
+    merge with ZERO Exchange — the co-bucketed SMJ anti-join cascade
+    replaces the windowed per-key shuffle. Differential twin: the same
+    data committed plain and read via the windowed result_latest DOES
+    exchange. Tombstones, the misspelled-column guard, crash
+    injection, and fresh-session table re-registration all hold on
+    the bucketed path."""
+    out = str(tmp_path / "morb")
+    r = CheckpointedRunner(spark, out, n_chunks=3, run_id="morb")
+    c0 = spark.createDataFrame(
+        [(1, "orig-1", "es"), (2, "orig-2", "es")],
+        "doc_id long, text string, sink string",
+    )
+    c1 = spark.createDataFrame(
+        [(2, "fixed-2", "es"), (3, "new-3", "es")],
+        "doc_id long, text string, sink string",
+    )
+    c2 = spark.createDataFrame(
+        [(1, None, "es", True)],
+        "doc_id long, text string, sink string, is_deleted boolean",
+    )
+    # crash injection: data lands, pointer does not move, reader blind
+    assert r.commit_chunk(c0, 0, fail_before_commit=True,
+                          bucket_key="doc_id", num_buckets=4) is None
+    r.commit_chunk(c0, 0, bucket_key="doc_id", num_buckets=4)
+    r.commit_chunk(c1, 1, bucket_key="doc_id", num_buckets=4)
+    r.commit_chunk(c2, 2, bucket_key="doc_id", num_buckets=4)
+
+    latest = r.result_latest_bucketed(deleted_col="is_deleted")
+    assert {x.doc_id: x.text for x in latest.collect()} == {
+        2: "fixed-2", 3: "new-3",
+    }
+    plan = latest._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan and "LeftAnti" in plan
+
+    # misspelled tombstone column raises (same guard as the windowed path)
+    with pytest.raises(ValueError, match="is_delted"):
+        r.result_latest_bucketed(deleted_col="is_delted")
+
+    # fresh session simulation: drop catalog tables, read re-registers
+    for t in spark.catalog.listTables():
+        if t.name.startswith("bs_mor_morb"):
+            spark.sql(f"DROP TABLE {t.name}")
+    again = r.result_latest_bucketed(deleted_col="is_deleted")
+    assert {x.doc_id: x.text for x in again.collect()} == {
+        2: "fixed-2", 3: "new-3",
+    }
+    assert "Exchange" not in again._jdf.queryExecution().executedPlan().toString()
+
+    # differential twin: plain commits + windowed read PAYS the exchange
+    rp = CheckpointedRunner(spark, str(tmp_path / "morp"), n_chunks=3, run_id="morp")
+    rp.commit_chunk(c0, 0)
+    rp.commit_chunk(c1, 1)
+    w = rp.result_latest()
+    assert "Exchange" in w._jdf.queryExecution().executedPlan().toString()
+
+    # mixed layout rejected
+    rm = CheckpointedRunner(spark, str(tmp_path / "morm"), n_chunks=2, run_id="morm")
+    rm.commit_chunk(c0, 0, bucket_key="doc_id", num_buckets=4)
+    rm.commit_chunk(c1, 1)
+    with pytest.raises(ValueError, match="not committed bucketed"):
+        rm.result_latest_bucketed()
+
+
+def test_materialize_latest_uses_bucketed_path(spark, tmp_path):
+    """materialize_latest over all-bucketed chunks resolves winners via
+    the exchange-free cascade and still erases physically after GC."""
+    import subprocess
+
+    out = str(tmp_path / "erase_b")
+    r = CheckpointedRunner(spark, out, n_chunks=2, run_id="rawb")
+    c0 = spark.createDataFrame(
+        [(1, "SECRET-B", "es"), (2, "OLD-B", "es")],
+        "doc_id long, text string, sink string",
+    )
+    c1 = spark.createDataFrame(
+        [(2, "new-b", "es", False), (1, None, "es", True)],
+        "doc_id long, text string, sink string, is_deleted boolean",
+    )
+    r.commit_chunk(c0, 0, bucket_key="doc_id", num_buckets=4)
+    r.commit_chunk(c1, 1, bucket_key="doc_id", num_buckets=4)
+    clean = r.materialize_latest("cleanb", deleted_col="is_deleted")
+    assert {x.doc_id: x.text for x in clean.result().collect()} == {2: "new-b"}
+    assert clean.cleanup({"cleanb"}) == 2
+    for needle in ("SECRET-B", "OLD-B"):
+        hits = subprocess.run(["grep", "-r", "-l", needle, out], capture_output=True)
+        assert hits.returncode != 0, needle
