@@ -215,3 +215,56 @@ def rollup_sketches(sketch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
     if keys:
         return sketch_df.groupBy(*keys).agg(agg)
     return sketch_df.agg(agg)
+
+
+def quantile_sketch_table(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    k: int = 4096,
+) -> DataFrame:
+    """Pre-aggregated quantile table — the KLL (Apache DataSketches)
+    twin of distinct_sketch_table (verdict-r04 item 8): one mergeable
+    rank sketch of `value_col` (BIGINT) per fine-grain key, built in
+    ONE scan of the facts with map-side partial merges. Every coarser
+    grain (and the global figure) is then answered from these
+    dimension-sized rows via `rollup_quantiles` without re-reading
+    facts — the property exact percentiles fundamentally lack
+    (order statistics don't merge; KLL sketches do, with a proven
+    rank-error bound). At 100 TB: one fact scan total, not one per
+    dashboard grain.
+
+    Accuracy contract: quantiles are EXACT (the ceil(q·n)-th order
+    statistic, DataSketches inclusive rule) while every sketch —
+    including every MERGED rollup — retains all its items, i.e. while
+    grain n ≤ k (verified empirically: n=3000 k=4096 exact through a
+    7-way merge; the regime the q65 oracle checks at test scales).
+    Beyond it the normalized rank error is ~1.33%·(200/k)^0.5 — the
+    estimate-regime band test_kll_estimate_regime_rank_band pins."""
+    return df.groupBy(*keys).agg(
+        F.kll_sketch_agg_bigint(value_col, F.lit(int(k))).alias("q_sketch")
+    )
+
+
+def rollup_quantiles(
+    sketch_df: DataFrame,
+    keys: Sequence[str],
+    quantiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Merge a `quantile_sketch_table` to a coarser grain (any key
+    subset, or none for global) and read the requested quantiles +
+    the merged item count. Moves |fine-grain| sketch rows, never
+    facts."""
+    merged = F.kll_merge_agg_bigint("q_sketch").alias("q_sketch")
+    base = (
+        sketch_df.groupBy(*keys).agg(merged) if keys else sketch_df.agg(merged)
+    )
+    cols = [F.col(c) for c in keys]
+    cols.append(F.kll_sketch_get_n_bigint("q_sketch").alias("n"))
+    for q in quantiles:
+        cols.append(
+            F.kll_sketch_get_quantile_bigint("q_sketch", F.lit(float(q))).alias(
+                f"p{round(q * 100):02d}"
+            )
+        )
+    return base.select(*cols)

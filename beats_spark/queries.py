@@ -2006,6 +2006,81 @@ SELECT * FROM (
 ORDER BY level, k"""
 
 
+# --- q65: mergeable KLL quantile rollup (metrics.py) -------------------------
+
+
+def q_kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KLL twin of q63's HLL rollup (verdict-r04 item 8): ONE scan
+    of the fact subset builds a mergeable rank sketch per
+    (event_type, day); the by-type / by-day / global grains merge
+    sketches (kll_merge_agg_bigint) without re-reading facts. The
+    1/37 event_id sample keeps every grain — including the merged
+    global one — inside the k=4096 exact regime at all test scales
+    (max ~2.7k items at sf0.1), where the quantile is exactly the
+    DataSketches inclusive rule: the item at natural rank
+    ceil(double(q)·n) — the arithmetic the oracle replays with
+    '…'::DOUBLE-pinned multiplication. Estimate-regime behavior
+    beyond k is banded in test_kll_estimate_regime_rank_band."""
+    from beats_spark.metrics import quantile_sketch_table, rollup_quantiles
+
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    d = F.lit(86_400_000_000)
+    day_idx = ((us - F.pmod(us, d)) / d).cast("long")
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.pmod(F.col("event_id"), F.lit(37)) == 0)
+        .select(
+            "event_type",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 1000).cast("long").alias("milli"),
+        )
+    )
+    sk = quantile_sketch_table(ev, ["event_type", "day_idx"], "milli").cache()
+    by_type = rollup_quantiles(sk, ["event_type"]).select(
+        F.lit("type").alias("level"), F.col("event_type").alias("k"),
+        "n", "p50", "p90",
+    )
+    by_day = rollup_quantiles(sk, ["day_idx"]).select(
+        F.lit("day").alias("level"), F.col("day_idx").cast("string").alias("k"),
+        "n", "p50", "p90",
+    )
+    total = rollup_quantiles(sk, []).select(
+        F.lit("all").alias("level"), F.lit("*").alias("k"), "n", "p50", "p90"
+    )
+    return by_type.unionByName(by_day).unionByName(total).orderBy("level", "k")
+
+
+def q_kll_quantile_rollup_oracle() -> str:
+    def grain(level: str, key_expr: str, part: str) -> str:
+        return f"""
+  SELECT '{level}' AS level, {key_expr} AS k, CAST(n AS BIGINT) AS n,
+         CAST(max(CASE WHEN rn = CAST(ceil('0.5'::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+                  THEN milli END) AS BIGINT) AS p50,
+         CAST(max(CASE WHEN rn = CAST(ceil('0.9'::DOUBLE * CAST(n AS DOUBLE)) AS BIGINT)
+                  THEN milli END) AS BIGINT) AS p90
+  FROM (SELECT *,
+               row_number() OVER (PARTITION BY {part} ORDER BY milli) AS rn,
+               count(*) OVER (PARTITION BY {part}) AS n
+        FROM t)
+  GROUP BY level, k, n"""
+
+    return f"""
+WITH t AS (
+  SELECT event_type,
+         CAST((epoch_us(ts)
+               - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+              // 86400000000 AS BIGINT) AS day_idx,
+         CAST(floor(value * 1000) AS BIGINT) AS milli
+  FROM events WHERE event_id % 37 = 0)
+SELECT * FROM (
+{grain("type", "event_type", "event_type")}
+  UNION ALL
+{grain("day", "CAST(day_idx AS VARCHAR)", "day_idx")}
+  UNION ALL
+{grain("all", "'*'", "1")})
+ORDER BY level, k"""
+
+
 # --- q58: multi-level rollup (grouping sets) ------------------------------------
 
 
@@ -2321,6 +2396,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_transitions": q_transitions,
         "q62_session_paths": q_session_paths,
         "q63_sketch_rollup": q_sketch_rollup,
+        "q65_kll_quantile_rollup": q_kll_quantile_rollup,
         "q66_png_decode": q_png_decode,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
@@ -2431,5 +2507,6 @@ def _base_oracles() -> dict[str, str]:
         "q59_transitions": q_transitions_oracle(),
         "q62_session_paths": q_session_paths_oracle(),
         "q63_sketch_rollup": q_sketch_rollup_oracle(),
+        "q65_kll_quantile_rollup": q_kll_quantile_rollup_oracle(),
         "q66_png_decode": q_png_decode_oracle(),
     }

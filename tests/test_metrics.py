@@ -271,3 +271,63 @@ def test_streaming_counter_rate_multi_chunk_group(spark, tmp_path):
         None if i == 0 else 10, None if i == 0 else 1_000_000
     ) for i in range(12)}
     assert got == want
+
+
+def test_kll_rollup_merge_equals_single_pass_exact_regime(spark):
+    """Verdict-r04 item 8 mergeability gate: merging per-group KLL
+    sketches answers the same quantiles as one single-pass sketch over
+    all facts — bit-equal in the exact regime (every sketch retains
+    all items), where both equal the ceil(q·n)-th order statistic."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from beats_spark.metrics import quantile_sketch_table, rollup_quantiles
+
+    vals = [((v * 48_271) % 3001, v % 11) for v in range(1, 2501)]
+    df = spark.createDataFrame(vals, "milli long, g int").repartition(8)
+    sk = quantile_sketch_table(df, ["g"], "milli")
+    merged = rollup_quantiles(sk, [], quantiles=(0.5, 0.9)).collect()[0]
+    single = (
+        rollup_quantiles(
+            quantile_sketch_table(df, [], "milli"), [], quantiles=(0.5, 0.9)
+        ).collect()[0]
+    )
+    assert (merged.n, merged.p50, merged.p90) == (single.n, single.p50, single.p90)
+    ordered = sorted(m for m, _ in vals)
+    n = len(ordered)
+    assert merged.n == n
+    assert merged.p50 == ordered[math.ceil(0.5 * n) - 1]
+    assert merged.p90 == ordered[math.ceil(0.9 * n) - 1]
+
+
+def test_kll_estimate_regime_rank_band(spark):
+    """Beyond the exact regime (n >> k) the merged estimate must stay
+    inside KLL's published normalized-rank error (~1.33% at k=200;
+    assert a generous 3% band) — the honest sketch contract at the
+    scales where exactness is impossible."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.metrics import quantile_sketch_table, rollup_quantiles
+
+    n = 60_000
+    df = (
+        spark.range(1, n + 1)
+        .select(
+            ((F.col("id") * 48_271) % 1_000_003).alias("milli"),
+            (F.col("id") % 16).cast("int").alias("g"),
+        )
+        .repartition(8)
+    )
+    sk = quantile_sketch_table(df, ["g"], "milli", k=200)
+    got = rollup_quantiles(sk, [], quantiles=(0.5, 0.9)).collect()[0]
+    assert got.n == n
+    ordered = sorted(
+        r.milli for r in df.select("milli").collect()
+    )
+    for q, est in ((0.5, got.p50), (0.9, got.p90)):
+        # normalized rank of the estimate vs requested rank
+        import bisect
+
+        rank = bisect.bisect_right(ordered, est) / n
+        assert abs(rank - q) <= 0.03, (q, est, rank)
