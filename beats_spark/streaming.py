@@ -507,3 +507,104 @@ def streaming_counter_rate(
     return df.groupBy(F.col(key_col)).applyInPandasWithState(
         update, _CR_OUT, _CR_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# --- stateful ordered funnel (product-analytics twin, verdict-r04 #9) --------
+
+_FN_OUT = "user string, depth int, events_seen long"
+_FN_STATE = "mask long, first0_us long, n_events long"
+
+
+def streaming_funnel_depth(
+    df: DataFrame,
+    user_col: str,
+    ts_us_col: str,
+    type_col: str,
+    stages: list[str],
+    within_seconds: float | None = None,
+    tiebreak_col: str | None = None,
+):
+    """Continuous twin of `funnel.funnel_depth`: the per-user stage
+    automaton carried across micro-batches in GroupState
+    (stage bitmask, first-stage-0 µs, event count). Emits one row per
+    user per micro-batch that touched them, with the user's CURRENT
+    depth — so the latest row per user always equals what the batch
+    engine computes over the union of all micro-batches (pinned in
+    tests across file-split boundaries, with a stage transition
+    landing exactly on a boundary).
+
+    Semantics mirror the batch form exactly: stage k counts only when
+    its event arrives strictly AFTER some event completing stage k−1
+    (the bitmask is consulted BEFORE the current row's bits are
+    merged, matching the batch rowsBetween(…, -1) window), and with
+    `within_seconds` stages past the first must land within the
+    budget of the user's first stage-0 event — where "first" is the
+    min over STRICTLY PREVIOUS rows, so the state's first0 updates
+    after the row is evaluated, like the batch window min. Same
+    in-order-per-key arrival contract as streaming_counter_rate;
+    within a batch rows sort by (ts, tiebreak) AFTER concatenating
+    Arrow chunks (the cross-chunk ordering fix)."""
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+    if len(stages) < 2:
+        raise ValueError("streaming_funnel_depth: need at least 2 stages")
+    budget_us = (
+        int(within_seconds * 1_000_000) if within_seconds is not None else None
+    )
+    stage_idx = {s: k for k, s in enumerate(stages)}
+    n_stages = len(stages)
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        mask, first0, n_ev = state.get if state.exists else (0, None, 0)
+        pdf = _merged_chunks(pdfs)
+        if pdf is not None:
+            order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(order)
+            us_v = pdf[ts_us_col].astype("int64").tolist()
+            ty_v = pdf[type_col].tolist()
+            for us, ty in zip(us_v, ty_v):
+                k = stage_idx.get(ty)
+                n_ev += 1
+                if k is None:
+                    continue
+                if k == 0:
+                    new_bit = 1
+                elif mask & (1 << (k - 1)):
+                    if budget_us is not None:
+                        # strictly-previous first0 only (batch window
+                        # semantics) — first0 is pre-row state here
+                        new_bit = (
+                            1 if first0 is not None and us <= first0 + budget_us
+                            else 0
+                        )
+                    else:
+                        new_bit = 1
+                else:
+                    new_bit = 0
+                if new_bit:
+                    mask |= 1 << k
+                # first0 updates AFTER evaluation: the row's own
+                # stage-0 event never funds its own budget check
+                if k == 0 and first0 is None:
+                    first0 = us
+        state.update((mask, first0, n_ev))
+        # depth = longest prefix of set stage bits
+        depth = 0
+        while depth < n_stages and mask & (1 << depth):
+            depth += 1
+        yield pd.DataFrame(
+            {
+                "user": [str(key[0])],
+                "depth": [depth],
+                "events_seen": [n_ev],
+            }
+        )
+
+    return df.groupBy(F.col(user_col)).applyInPandasWithState(
+        update, _FN_OUT, _FN_STATE, "update", GroupStateTimeout.NoTimeout
+    )

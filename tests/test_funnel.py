@@ -155,3 +155,76 @@ def test_session_paths_hand_oracle(spark):
     assert got == [("a>b", 2), ("a", 1), ("a>b>c>d>e", 1)]
     plan = session_paths(df)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_streaming_funnel_matches_batch_across_microbatches(spark, tmp_path):
+    """Verdict-r04 item 9: the GroupState funnel automaton ends at
+    EXACTLY the batch engine's per-user depth, with stage transitions
+    split across micro-batch files (u1's click lands in file 2, its
+    purchase in file 3; u3's purchase arrives BEFORE its click and
+    must not count; u4's click blows the within-budget)."""
+    import os
+
+    from beats_spark.streaming import streaming_funnel_depth
+
+    rows = [
+        ("u1", 1, "2024-01-01 00:00:00", "view"),
+        ("u2", 2, "2024-01-01 00:00:01", "view"),
+        ("u3", 3, "2024-01-01 00:00:02", "purchase"),   # out of order
+        ("u1", 4, "2024-01-01 00:10:00", "click"),
+        ("u3", 5, "2024-01-01 00:10:01", "view"),
+        ("u4", 6, "2024-01-01 00:10:02", "view"),
+        ("u1", 7, "2024-01-01 00:20:00", "purchase"),
+        ("u3", 8, "2024-01-01 00:20:01", "click"),
+        ("u4", 9, "2024-01-01 02:20:02", "click"),      # past 1h budget
+        ("u2", 10, "2024-01-01 00:20:03", "unknown"),
+    ]
+    within = 3600.0
+    batch = funnel_depth(
+        _ev(spark, rows), "user_id", "ts", "event_type", STAGES,
+        within_seconds=within, tiebreak_col="eid",
+    )
+    want = {r.user_id: r.depth for r in batch.collect()}
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = (
+        _ev(spark, rows)
+        .withColumn("ts_us", F.unix_micros("ts"))
+        .select("user_id", "eid", "ts_us", "event_type")
+        .toPandas()
+        .sort_values("eid")
+    )
+    for i, part in enumerate([pdf.iloc[:4], pdf.iloc[4:7], pdf.iloc[7:]]):
+        part.to_json(f"{src}/f{i}.json", orient="records", lines=True)
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("user_id string, eid long, ts_us long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = streaming_funnel_depth(
+        stream, user_col="user_id", ts_us_col="ts_us",
+        type_col="event_type", stages=list(STAGES),
+        within_seconds=within, tiebreak_col="eid",
+    )
+    emitted = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _: emitted.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    # final emission per user == batch depth
+    final: dict = {}
+    for r in emitted:
+        final[r.user] = r.depth  # later micro-batches overwrite
+    assert final == want, (final, want)
+    assert want == {"u1": 3, "u2": 1, "u3": 2, "u4": 1}
+    # intermediate emissions are monotone non-decreasing per user
+    seen: dict = {}
+    for r in emitted:
+        assert r.depth >= seen.get(r.user, 0)
+        seen[r.user] = r.depth
