@@ -268,3 +268,77 @@ def rollup_quantiles(
             )
         )
     return base.select(*cols)
+
+
+def mad_anomalies(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust per-group anomaly detection: |x − median| > threshold ·
+    MAD (median absolute deviation) — the outlier rule that, unlike
+    the z-score (q53), a single extreme value cannot drag (breakdown
+    point 50% vs 0%). The ES watcher / SRE runbook staple for skewed
+    latency metrics.
+
+    Plan shape: two grouped percentile aggregates over ONE key
+    partitioning (group medians broadcast back to the facts — same
+    zscore recipe: the fact table is never shuffled, only the
+    dimension-sized stats move), then a codegen filter.
+
+    Determinism: exact F.percentile interpolation — Spark and DuckDB
+    quantile_cont share the p·(n−1) rule AND the IEEE result bits (the
+    q48 finding); medians/MADs of integer inputs are .0/.5 doubles,
+    exactly representable, no rounding anywhere."""
+    med = df.groupBy(*keys).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med__")
+    )
+    with_med = df.join(F.broadcast(med), on=list(keys))
+    dev = F.abs(F.col(value_col).cast("double") - F.col("__med__"))
+    mad = with_med.groupBy(*keys).agg(
+        F.percentile(dev, F.lit(0.5)).alias("__mad__"),
+        F.first("__med__").alias("__med__"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    flagged = with_med.drop("__med__").join(F.broadcast(mad), on=list(keys))
+    return flagged.withColumn(
+        "is_anomaly",
+        dev > F.lit(float(threshold)) * F.col("__mad__"),
+    ).withColumnRenamed("__med__", "med").withColumnRenamed("__mad__", "mad")
+
+
+def theta_overlap_matrix(
+    df: DataFrame,
+    key_col: str,
+    member_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Pairwise audience overlap: a Theta sketch of `member_col` per
+    `key_col` value, then intersection/union ESTIMATES for every key
+    pair — the segment-overlap question HLL fundamentally cannot
+    answer (HLL unions only; Theta sketches close under intersection
+    and difference, the reason DataSketches ships both).
+
+    ONE fact scan builds the sketches; the pair matrix is a broadcast
+    self-join of the |keys|-row sketch table — facts never shuffle.
+    Exact while sketches stay under ~2^lg_k retained members (the
+    regime the q69 oracle checks; ~3% relative error beyond)."""
+    sk = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.theta_sketch_agg(member_col, F.lit(int(lg_k))).alias("sk")
+    )
+    a = sk.select(F.col("k").alias("k_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("k").alias("k_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("k_a") < F.col("k_b"))
+    return pairs.select(
+        "k_a",
+        "k_b",
+        F.theta_sketch_estimate(F.col("sk_a")).cast("long").alias("n_a"),
+        F.theta_sketch_estimate(F.col("sk_b")).cast("long").alias("n_b"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).cast("long").alias("n_both"),
+        F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b")))
+        .cast("long")
+        .alias("n_either"),
+    )

@@ -1405,6 +1405,250 @@ SELECT doc_id,
 FROM s ORDER BY doc_id"""
 
 
+# --- q67: BM25 relevance top-k (relevance.py) --------------------------------
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-rank the corpus against a 3-term query (relevance.py —
+    the ES match-query scorer as a batch scan): corpus stats reduce
+    to one broadcast row, term frequencies are in-scan HOF filters,
+    top-20 via the row_number WindowGroupLimit form. Scores round to
+    4dp; the oracle replays the identical double chain (sequential
+    term sum, '…'::DOUBLE-pinned constants) — ln() agreement on the
+    handful of idf inputs is exactly what the 3-scale gate checks
+    (the q48 IEEE-parity recipe)."""
+    from beats_spark.relevance import bm25_topk
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return bm25_topk(docs, ("join", "window", "stream"), k=20).orderBy("rank")
+
+
+def q_bm25_oracle() -> str:
+    split = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+    terms = ("join", "window", "stream")
+    comp = []
+    for i, t in enumerate(terms):
+        idf = (
+            f"ln('1'::DOUBLE + (CAST(n_docs AS DOUBLE) - CAST(df_{i} AS DOUBLE)"
+            f" + '0.5'::DOUBLE) / (CAST(df_{i} AS DOUBLE) + '0.5'::DOUBLE))"
+        )
+        denom = (
+            f"(CAST(tf_{i} AS DOUBLE) + '1.2'::DOUBLE * ('0.25'::DOUBLE + "
+            f"'0.75'::DOUBLE * CAST(dl AS DOUBLE) / "
+            f"(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        )
+        comp.append(f"{idf} * CAST(tf_{i} AS DOUBLE) * '2.2'::DOUBLE / {denom}")
+    score = "('0'::DOUBLE + " + " + ".join(comp) + ")"
+    tfs = ",\n         ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    dfs = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH w AS (SELECT doc_id, {split} AS ws FROM documents),
+t AS (
+  SELECT doc_id, len(ws) AS dl,
+         {tfs}
+  FROM w),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl, {dfs} FROM t),
+scored AS (
+  SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+         round({score}, 4) AS score4
+  FROM t CROSS JOIN s),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score4 DESC, doc_id) AS rank
+  FROM scored)
+SELECT doc_id, dl, score4, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 20 ORDER BY rank"""
+
+
+# --- q68: MAD robust anomalies (metrics.py) ----------------------------------
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outliers per event_type (metrics.mad_anomalies — the
+    robust twin of q53's z-score: one extreme value cannot drag the
+    threshold). Facts never shuffle: group medians broadcast back.
+    Emitted medians/MADs of integer milli-values are .0/.5 doubles —
+    exactly representable, no rounding; Spark F.percentile and DuckDB
+    quantile_cont share interpolation AND result bits (q48)."""
+    from beats_spark.metrics import mad_anomalies
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("milli"),
+    )
+    out = mad_anomalies(ev, keys=("event_type",), value_col="milli")
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.first("n").alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+            F.sum(F.when(F.col("is_anomaly"), F.col("event_id"))).alias(
+                "anomaly_id_sum"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_anomaly_mad_oracle() -> str:
+    return """
+WITH t AS (
+  SELECT event_type, event_id, CAST(floor(value * 1000) AS BIGINT) AS milli
+  FROM events),
+med AS (
+  SELECT event_type, quantile_cont(milli, '0.5'::DOUBLE) AS med,
+         CAST(count(*) AS BIGINT) AS n
+  FROM t GROUP BY event_type),
+dev AS (
+  SELECT t.event_type, t.event_id, med.med, med.n,
+         abs(CAST(t.milli AS DOUBLE) - med.med) AS d
+  FROM t JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(d, '0.5'::DOUBLE) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type, any_value(d.n) AS n, any_value(d.med) AS med,
+       any_value(mad.mad) AS mad,
+       CAST(sum(CASE WHEN d.d > '3'::DOUBLE * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_anomalies,
+       CAST(sum(CASE WHEN d.d > '3'::DOUBLE * mad.mad THEN d.event_id END)
+            AS BIGINT) AS anomaly_id_sum
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type"""
+
+
+# --- q69: theta-sketch audience overlap (metrics.py) -------------------------
+
+
+def q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user overlap between event types via Theta
+    sketches (metrics.theta_overlap_matrix): one fact scan → per-type
+    sketch → broadcast self-join of the |types|-row table →
+    intersection/union estimates. The set-intersection capability is
+    what Theta adds over q63's HLL (HLL unions only). Exact while
+    every per-type audience stays under 2^12 retained members — the
+    regime at all test scales (≤1500 users), so the exact-distinct
+    oracle hash-matches; ~3% error beyond, by design."""
+    from beats_spark.metrics import theta_overlap_matrix
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return theta_overlap_matrix(ev, "event_type", "user_id").orderBy(
+        "k_a", "k_b"
+    )
+
+
+def q_theta_overlap_oracle() -> str:
+    return """
+WITH s AS (SELECT DISTINCT event_type AS k, user_id FROM events),
+c AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY k),
+b AS (
+  SELECT x.k AS k_a, y.k AS k_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM s x JOIN s y ON x.user_id = y.user_id AND x.k < y.k
+  GROUP BY 1, 2)
+SELECT ca.k AS k_a, cb.k AS k_b, ca.n AS n_a, cb.n AS n_b,
+       coalesce(b.n_both, 0) AS n_both,
+       ca.n + cb.n - coalesce(b.n_both, 0) AS n_either
+FROM c ca JOIN c cb ON ca.k < cb.k
+LEFT JOIN b ON b.k_a = ca.k AND b.k_b = cb.k
+ORDER BY k_a, k_b"""
+
+
+# --- q70: skip-gram co-occurrence / PMI association (text.py) ----------------
+
+
+def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word associations by PMI-style lift over ±3 skip-gram
+    co-occurrence (text.cooccurrence_pairs): pairs generate inside
+    each row (bounded n_words·3 explode, no self-join), marginals and
+    totals broadcast back. lift = (c_xy·N_u/N_p)·N_u/c_x/c_y — the
+    exp(PMI) rational, computed as the identical left-assoc double
+    chain on both engines and rounded to 6dp (the cosine recipe; no
+    ln needed for ranking a monotone transform)."""
+    from beats_spark.training.text import cooccurrence_pairs, words
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    pairs = cooccurrence_pairs(docs, window=3)
+    uni = (
+        docs.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = pairs.agg(F.sum("n_pair").alias("n_p")).crossJoin(
+        uni.agg(F.sum("c").alias("n_u"))
+    )
+    j = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("w").alias("w_a"), F.col("c").alias("c_a"))),
+            "w_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w_b"), F.col("c").alias("c_b"))),
+            "w_b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_u").cast("double")
+        / F.col("n_p").cast("double")
+        * F.col("n_u").cast("double")
+        / F.col("c_a").cast("double")
+        / F.col("c_b").cast("double")
+    )
+    from pyspark.sql.window import Window
+
+    # global top-k → TakeOrderedAndProject (map-side local top-k; a
+    # rank-filtered window without a partition spec would single-
+    # partition the whole pair table), rank assigned over the 25 rows
+    top = (
+        j.select(
+            "w_a", "w_b", "n_pair", "c_a", "c_b", F.round(lift, 6).alias("lift6")
+        )
+        .orderBy(F.desc("lift6"), F.col("w_a"), F.col("w_b"))
+        .limit(25)
+    )
+    w = Window.orderBy(F.desc("lift6"), F.col("w_a"), F.col("w_b"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def q_cooccurrence_oracle() -> str:
+    split = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
+    return f"""
+WITH w AS (SELECT doc_id, {split} AS ws FROM documents),
+pr AS (
+  SELECT least(ws[i], ws[j]) AS w_a, greatest(ws[i], ws[j]) AS w_b
+  FROM w, LATERAL unnest(range(1, len(ws) + 1)) t(i),
+       LATERAL unnest(range(i + 1, least(i + 3, len(ws)) + 1)) u(j)),
+pairs AS (SELECT w_a, w_b, CAST(count(*) AS BIGINT) AS n_pair
+          FROM pr GROUP BY w_a, w_b),
+uni AS (SELECT x AS w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(ws) AS x FROM w) GROUP BY x),
+tot AS (SELECT (SELECT CAST(sum(n_pair) AS BIGINT) FROM pairs) AS n_p,
+               (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_u),
+j AS (
+  SELECT p.w_a, p.w_b, p.n_pair, ua.c AS c_a, ub.c AS c_b,
+         round(CAST(p.n_pair AS DOUBLE) * CAST(t.n_u AS DOUBLE)
+               / CAST(t.n_p AS DOUBLE) * CAST(t.n_u AS DOUBLE)
+               / CAST(ua.c AS DOUBLE) / CAST(ub.c AS DOUBLE), 6) AS lift6
+  FROM pairs p
+  JOIN uni ua ON ua.w = p.w_a
+  JOIN uni ub ON ub.w = p.w_b
+  CROSS JOIN tot t),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY lift6 DESC, w_a, w_b) AS rank
+  FROM j)
+SELECT w_a, w_b, n_pair, c_a, c_b, lift6, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 25 ORDER BY rank"""
+
+
 # --- catalog -----------------------------------------------------------------
 
 
@@ -2398,6 +2642,10 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_sketch_rollup": q_sketch_rollup,
         "q65_kll_quantile_rollup": q_kll_quantile_rollup,
         "q66_png_decode": q_png_decode,
+        "q67_bm25": q_bm25,
+        "q68_anomaly_mad": q_anomaly_mad,
+        "q69_theta_overlap": q_theta_overlap,
+        "q70_cooccurrence": q_cooccurrence,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -2415,8 +2663,8 @@ _WITNESS_FIRST = [
     # flagship pair: always in the witnessed prefix
     "q01_route_counts", "q02_token_integrity",
     # round-5 additions (never witnessed)
-    "q65_kll_quantile_rollup", "q66_png_decode", "q67_streaming_rate",
-    "q68_bm25", "q69_anomaly_mad", "q70_tokenizer",
+    "q65_kll_quantile_rollup", "q66_png_decode", "q67_bm25",
+    "q68_anomaly_mad", "q69_theta_overlap", "q70_cooccurrence",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -2509,4 +2757,8 @@ def _base_oracles() -> dict[str, str]:
         "q63_sketch_rollup": q_sketch_rollup_oracle(),
         "q65_kll_quantile_rollup": q_kll_quantile_rollup_oracle(),
         "q66_png_decode": q_png_decode_oracle(),
+        "q67_bm25": q_bm25_oracle(),
+        "q68_anomaly_mad": q_anomaly_mad_oracle(),
+        "q69_theta_overlap": q_theta_overlap_oracle(),
+        "q70_cooccurrence": q_cooccurrence_oracle(),
     }

@@ -1,0 +1,117 @@
+"""Text relevance scoring: BM25 over whitespace tokens — the ES
+`match` query's ranking function (Lucene BM25Similarity), re-expressed
+as native Spark expressions so scoring a 100 TB corpus is one codegen
+scan plus a broadcast of corpus-level statistics.
+
+Reference analog: Beats ships log lines to Elasticsearch where BM25
+ranks them at query time; in a Spark-first engine the same ranking is
+a batch scoring pass (e.g. relevance-filtering a training corpus
+against seed queries).
+
+Scale shape: corpus stats (N, avgdl, per-term df) reduce to ONE tiny
+aggregate row cross-joined (broadcast) back to the scan — facts are
+never shuffled; per-doc term frequencies are HOF filters over the
+token array inside the same projection. Top-k selection is the
+row_number()<=k WindowGroupLimit form.
+
+Determinism: idf uses ln() — not guaranteed correctly rounded across
+engines in general, so scores are rounded to 4dp and the oracle gate
+verifies the actual inputs bitwise at every test scale (the q48
+percentile recipe); all other arithmetic is IEEE-identical double
+chains evaluated in the same order on both engines.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from beats_spark.training import text
+
+
+def _tf(words: Column, term: str) -> Column:
+    # factory keeps the lambda arity exactly 1 (pyspark HOF contract)
+    return F.size(F.filter(words, lambda w: w == term))
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for a bag of query `terms`:
+
+        score = Σ_t idf(t) · tf_t·(k1+1) / (tf_t + k1·(1−b+b·dl/avgdl))
+        idf(t) = ln(1 + (N − df_t + 0.5)/(df_t + 0.5))   (Lucene form)
+
+    Terms sum in the given order (sequential fold) so a SQL twin
+    reproduces the identical double. Returns (id, dl, tf_<i>…, score)."""
+    words = text.words(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        words.alias("__ws__"),
+        F.size(words).cast("long").alias("dl"),
+        *[_tf(words, t).cast("long").alias(f"tf_{i}") for i, t in enumerate(terms)],
+    ).drop("__ws__")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score: Column = F.lit(0.0)
+    for i in range(len(terms)):
+        dfi = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfi + F.lit(0.5))
+            / (dfi + F.lit(0.5))
+        )
+        tf = F.col(f"tf_{i}").cast("double")
+        denom = tf + F.lit(float(k1)) * (
+            F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast("double") / avgdl
+        )
+        score = score + idf * tf * F.lit(float(k1) + 1.0) / denom
+    return scored.select(
+        F.col(id_col),
+        F.col("dl"),
+        *[F.col(f"tf_{i}") for i in range(len(terms))],
+        score.alias("score"),
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    terms: Sequence[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25, rounded to 4dp with id tiebreak.
+
+    Global top-k does NOT get Spark's WindowGroupLimit rewrite (that
+    needs a partition spec), so a rank-filtered window would drag the
+    whole corpus into one partition. orderBy().limit(k) instead plans
+    as TakeOrderedAndProject — every map task keeps its local top-k,
+    the driver merges tasks·k rows; the rank window then runs over the
+    k-row result only."""
+    scored = bm25_scores(df, terms, id_col=id_col, text_col=text_col, k1=k1, b=b)
+    s4 = F.round(F.col("score"), 4).alias("score4")
+    top = (
+        scored.select(F.col(id_col), F.col("dl"), s4)
+        .orderBy(F.desc("score4"), F.col(id_col))
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.desc("score4"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w))

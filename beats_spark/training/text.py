@@ -290,3 +290,54 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(c))
         .withColumn("fingerprint", doc_fingerprint(c))
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 3,
+) -> DataFrame:
+    """Skip-gram co-occurrence counts: every unordered word pair whose
+    positions are ≤ `window` apart inside a document, normalized as
+    (lexicographic min, max) — the counting pass behind PMI phrase
+    mining / word-association tables (word2vec's context window,
+    counted exactly).
+
+    Scale shape: pairs generate INSIDE the row via nested array
+    transforms (≤ n_words·window structs per doc — a bounded, local
+    explode like q24's token windows), then one (w_a, w_b) groupBy.
+    Facts carry two short strings per generated row into the
+    exchange; no self-join anywhere."""
+    ws = words(F.col(text_col))
+    n = F.size(ws)
+
+    def pairs_from(ws_col: Column, n_col: Column) -> Column:
+        def outer(i: Column) -> Column:
+            def inner(j: Column) -> Column:
+                a = F.element_at(ws_col, i)
+                b = F.element_at(ws_col, j)
+                return F.struct(
+                    F.least(a, b).alias("w_a"), F.greatest(a, b).alias("w_b")
+                )
+
+            return F.transform(
+                F.sequence(i + 1, F.least(i + F.lit(window), n_col)), inner
+            )
+
+        # sequence(start, stop) DESCENDS when start > stop — guard the
+        # tail positions to an empty list instead
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n_col),
+                lambda i: F.when(i < n_col, outer(i)).otherwise(
+                    F.array().cast("array<struct<w_a:string,w_b:string>>")
+                ),
+            )
+        )
+
+    exploded = df.select(
+        F.explode(pairs_from(ws, n)).alias("p")
+    ).select(F.col("p.w_a").alias("w_a"), F.col("p.w_b").alias("w_b"))
+    return exploded.groupBy("w_a", "w_b").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )

@@ -65,13 +65,33 @@ PROBE_QUERIES = [
     "q58_rollup",
     "q59_transitions",
     # q61 consumes the full documents table; q62 the events table
-    # (q60's catalog query caps its corpus — probed via its operator
-    # tests instead)
     "q61_stratified_sample",
     "q62_session_paths",
     "q63_sketch_rollup",
     "q64_weighted_sample",
+    # round-5: sliding windows, grouped top-k, pivot, KLL rollup
+    "q45_sliding_metrics",
+    "q55_topk_per_group",
+    "q56_pivot_matrix",
+    "q65_kll_quantile_rollup",
 ]
+
+
+def _winnow_op(spark: SparkSession, sf_dir: str):
+    """q60's catalog query caps its corpus at 30 docs (the planted-
+    quoter gate); the probe measures the OPERATOR uncapped over the
+    full probe documents table — same parameters as the query."""
+    from pyspark.sql import functions as F
+
+    from beats_spark.training import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return dedup.winnow_dup_pairs(docs, k=4, w=4, min_shared=2, portable=True)
+
+
+EXTRA_PROBES = {"q60_winnow_operator": _winnow_op}
 
 
 def build_dir(spark: SparkSession, path: str, mult: int) -> None:
@@ -125,6 +145,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default="PROBE_10X.json")
     ap.add_argument("--tmp", default="/tmp/beats_spark_probe")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated probe names: run just these and MERGE "
+        "into --out (solo mini-probe mode; existing entries kept)",
+    )
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -155,9 +181,14 @@ def main() -> None:
         spark.catalog.clearCache()
         return elapsed
 
+    names = PROBE_QUERIES + list(EXTRA_PROBES)
+    if args.only:
+        wanted = set(args.only.split(","))
+        names = [n for n in names if n in wanted]
+
     results: dict[str, dict] = {}
-    for name in PROBE_QUERIES:
-        fn = cat[name]
+    for name in names:
+        fn = EXTRA_PROBES.get(name) or cat[name]
         timed(fn, "/root/testdata/sf0.001")  # JIT/codegen warmup
         t1 = min(timed(fn, d1) for _ in range(args.runs))
         t10 = min(timed(fn, d10) for _ in range(args.runs))
@@ -170,7 +201,12 @@ def main() -> None:
         }
         print(f"{name}: x1={t1:.2f}s x10={t10:.2f}s alpha={alpha:.3f}", flush=True)
 
-    out = {"x1_rows": X1, "mult": 10, "runs": args.runs, "queries": results}
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            out = json.load(f)
+        out["queries"].update(results)
+    else:
+        out = {"x1_rows": X1, "mult": 10, "runs": args.runs, "queries": results}
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
