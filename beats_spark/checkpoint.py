@@ -62,10 +62,24 @@ from beats_spark.fields import ERROR_COL
 CHUNK_COL = "__chunk__"
 
 
-def _bucket_table_name(run_id: str, chunk: int, attempt: int) -> str:
-    """Catalog-safe name for a bucketed chunk's external table."""
+def _bucket_table_prefix(data_dir: str, run_id: str) -> str:
+    """Catalog-safe UNIQUE prefix for a run's bucketed chunk tables.
+    The sanitized run_id alone is not unique — two runners with the
+    same (or sanitization-colliding) run_id under different data
+    dirs would silently overwrite each other's catalog entries and
+    serve each other's data — so the name carries a hash of the
+    (data_dir, run_id) pair."""
+    import hashlib
+
     safe = "".join(c if c.isalnum() else "_" for c in run_id)
-    return f"bs_mor_{safe}_c{chunk}_t{attempt}"
+    h = hashlib.sha1(f"{data_dir}\0{run_id}".encode()).hexdigest()[:8]
+    return f"bs_mor_{safe}_{h}"
+
+
+def _bucket_table_name(
+    data_dir: str, run_id: str, chunk: int, attempt: int
+) -> str:
+    return f"{_bucket_table_prefix(data_dir, run_id)}_c{chunk}_t{attempt}"
 
 _MANIFEST_SCHEMA = T.StructType(
     [
@@ -80,6 +94,32 @@ _MANIFEST_SCHEMA = T.StructType(
         T.StructField("committed_at", T.DoubleType()),
     ]
 )
+
+
+def _apply_tombstone_filter(
+    out: DataFrame, deleted_col: str | None, version: int | None
+) -> DataFrame:
+    """Shared tombstone semantics for both merge-on-read paths
+    (windowed and bucketed). advice-r04 #2: on the LATEST view a
+    missing tombstone column must raise — a silent skip turns a
+    misspelled column name into a "clean" materialization that still
+    carries the tombstoned keys, and materialize_latest + cleanup()
+    would then GC the only copies that knew. Only explicit time
+    travel to a pre-evolution snapshot may legitimately predate the
+    column."""
+    if deleted_col is None:
+        return out
+    if deleted_col not in out.columns:
+        if version is None:
+            raise ValueError(
+                f"deleted_col {deleted_col!r} not present in the "
+                f"merged schema {out.columns} — refusing to "
+                "silently skip tombstone filtering on the latest "
+                "view (misspelled column?); pass an explicit "
+                "`version` to time-travel past schema evolution"
+            )
+        return out
+    return out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
 
 
 def _json_scalar(v):
@@ -353,7 +393,9 @@ class CheckpointedRunner:
             # bucketed layout lives in the catalog; the sink partition
             # column stays a plain data column here (this store serves
             # the keyed upsert path, not the fan-out sinks)
-            table = _bucket_table_name(self.run_id, chunk, attempt)
+            table = _bucket_table_name(
+                self.data_dir, self.run_id, chunk, attempt
+            )
             (
                 out.write.mode("overwrite")
                 .format("parquet")
@@ -482,6 +524,14 @@ class CheckpointedRunner:
                 shutil.rmtree(
                     os.path.join(self.data_dir, run), ignore_errors=True
                 )
+                # drop the run's bucketed-chunk catalog tables too —
+                # including orphans from crashed attempts (names are
+                # prefix-enumerable); leaving them would accumulate
+                # dangling external tables over deleted paths
+                prefix = _bucket_table_prefix(self.data_dir, run)
+                for t in self.spark.catalog.listTables():
+                    if t.name.startswith(prefix):
+                        self.spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
         return removed
 
     def result(
@@ -597,26 +647,7 @@ class CheckpointedRunner:
             .filter(F.col("__rn__") == 1)
             .drop("__rn__")
         )
-        if deleted_col is not None:
-            if deleted_col not in out.columns:
-                # advice-r04 #2: a silent skip here turns a misspelled
-                # column name into a "clean" materialization that still
-                # carries tombstoned keys — and materialize_latest +
-                # cleanup() would then GC the only copies that knew.
-                # Latest view ⇒ the tombstone column must exist; only
-                # explicit time travel to a pre-evolution snapshot may
-                # legitimately predate it.
-                if version is None:
-                    raise ValueError(
-                        f"deleted_col {deleted_col!r} not present in the "
-                        f"merged schema {out.columns} — refusing to "
-                        "silently skip tombstone filtering on the latest "
-                        "view (misspelled column?); pass an explicit "
-                        "`version` to time-travel past schema evolution"
-                    )
-            else:
-                out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
-        return out
+        return _apply_tombstone_filter(out, deleted_col, version)
 
     def _bucketed_scan(self, e: dict[str, Any]) -> DataFrame:
         """Scan one bucketed chunk THROUGH the catalog (a plain path
@@ -694,19 +725,7 @@ class CheckpointedRunner:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f, allowMissingColumns=True)
-        if deleted_col is not None:
-            if deleted_col not in out.columns:
-                if version is None:
-                    raise ValueError(
-                        f"deleted_col {deleted_col!r} not present in the "
-                        f"merged schema {out.columns} — refusing to "
-                        "silently skip tombstone filtering on the latest "
-                        "view (misspelled column?); pass an explicit "
-                        "`version` to time-travel past schema evolution"
-                    )
-            else:
-                out = out.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
-        return out
+        return _apply_tombstone_filter(out, deleted_col, version)
 
     def materialize_latest(
         self,
@@ -733,8 +752,19 @@ class CheckpointedRunner:
             for e in self._entries_at(version)
             if e["run_id"] == self.run_id and int(e["row_count"]) > 0
         ]
-        all_bucketed = bool(mine) and all(
-            e.get("bucket", {}).get("key") == key for e in mine
+        # the bucketed fast path needs ONE uniform (key, n) spec across
+        # every chunk; a mid-run bucket-count change (or any unbucketed
+        # chunk) falls back to the windowed merge rather than hard-
+        # failing the takedown path
+        specs = {
+            (e.get("bucket", {}).get("key"), e.get("bucket", {}).get("n"))
+            for e in mine
+        }
+        all_bucketed = (
+            bool(mine)
+            and len(specs) == 1
+            and next(iter(specs))[0] == key
+            and next(iter(specs))[1] is not None
         )
         if all_bucketed:
             latest = self.result_latest_bucketed(

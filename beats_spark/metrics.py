@@ -259,12 +259,21 @@ def rollup_quantiles(
     base = (
         sketch_df.groupBy(*keys).agg(merged) if keys else sketch_df.agg(merged)
     )
+    labels = [f"p{round(q * 100):02d}" for q in quantiles]
+    if len(set(labels)) != len(labels):
+        # 2-digit percent labels collide for close quantiles (0.899 vs
+        # 0.9 would both be "p90") and mislabel q >= 0.995 as "p100" —
+        # refuse rather than emit duplicate/misleading column names
+        raise ValueError(
+            f"quantiles {list(quantiles)} produce colliding column "
+            f"labels {labels} — space them or select them separately"
+        )
     cols = [F.col(c) for c in keys]
     cols.append(F.kll_sketch_get_n_bigint("q_sketch").alias("n"))
-    for q in quantiles:
+    for q, lab in zip(quantiles, labels):
         cols.append(
             F.kll_sketch_get_quantile_bigint("q_sketch", F.lit(float(q))).alias(
-                f"p{round(q * 100):02d}"
+                lab
             )
         )
     return base.select(*cols)
@@ -275,6 +284,7 @@ def mad_anomalies(
     keys: Sequence[str],
     value_col: str,
     threshold: float = 3.0,
+    min_mad: float = 0.0,
 ) -> DataFrame:
     """Robust per-group anomaly detection: |x − median| > threshold ·
     MAD (median absolute deviation) — the outlier rule that, unlike
@@ -290,7 +300,14 @@ def mad_anomalies(
     Determinism: exact F.percentile interpolation — Spark and DuckDB
     quantile_cont share the p·(n−1) rule AND the IEEE result bits (the
     q48 finding); medians/MADs of integer inputs are .0/.5 doubles,
-    exactly representable, no rounding anywhere."""
+    exactly representable, no rounding anywhere.
+
+    Degenerate case: when >50% of a group equals its median, MAD = 0
+    and EVERY deviating row flags regardless of threshold (a 1-unit
+    jitter on a near-constant metric becomes an alert storm). Pass
+    `min_mad` (an epsilon floor in value units) to clamp the scale —
+    kept out of the default so the oracle-checked semantics stay the
+    textbook rule."""
     med = df.groupBy(*keys).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("__med__")
     )
@@ -302,9 +319,10 @@ def mad_anomalies(
         F.count(F.lit(1)).alias("n"),
     )
     flagged = with_med.drop("__med__").join(F.broadcast(mad), on=list(keys))
+    scale = F.greatest(F.col("__mad__"), F.lit(float(min_mad)))
     return flagged.withColumn(
         "is_anomaly",
-        dev > F.lit(float(threshold)) * F.col("__mad__"),
+        dev > F.lit(float(threshold)) * scale,
     ).withColumnRenamed("__med__", "med").withColumnRenamed("__mad__", "mad")
 
 

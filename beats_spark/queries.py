@@ -672,7 +672,10 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads synthesized from documents
-    text (PNG magic planted, as q27), feature-extracted via mapInPandas
+    text (JPEG magic planted — a format the kernel registry still
+    STUBS, so this query exercises the deterministic fallback path;
+    PNG payloads now decode for REAL and are gated by q66 instead),
+    feature-extracted via mapInPandas
     (training/multimodal.extract_features).
 
     Oracle-checked (round-3 verdict item 1): the checksum is the
@@ -686,7 +689,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 50)
     media = docs.select(
         F.col("doc_id").cast("string").alias("key"),
-        F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), F.col("text").cast("binary")).alias(
+        F.concat(F.lit(b"\xff\xd8\xff\xe0"), F.col("text").cast("binary")).alias(
             "media"
         ),
     )
@@ -707,9 +710,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features_oracle() -> str:
-    """DuckDB twin of q19: rebuild the payload (PNG magic || utf8 text),
-    extract bytes via hex pairs, fold the same poly checksum and the
-    same 8-lane integer ppm sums."""
+    """DuckDB twin of q19: rebuild the payload (JPEG magic || utf8
+    text), extract bytes via hex pairs, fold the same poly checksum
+    and the same 8-lane integer ppm sums."""
     byte_i = "('0x' || substring(h, 2*i-1, 2))::BIGINT"
     lane_sum = (
         "list_sum(list_transform(range(1, n+1), "
@@ -718,8 +721,8 @@ def q_media_features_oracle() -> str:
     return f"""
 WITH m AS (
   SELECT CAST(doc_id AS VARCHAR) AS key,
-         hex('\\x89PNG\\x0D\\x0A\\x1A\\x0A'::BLOB || encode(text)) AS h,
-         8 + octet_length(encode(text)) AS n
+         hex('\\xFF\\xD8\\xFF\\xE0'::BLOB || encode(text)) AS h,
+         4 + octet_length(encode(text)) AS n
   FROM documents WHERE doc_id < 50),
 f AS (
   SELECT key, n,
@@ -1575,11 +1578,16 @@ def q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from beats_spark.training.text import cooccurrence_pairs, words
 
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    pairs = cooccurrence_pairs(docs, window=3)
+    # persist both aggregates: `totals` AND the scoring join read each
+    # of them, and without the barrier Catalyst re-runs the n_words·3
+    # pair explode + its shuffle twice (the repo's re-inlining lesson);
+    # both tables are vocab-sized. Harnesses clearCache per query.
+    pairs = cooccurrence_pairs(docs, window=3).persist()
     uni = (
         docs.select(F.explode(words(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     totals = pairs.agg(F.sum("n_pair").alias("n_p")).crossJoin(
         uni.agg(F.sum("c").alias("n_u"))

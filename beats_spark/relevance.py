@@ -51,13 +51,17 @@ def bm25_scores(
 
     Terms sum in the given order (sequential fold) so a SQL twin
     reproduces the identical double. Returns (id, dl, tf_<i>…, score)."""
+    # the tokenize expression repeats per consumer on purpose: aliasing
+    # it once would not share work — Catalyst collapses the projection
+    # and re-inlines the split into every tf anyway (the put_fields
+    # lesson), and a persist barrier would cost more than |terms|
+    # extra splits in one codegen span
     words = text.words(F.col(text_col))
     base = df.select(
         F.col(id_col),
-        words.alias("__ws__"),
         F.size(words).cast("long").alias("dl"),
         *[_tf(words, t).cast("long").alias(f"tf_{i}") for i, t in enumerate(terms)],
-    ).drop("__ws__")
+    )
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),

@@ -512,7 +512,16 @@ def _cell_assign(vec: Column, cents: list[list[float]], n_probe: int = 1) -> Col
     return F.transform(F.slice(ranked, 1, n_probe), lambda s: s.getField("c"))
 
 
-_MIXER_GROUP_OFFSET = 3_000_017  # distinct index space from cells/planes/dups
+# Group-direction mixer indices must never alias the cell-centroid
+# family (1_000_003 + c·dim + i): with recommended_cells k ∝ n, cell
+# indices reach 1_000_003 + 64k, crossing any low-millions constant
+# around k ≈ 31k (~4M vectors) — exactly the large-k regime two-level
+# assignment exists for. The offset must also stay inside the mixer's
+# own domain (idx·2654435761 < 2^63, or DuckDB traps the multiply:
+# idx < ~3.47e9). 3e9 keeps the families disjoint up to k ≈ 4.7e7
+# cells (~6e9 vectors at n/128) while staying trap-safe; beyond that
+# the deterministic-mixer path hands over to trained centroids anyway.
+_MIXER_GROUP_OFFSET = 3_000_000_017
 
 
 def ivf_group_plan(k_cells: int) -> tuple[int, int, list[list[int]]]:

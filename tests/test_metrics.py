@@ -331,3 +331,34 @@ def test_kll_estimate_regime_rank_band(spark):
 
         rank = bisect.bisect_right(ordered, est) / n
         assert abs(rank - q) <= 0.03, (q, est, rank)
+
+
+def test_mad_min_scale_floors_degenerate_groups(spark):
+    """MAD=0 degenerate case (review-r5): >50% of a group at the
+    median flags every 1-unit jitter by default (textbook rule, the
+    oracle-checked semantics); min_mad floors the scale for
+    operational use."""
+    from beats_spark.metrics import mad_anomalies
+
+    rows = [("g", i, 100) for i in range(60)] + [
+        ("g", 60 + i, 101) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "g string, i long, v long")
+    assert mad_anomalies(df, ("g",), "v").filter("is_anomaly").count() == 40
+    assert (
+        mad_anomalies(df, ("g",), "v", min_mad=0.5)
+        .filter("is_anomaly")
+        .count()
+        == 0
+    )
+
+
+def test_kll_label_collision_raises(spark):
+    from beats_spark.metrics import quantile_sketch_table, rollup_quantiles
+
+    df = spark.range(1, 100).selectExpr("id as milli", "1 as g")
+    sk = quantile_sketch_table(df, ["g"], "milli")
+    import pytest
+
+    with pytest.raises(ValueError, match="colliding"):
+        rollup_quantiles(sk, [], quantiles=(0.899, 0.9))

@@ -782,3 +782,40 @@ def test_materialize_latest_uses_bucketed_path(spark, tmp_path):
     for needle in ("SECRET-B", "OLD-B"):
         hits = subprocess.run(["grep", "-r", "-l", needle, out], capture_output=True)
         assert hits.returncode != 0, needle
+
+
+def test_bucketed_tables_unique_per_data_dir_and_gc(spark, tmp_path):
+    """Review-r5 fixes: (a) two runners with sanitization-colliding
+    run_ids under different data dirs get DISTINCT catalog tables;
+    (b) cleanup() drops the run's bucketed tables including orphans
+    from crashed attempts; (c) a mid-run bucket-count change makes
+    materialize_latest fall back to the windowed merge instead of
+    hard-failing the takedown path."""
+    from beats_spark.checkpoint import _bucket_table_prefix
+
+    c = spark.createDataFrame([(1, "A", "es")], "doc_id long, text string, sink string")
+    c2 = spark.createDataFrame([(1, "B", "es")], "doc_id long, text string, sink string")
+
+    r1 = CheckpointedRunner(spark, str(tmp_path / "d1"), n_chunks=1, run_id="job-1")
+    r2 = CheckpointedRunner(spark, str(tmp_path / "d2"), n_chunks=1, run_id="job_1")
+    r1.commit_chunk(c, 0, bucket_key="doc_id", num_buckets=2)
+    r2.commit_chunk(c2, 0, bucket_key="doc_id", num_buckets=2)
+    assert r1.result_latest_bucketed().collect()[0].text == "A"
+    assert r2.result_latest_bucketed().collect()[0].text == "B"
+
+    # orphan attempt table + committed table both GC'd with the run
+    r1.commit_chunk(c, 0, fail_before_commit=True,
+                    bucket_key="doc_id", num_buckets=2)
+    pfx = _bucket_table_prefix(r1.data_dir, "job-1")
+    assert len([t for t in spark.catalog.listTables()
+                if t.name.startswith(pfx)]) >= 2
+    r1.cleanup(set())
+    assert not [t for t in spark.catalog.listTables()
+                if t.name.startswith(pfx)]
+
+    # mixed num_buckets -> windowed fallback, takedown still completes
+    r3 = CheckpointedRunner(spark, str(tmp_path / "d3"), n_chunks=2, run_id="mix")
+    r3.commit_chunk(c, 0, bucket_key="doc_id", num_buckets=2)
+    r3.commit_chunk(c2, 1, bucket_key="doc_id", num_buckets=4)
+    out = r3.materialize_latest("mclean")
+    assert {x.text for x in out.result().collect()} == {"B"}
