@@ -131,18 +131,45 @@ def _json_scalar(v):
     return v
 
 
-def collect_file_stats(root: str, stat_col: str = "doc_id") -> list[dict[str, Any]]:
+def collect_file_stats(
+    root: str,
+    stat_col: str = "doc_id",
+    extra_cols: "Sequence[str]" = (),
+    partition_cols: "Sequence[str] | None" = None,
+) -> list[dict[str, Any]]:
     """Per-data-file column stats from parquet FOOTERS (no data scan —
     the same stats Iceberg records at write time): row count, min/max
-    of `stat_col` folded across row groups, and the sink partition
-    value parsed from the directory layout. Runs driver-side over the
-    just-written attempt dir: O(#files) footer reads, the footer is a
-    few KB regardless of file size (the Iceberg write-path analog; at
-    cluster scale the commit job's tasks would report these instead).
+    of `stat_col` folded across row groups, min/max for each of
+    `extra_cols` (the beyond-doc_id per-column stats Iceberg
+    manifests carry), and every `key=value` partition segment parsed
+    from the directory layout (`parts`; any spec, not just sink= —
+    the partition-spec-evolution read side). Runs driver-side over
+    the just-written attempt dir: O(#files) footer reads, the footer
+    is a few KB regardless of file size (the Iceberg write-path
+    analog; at cluster scale the commit job's tasks would report
+    these instead).
 
     min/max are None when any row group lacks exact statistics —
     pruning then keeps the file (safe superset)."""
     import pyarrow.parquet as pq
+
+    def fold_minmax(md, name: str):
+        idx = None
+        for i in range(len(md.schema)):
+            if md.schema.column(i).name == name:
+                idx = i
+                break
+        if idx is None:
+            return None, None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None
+            mn, mx = _json_scalar(st.min), _json_scalar(st.max)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        return lo, hi
 
     out: list[dict[str, Any]] = []
     for dirpath, _dirs, files in sorted(os.walk(root)):
@@ -151,34 +178,28 @@ def collect_file_stats(root: str, stat_col: str = "doc_id") -> list[dict[str, An
                 continue
             p = os.path.join(dirpath, fn)
             md = pq.ParquetFile(p).metadata
-            idx = None
-            for i in range(len(md.schema)):
-                if md.schema.column(i).name == stat_col:
-                    idx = i
-                    break
-            lo = hi = None
-            if idx is not None:
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        lo = hi = None
-                        break
-                    mn, mx = _json_scalar(st.min), _json_scalar(st.max)
-                    lo = mn if lo is None or mn < lo else lo
-                    hi = mx if hi is None or mx > hi else hi
-            sink = None
+            lo, hi = fold_minmax(md, stat_col)
+            cols = {}
+            for c in extra_cols:
+                c_lo, c_hi = fold_minmax(md, c)
+                cols[c] = {"min": c_lo, "max": c_hi}
+            parts: dict[str, str] = {}
             for seg in os.path.relpath(p, root).split(os.sep):
-                if seg.startswith(SINK_COL + "="):
-                    sink = seg.split("=", 1)[1]
-            out.append(
-                {
-                    "path": p,
-                    "rows": md.num_rows,
-                    "min": lo,
-                    "max": hi,
-                    "sink": sink,
-                }
-            )
+                if "=" in seg and not seg.endswith(".parquet"):
+                    k, _, v = seg.partition("=")
+                    parts[k] = v
+            entry: dict[str, Any] = {
+                "path": p,
+                "rows": md.num_rows,
+                "min": lo,
+                "max": hi,
+                "sink": parts.get(SINK_COL),
+            }
+            if cols:
+                entry["cols"] = cols
+            if parts:
+                entry["parts"] = parts
+            out.append(entry)
     return out
 
 
@@ -196,6 +217,7 @@ class CheckpointedRunner:
         n_chunks: int = 8,
         run_id: str = "run-0",
         source_snapshot: str = "",
+        stat_cols: "Sequence[str]" = (),
     ):
         self.spark = spark
         self.out_dir = out_dir.rstrip("/")
@@ -206,6 +228,10 @@ class CheckpointedRunner:
         # lineage: input snapshot identity (Iceberg snapshot id /
         # input path digest) — the State.Source/FileStateOS analog
         self.source_snapshot = source_snapshot
+        # additional per-file footer stats recorded at every commit
+        # (the beyond-doc_id Iceberg manifest columns); result() can
+        # then prune on any of them via col_bounds
+        self.stat_cols = tuple(stat_cols)
 
     # -- manifest-pointer primitives ------------------------------------
 
@@ -342,6 +368,7 @@ class CheckpointedRunner:
         fail_before_commit: bool = False,
         bucket_key: str | None = None,
         num_buckets: int | None = None,
+        partition_cols: "Sequence[str] | None" = None,
     ) -> int | None:
         """Write one already-transformed chunk to a fresh attempt dir
         and atomically publish it under `chunk` — the unit of
@@ -359,7 +386,14 @@ class CheckpointedRunner:
         run must share (key, n). The commit protocol is unchanged:
         data lands in the unique attempt dir (the catalog entry is
         just metadata over it; a crash before the pointer swap leaves
-        an orphaned table name no manifest reader ever resolves)."""
+        an orphaned table name no manifest reader ever resolves).
+
+        `partition_cols` overrides the default sink-column layout for
+        THIS chunk — Iceberg partition-spec evolution: the spec is
+        recorded per chunk in the manifest, each chunk reads under
+        its own spec (result() resolves chunks individually), and
+        pruning consults each file's parsed `key=value` segments, so
+        old-spec and new-spec chunks coexist in one run."""
         out = strip_internal(out, keep=(ERROR_COL, CHUNK_COL)).drop(CHUNK_COL)
         # manifest stats ride the write itself via Observation — no
         # second scan of the just-written chunk (same pattern as
@@ -390,6 +424,11 @@ class CheckpointedRunner:
         if bucket_key is not None:
             if not num_buckets:
                 raise ValueError("bucketed commit needs num_buckets")
+            if partition_cols:
+                raise ValueError(
+                    "bucketed chunks are laid out by bucket only — "
+                    "partition_cols applies to plain commits"
+                )
             # bucketed layout lives in the catalog; the sink partition
             # column stays a plain data column here (this store serves
             # the keyed upsert path, not the fan-out sinks)
@@ -410,9 +449,15 @@ class CheckpointedRunner:
                 "table": table,
             }
         else:
-            out.write.partitionBy(SINK_COL).mode("overwrite").parquet(
-                attempt_dir
+            spec = (
+                list(partition_cols)
+                if partition_cols is not None
+                else [SINK_COL]
             )
+            w = out.write.mode("overwrite")
+            if spec:
+                w = w.partitionBy(*spec)
+            w.parquet(attempt_dir)
         if fail_before_commit:
             return None
         stats_d = obs.get
@@ -426,8 +471,15 @@ class CheckpointedRunner:
             "source_snapshot": self.source_snapshot,
             # per-file footer stats → read-side file pruning
             # (result(); the Iceberg manifest-entry analog,
-            # VERDICT r03 item 3)
-            "files": collect_file_stats(attempt_dir),
+            # VERDICT r03 item 3; extra_cols per stat_cols)
+            "files": collect_file_stats(
+                attempt_dir, extra_cols=self.stat_cols
+            ),
+            "partition_spec": (
+                list(partition_cols)
+                if partition_cols is not None
+                else ([] if bucket_key is not None else [SINK_COL])
+            ),
             "metrics": {
                 "events.published": int(stats_d["n"]),
                 "events.dead_letter": int(stats_d["dead"] or 0),
@@ -498,7 +550,7 @@ class CheckpointedRunner:
             "min_doc_id": lo,
             "max_doc_id": hi,
             "source_snapshot": self.source_snapshot,
-            "files": collect_file_stats(attempt_dir),
+            "files": collect_file_stats(attempt_dir, extra_cols=self.stat_cols),
             "metrics": metrics,
             "committed_at": time.time(),
         }
@@ -540,6 +592,8 @@ class CheckpointedRunner:
         doc_id_min=None,
         doc_id_max=None,
         sinks: set[str] | None = None,
+        col_bounds: dict[str, tuple] | None = None,
+        part_filters: dict[str, set] | None = None,
     ) -> DataFrame:
         """The committed snapshot of THIS run — resolved strictly
         through the manifest pointer (never by listing data dirs), so
@@ -555,7 +609,14 @@ class CheckpointedRunner:
         without stats is kept, surviving files may still hold rows
         outside the range — apply the residual filter as usual (same
         contract as Iceberg + Spark). Bounds compare with the column's
-        native ordering (pass the column's own type)."""
+        native ordering (pass the column's own type).
+
+        `col_bounds` prunes on any column recorded via the runner's
+        `stat_cols` ({col: (min, max)}, either bound None for open);
+        `part_filters` prunes on any directory partition value
+        ({col: {allowed values}}) under whichever partition spec each
+        chunk was committed with — both safe supersets like the
+        doc_id path."""
         mine = [
             e for e in self._entries_at(version) if e["run_id"] == self.run_id
         ]
@@ -564,20 +625,40 @@ class CheckpointedRunner:
                 f"no committed chunks for run {self.run_id!r}"
             )
         pruning = (
-            doc_id_min is not None or doc_id_max is not None or sinks is not None
+            doc_id_min is not None
+            or doc_id_max is not None
+            or sinks is not None
+            or bool(col_bounds)
+            or bool(part_filters)
         )
+
+        def range_excludes(lo, hi, want_min, want_max) -> bool:
+            if lo is None or hi is None:
+                return False  # no exact stats — keep (safe superset)
+            if want_min is not None and hi < want_min:
+                return True
+            if want_max is not None and lo > want_max:
+                return True
+            return False
 
         def keep_file(f: dict[str, Any]) -> bool:
             if sinks is not None and f.get("sink") is not None:
                 if f["sink"] not in sinks:
                     return False
-            lo, hi = f.get("min"), f.get("max")
-            if lo is None or hi is None:
-                return True  # no exact stats — keep (safe superset)
-            if doc_id_min is not None and hi < doc_id_min:
+            if range_excludes(
+                f.get("min"), f.get("max"), doc_id_min, doc_id_max
+            ):
                 return False
-            if doc_id_max is not None and lo > doc_id_max:
-                return False
+            for c, (want_min, want_max) in (col_bounds or {}).items():
+                st = f.get("cols", {}).get(c)
+                if st and range_excludes(
+                    st.get("min"), st.get("max"), want_min, want_max
+                ):
+                    return False
+            for c, allowed in (part_filters or {}).items():
+                v = f.get("parts", {}).get(c)
+                if v is not None and v not in {str(a) for a in allowed}:
+                    return False
             return True
 
         # zero-row chunks are legitimately committed (e.g. a fully

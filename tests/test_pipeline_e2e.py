@@ -819,3 +819,52 @@ def test_bucketed_tables_unique_per_data_dir_and_gc(spark, tmp_path):
     r3.commit_chunk(c2, 1, bucket_key="doc_id", num_buckets=4)
     out = r3.materialize_latest("mclean")
     assert {x.text for x in out.result().collect()} == {"B"}
+
+
+def test_partition_spec_evolution_and_multi_column_stats(spark, tmp_path):
+    """Iceberg read-path deltas (verdict-r04 missing #3): per-file
+    stats beyond doc_id (stat_cols -> col_bounds pruning) and
+    partition-spec evolution (chunk 0 partitioned by sink, chunk 1 by
+    lang; both coexist in one run, partition pruning consults each
+    file's own spec)."""
+    import os
+
+    out = str(tmp_path / "specev")
+    r = CheckpointedRunner(
+        spark, out, n_chunks=2, run_id="ev", stat_cols=("n_tok",)
+    )
+    c0 = spark.createDataFrame(
+        [(1, "a", "es", "en", 5), (2, "b", "bulk", "de", 50)],
+        "doc_id long, text string, sink string, lang string, n_tok long",
+    )
+    c1 = spark.createDataFrame(
+        [(3, "c", "es", "en", 500), (4, "d", "es", "fr", 7)],
+        "doc_id long, text string, sink string, lang string, n_tok long",
+    )
+    r.commit_chunk(c0, 0)                               # default: sink=
+    r.commit_chunk(c1, 1, partition_cols=("lang",))     # evolved spec
+    m = {e["chunk_id"]: e for e in r._entries()}
+    assert m[0]["partition_spec"] == ["sink"]
+    assert m[1]["partition_spec"] == ["lang"]
+    # both specs materialized on disk and read back whole
+    assert any("lang=fr" in p for p, _, _ in os.walk(r.data_dir))
+    assert {x.doc_id for x in r.result().collect()} == {1, 2, 3, 4}
+
+    # per-file n_tok stats recorded and usable for pruning
+    files = m[0]["files"] + m[1]["files"]
+    assert all("n_tok" in f["cols"] for f in files)
+    big = r.result(col_bounds={"n_tok": (100, None)})
+    # pruning is a safe superset; residual filter gives the exact rows
+    assert {x.doc_id for x in big.filter("n_tok >= 100").collect()} == {3}
+    pruned_paths = {
+        f["path"] for f in files
+        if not (f["cols"]["n_tok"]["max"] is not None
+                and f["cols"]["n_tok"]["max"] < 100)
+    }
+    assert len(pruned_paths) < len(files)  # something was prunable
+
+    # partition pruning under the evolved spec: lang=fr only
+    fr = r.result(part_filters={"lang": {"fr"}})
+    assert {x.doc_id for x in fr.filter("lang = 'fr'").collect()} == {4}
+    # chunk-0 files (sink= spec, no lang segment) are kept — safe superset
+    assert {x.doc_id for x in fr.collect()} >= {4}
