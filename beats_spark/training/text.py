@@ -303,41 +303,38 @@ def cooccurrence_pairs(
     mining / word-association tables (word2vec's context window,
     counted exactly).
 
-    Scale shape: pairs generate INSIDE the row via nested array
-    transforms (≤ n_words·window structs per doc — a bounded, local
-    explode like q24's token windows), then one (w_a, w_b) groupBy.
-    Facts carry two short strings per generated row into the
-    exchange; no self-join anywhere."""
+    Scale shape: pairs generate INSIDE the row as `window` shifted-
+    slice zips — zip_with(ws[1:n−d], ws[1+d:n], pair) for each offset
+    d — one vectorized pass per offset over a bounded n_words·window
+    struct array (the q24 token-window shape), then one (w_a, w_b)
+    groupBy. Facts carry two short strings per generated row into the
+    exchange; no self-join anywhere.
+
+    PERF (measured 61s → sub-second at sf0.1): the obvious nested
+    transform with element_at(ws, i) per pair re-evaluates the whole
+    tokenize expression for EVERY element access (ws here is an
+    expression, not a materialized column, and interpreted HOF
+    lambdas don't cache it) — O(n_words²) splits per doc. The
+    shifted-slice form touches ws a fixed 2·window times per row."""
     ws = words(F.col(text_col))
     n = F.size(ws)
 
-    def pairs_from(ws_col: Column, n_col: Column) -> Column:
-        def outer(i: Column) -> Column:
-            def inner(j: Column) -> Column:
-                a = F.element_at(ws_col, i)
-                b = F.element_at(ws_col, j)
-                return F.struct(
-                    F.least(a, b).alias("w_a"), F.greatest(a, b).alias("w_b")
-                )
-
-            return F.transform(
-                F.sequence(i + 1, F.least(i + F.lit(window), n_col)), inner
-            )
-
-        # sequence(start, stop) DESCENDS when start > stop — guard the
-        # tail positions to an empty list instead
-        return F.flatten(
-            F.transform(
-                F.sequence(F.lit(1), n_col),
-                lambda i: F.when(i < n_col, outer(i)).otherwise(
-                    F.array().cast("array<struct<w_a:string,w_b:string>>")
-                ),
-            )
+    def pairs_at(d: int) -> Column:
+        ln = F.greatest(n - F.lit(d), F.lit(0))
+        a = F.slice(ws, 1, ln)
+        b = F.slice(ws, 1 + d, ln)
+        return F.zip_with(
+            a,
+            b,
+            lambda x, y: F.struct(
+                F.least(x, y).alias("w_a"), F.greatest(x, y).alias("w_b")
+            ),
         )
 
-    exploded = df.select(
-        F.explode(pairs_from(ws, n)).alias("p")
-    ).select(F.col("p.w_a").alias("w_a"), F.col("p.w_b").alias("w_b"))
+    pairs = F.concat(*[pairs_at(d) for d in range(1, window + 1)])
+    exploded = df.select(F.explode(pairs).alias("p")).select(
+        F.col("p.w_a").alias("w_a"), F.col("p.w_b").alias("w_b")
+    )
     return exploded.groupBy("w_a", "w_b").agg(
         F.count(F.lit(1)).alias("n_pair")
     )
