@@ -384,18 +384,26 @@ def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """PNG → uint8 (h, w, 3|4). Bit depth 8, color type 2 (RGB) or
-    6 (RGBA), non-interlaced, zlib-compressed (the only compression
-    method the spec defines)."""
+    """PNG → uint8 (h, w, 3|4). Bit depth 8; color types 0 (grayscale,
+    expanded to RGB), 2 (RGB), 3 (palette, PLTE lookup → RGB, or RGBA
+    when a tRNS chunk supplies per-index alpha), 4 (gray+alpha →
+    RGBA), 6 (RGBA). Non-interlaced, zlib-compressed (the only
+    compression method the spec defines)."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise MediaDecodeError("png: bad signature")
     ihdr = None
+    plte = None
+    trns = None
     idat = []
     for ctype, data in _png_chunks(payload):
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
     if ihdr is None or len(ihdr) < 13:
@@ -407,7 +415,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     depth, color, comp, filt, interlace = ihdr[8:13]
     if w <= 0 or h <= 0:
         raise MediaDecodeError(f"png: bad dimensions {w}x{h}")
-    if depth != 8 or color not in (2, 6):
+    if depth != 8 or color not in (0, 2, 3, 4, 6):
         raise MediaDecodeError(
             f"png: only 8-bit RGB/RGBA supported (depth={depth}, color={color})"
         )
@@ -415,7 +423,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise MediaDecodeError(
             f"png: unsupported comp/filter/interlace {comp}/{filt}/{interlace}"
         )
-    ch = 3 if color == 2 else 4
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error as e:
@@ -425,7 +433,28 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise MediaDecodeError(
             f"png: decompressed size {len(raw)} != expected {need}"
         )
-    return _png_unfilter(np.frombuffer(raw, dtype=np.uint8), h, w, ch)
+    img = _png_unfilter(np.frombuffer(raw, dtype=np.uint8), h, w, ch)
+    if color == 0:  # grayscale → RGB (equal channels)
+        return np.repeat(img, 3, axis=2)
+    if color == 4:  # gray + alpha → RGBA
+        return np.concatenate([np.repeat(img[..., :1], 3, axis=2), img[..., 1:]], axis=2)
+    if color == 3:  # palette indices → RGB(A)
+        if plte is None or len(plte) % 3 != 0 or len(plte) == 0:
+            raise MediaDecodeError("png: palette image without valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = img[..., 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise MediaDecodeError(
+                f"png: palette index {int(idx.max())} out of range "
+                f"({pal.shape[0]} entries)"
+            )
+        rgb = pal[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=2)
+    return img
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:

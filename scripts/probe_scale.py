@@ -74,6 +74,11 @@ PROBE_QUERIES = [
     "q55_topk_per_group",
     "q56_pivot_matrix",
     "q65_kll_quantile_rollup",
+    # round-5 analytics/IR (q67/q70 consume documents, q68/q69 events)
+    "q67_bm25",
+    "q68_anomaly_mad",
+    "q69_theta_overlap",
+    "q70_cooccurrence",
 ]
 
 

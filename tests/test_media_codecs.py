@@ -390,3 +390,59 @@ def test_png_resize_real_kernel():
     img = np.full((4, 4, 3), 77, dtype=np.uint8)
     out = mc.decode_png(mc.png_resize(mc.encode_png(img), 8, 2))
     assert out.shape == (2, 8, 3) and (out == 77).all()
+
+
+def _raw_png(w, h, color, rows, extra=b""):
+    import zlib
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color, 0, 0, 0])
+    body = zlib.compress(b"".join(b"\x00" + r.tobytes() for r in rows))
+    return (
+        mc._PNG_SIG + chunk(b"IHDR", ihdr) + extra
+        + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+    )
+
+
+def _chunk(ctype, data):
+    import zlib
+
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+
+
+def test_png_grayscale_palette_and_alpha_variants():
+    """Color types 0 (gray→RGB), 4 (gray+alpha→RGBA), 3 (PLTE lookup,
+    optional tRNS per-index alpha); malformed palettes raise."""
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    img = mc.decode_png(_raw_png(4, 3, 0, [g[y] for y in range(3)]))
+    assert img.shape == (3, 4, 3) and (img[..., 1] == g).all()
+
+    ga = rng.integers(0, 256, (2, 3, 2), dtype=np.uint8)
+    img = mc.decode_png(_raw_png(3, 2, 4, [ga[y].reshape(-1) for y in range(2)]))
+    assert img.shape == (2, 3, 4)
+    assert (img[..., 0] == ga[..., 0]).all() and (img[..., 3] == ga[..., 1]).all()
+
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (2, 4), dtype=np.uint8)
+    plte = _chunk(b"PLTE", pal.tobytes())
+    rows = [idx[y] for y in range(2)]
+    img = mc.decode_png(_raw_png(4, 2, 3, rows, extra=plte))
+    assert (img == pal[idx]).all()
+    trns = _chunk(b"tRNS", bytes([10, 20, 30]))
+    img = mc.decode_png(_raw_png(4, 2, 3, rows, extra=plte + trns))
+    exp_a = np.array([10, 20, 30, 255, 255], dtype=np.uint8)[idx]
+    assert (img[..., 3] == exp_a).all() and (img[..., :3] == pal[idx]).all()
+
+    with pytest.raises(mc.MediaDecodeError, match="out of range"):
+        mc.decode_png(_raw_png(4, 2, 3, [np.full(4, 9, np.uint8)] * 2, extra=plte))
+    with pytest.raises(mc.MediaDecodeError, match="PLTE"):
+        mc.decode_png(_raw_png(4, 2, 3, rows))
+    # features over a palette image == features of its expanded pixels
+    assert mc.png_features(
+        _raw_png(4, 2, 3, rows, extra=plte)
+    ) == mc.ppm_features(mc.encode_ppm(pal[idx]))
