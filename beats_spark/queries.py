@@ -1331,7 +1331,9 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     real zlib-compressed PNGs — 8×4 gradient images whose channel c
     value at (x, y) is (doc_id·m_c + x + 2y) % 256 for m = (5, 11, 17),
     scanline filter type rotating doc_id % 3 over None/Sub/Up, every
-    4th doc RGBA (alpha excluded from features) — then run the REAL
+    4th doc RGBA (alpha excluded from features), every 8th-plus-5 a
+    true GRAYSCALE PNG (color type 0, expanded to equal RGB channels
+    by the decoder) — then run the REAL
     decoder (signature → chunk CRC walk → zlib inflate → per-filter
     unfilter) distributed through extract_features. The oracle
     recomputes every channel ppm from the planting arithmetic alone:
@@ -1349,6 +1351,16 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ys = np.arange(4, dtype=np.int64)[:, None]
     rows = []
     for d in range(48):
+        if d % 8 == 5:
+            # grayscale (color type 0): a REAL gray PNG whose expanded
+            # RGB equals the m=5 gradient on all three channels — the
+            # oracle's three ppms coincide for these docs
+            gray = np.broadcast_to((d * 5 + xs + 2 * ys) % 256, (4, 8))
+            img = gray.astype(np.uint8)[..., None]
+            rows.append(
+                (d, bytearray(media_codecs.encode_png(img, filter_type=d % 3)))
+            )
+            continue
         chans = [
             np.broadcast_to((d * m + xs + 2 * ys) % 256, (4, 8))
             for m in (5, 11, 17)
@@ -1402,8 +1414,12 @@ s AS (
 SELECT doc_id,
        CAST(8 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
        (1000000 * sr) // (255 * 32) AS p_r,
-       (1000000 * sg) // (255 * 32) AS p_g,
-       (1000000 * sb) // (255 * 32) AS p_b,
+       -- grayscale docs (doc_id % 8 = 5): expanded RGB repeats the
+       -- m=5 gradient on every channel
+       (1000000 * CASE WHEN doc_id % 8 = 5 THEN sr ELSE sg END)
+         // (255 * 32) AS p_g,
+       (1000000 * CASE WHEN doc_id % 8 = 5 THEN sr ELSE sb END)
+         // (255 * 32) AS p_b,
        CAST(32 AS BIGINT) AS n_px, CAST(1 AS BIGINT) AS ok
 FROM s ORDER BY doc_id"""
 

@@ -458,16 +458,17 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 (h, w, 3|4) → PNG bytes. `filter_type` picks ONE filter
-    for every scanline (0=None default; 1/2 exercised by round-trip
-    tests) — a real optimizing encoder chooses per-row, which the
-    decoder handles either way."""
+    """uint8 (h, w, 1|2|3|4) → PNG bytes (color type 0/4/2/6 by
+    channel count). `filter_type` picks ONE filter for every scanline
+    (0=None default; 1/2 exercised by round-trip tests) — a real
+    optimizing encoder chooses per-row, which the decoder handles
+    either way."""
     import zlib
 
     h, w = img.shape[0], img.shape[1]
     ch = img.shape[2] if img.ndim == 3 else 1
-    if ch not in (3, 4):
-        raise MediaDecodeError(f"png: encode supports RGB/RGBA only ({ch} ch)")
+    if ch not in (1, 2, 3, 4):
+        raise MediaDecodeError(f"png: encode got {ch} channels")
     a = img.astype(np.uint8)
     lines = []
     for y in range(h):
@@ -489,7 +490,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
         crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
         return len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
 
-    color = 2 if ch == 3 else 6
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     ihdr = (
         w.to_bytes(4, "big")
         + h.to_bytes(4, "big")
