@@ -1,12 +1,13 @@
 """Pure-numpy media codecs for the uncompressed container formats —
 the REAL kernel half of the multimodal pipeline (VERDICT r03 item 2).
 
-No image/audio libraries exist in this container, but uncompressed
-formats need none: PPM (P6) is a whitespace header + raw RGB24, WAV
-(PCM16) is a RIFF chunk list + raw little-endian int16. numpy decodes
-both exactly. Compressed formats (png/jpeg/mp3/ogg) still require a
-registered kernel (`multimodal.register_decoder`); the deterministic
-byte-hash stubs remain only as the fallback for those.
+No image/audio libraries exist in this container, but none are needed:
+PPM (P6) is a whitespace header + raw RGB24, WAV (PCM16) is a RIFF
+chunk list + raw little-endian int16, PNG is zlib + per-scanline
+unfiltering, and baseline JPEG is canonical Huffman + dequant + IDCT —
+numpy + stdlib decode all of them for real. Only gif/webp/mp3/ogg
+still require a registered kernel (`multimodal.register_decoder`); the
+deterministic byte-hash stubs remain only as the fallback for those.
 
 Feature vectors are integer-derived (ppm quantization, the q19/q27
 recipe) so a DuckDB oracle can recompute them exactly from the
@@ -519,3 +520,637 @@ def png_features(payload: bytes) -> list[float]:
 def png_resize(payload: bytes, w: int, h: int) -> bytes:
     """Decode-PNG → bilinear (all channels incl. alpha) → re-encode."""
     return encode_png(bilinear_resize(decode_png(payload), w, h))
+
+
+# --- JPEG (baseline DCT, ITU-T T.81) ------------------------------------------
+#
+# The second compressed real codec — the dominant real-corpus photo
+# format. Spec: ITU-T T.81 (the public JPEG standard): marker grammar,
+# baseline sequential DCT (SOF0/SOF1), canonical Huffman entropy coding
+# (Annex C code construction, Annex F decode procedure), Annex K
+# example quantization + Huffman tables, JFIF YCbCr color space.
+# Scope: 8-bit baseline/extended-sequential, 1 or 3 components, any
+# sampling factors ≤ 4 (4:4:4 / 4:2:2 / 4:2:0 covered by tests),
+# restart markers, multi-table DQT/DHT segments, 16-bit DQT precision.
+# Progressive (SOF2), arithmetic coding and 12-bit raise
+# MediaDecodeError — never misread.
+#
+# Determinism contract (what lets a SQL oracle recompute decoded
+# pixels): IDCT is a float64 orthonormal-matrix product, pixel
+# rounding is floor(x + 0.5), and YCbCr→RGB uses the exact JFIF
+# rationals (1402/1000, 1772/1000, 419198/587000, 202008/587000) with
+# integer-valued float numerators — one rounding per division, so
+# planted integer YCbCr constants reconstruct bit-identically to
+# integer arithmetic (q71's gate).
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 example quantization tables (natural row order).
+_STD_QT_LUMA = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_STD_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+_DCT_BASIS = None
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II basis A with A[u,x] = ½·c(u)·cos((2x+1)uπ/16),
+    c(0)=1/√2. Forward: F = A·s·Aᵀ; inverse: s = Aᵀ·F·A."""
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        u = np.arange(8, dtype=np.float64)[:, None]
+        x = np.arange(8, dtype=np.float64)[None, :]
+        a = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        a[0] /= np.sqrt(2.0)
+        _DCT_BASIS = a
+    return _DCT_BASIS
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman decode map {(code_len, code): value} per Annex C
+    code assignment (codes of each length are consecutive, shorter
+    lengths first)."""
+    lut: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if k >= len(vals):
+                raise MediaDecodeError("jpeg: DHT BITS/HUFFVAL mismatch")
+            lut[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Inverse map {value: (code_len, code)} for the encoder."""
+    return {v: (ln, c) for (ln, c), v in _huff_decode_table(bits, vals).items()}
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise MediaDecodeError("jpeg: entropy data exhausted mid-block")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """F.12 EXTEND: map the s-bit magnitude field to a signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _split_entropy(payload: bytes, pos: int) -> tuple[list[bytes], list[int], int]:
+    """Split the scan's entropy-coded data at restart markers, removing
+    byte stuffing (FF 00 → FF). Returns (segments, restart marker
+    numbers between them, offset of the terminating marker's 0xFF)."""
+    segs: list[bytearray] = [bytearray()]
+    rsts: list[int] = []
+    i, ln = pos, len(payload)
+    while i < ln:
+        b = payload[i]
+        if b != 0xFF:
+            segs[-1].append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < ln else None
+        if nxt == 0x00:
+            segs[-1].append(0xFF)
+            i += 2
+        elif nxt == 0xFF:  # fill byte
+            i += 1
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            rsts.append(nxt & 0x0F)
+            segs.append(bytearray())
+            i += 2
+        else:
+            break
+    return [bytes(s) for s in segs], rsts, i
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG → uint8 (h, w, 3) RGB (grayscale expanded to equal
+    RGB channels, like decode_png). Full marker walk, multi-table
+    DQT/DHT, DRI/RSTn, any sampling factors ≤ 4 (nearest-neighbor
+    chroma upsampling — the libjpeg fancy-upsampling-off baseline)."""
+    if payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("jpeg: missing SOI")
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    restart = 0
+    sof = None  # (h, w, comps) comps = [(cid, hs, vs, tq)]
+    pos, ln = 2, len(payload)
+    while pos + 4 <= ln:
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError(f"jpeg: expected marker at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise MediaDecodeError("jpeg: EOI before scan data")
+        seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if len(body) != seglen - 2:
+            raise MediaDecodeError(f"jpeg: truncated segment ff{marker:02x}")
+        if marker == 0xDB:  # DQT — possibly several tables per segment
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    vals = np.frombuffer(body[i : i + 64], np.uint8).astype(np.int64)
+                    i += 64
+                elif pq == 1:
+                    vals = np.frombuffer(body[i : i + 128], ">u2").astype(np.int64)
+                    i += 128
+                else:
+                    raise MediaDecodeError(f"jpeg: bad DQT precision {pq}")
+                if vals.size != 64:
+                    raise MediaDecodeError("jpeg: truncated DQT table")
+                qts[tq] = vals  # zigzag order, as stored
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            if body[0] != 8:
+                raise MediaDecodeError(f"jpeg: only 8-bit precision (got {body[0]})")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise MediaDecodeError(f"jpeg: {ncomp} components unsupported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise MediaDecodeError(f"jpeg: bad sampling {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
+            if h == 0 or w == 0:
+                raise MediaDecodeError("jpeg: zero dimension (DNL unsupported)")
+            sof = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(
+                f"jpeg: only baseline/extended-sequential Huffman (SOF ff{marker:02x})"
+            )
+        elif marker == 0xC4:  # DHT — possibly several tables
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nval = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nval])
+                if len(vals) != nval:
+                    raise MediaDecodeError("jpeg: truncated DHT")
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _huff_decode_table(bits, vals)
+                i += 17 + nval
+        elif marker == 0xDD:  # DRI
+            restart = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if sof is None:
+                raise MediaDecodeError("jpeg: SOS before SOF")
+            ns = body[0]
+            if ns != len(sof[2]):
+                raise MediaDecodeError(
+                    "jpeg: non-interleaved multi-scan files unsupported"
+                )
+            scan = []  # (comp_index, dc_table, ac_table)
+            for c in range(ns):
+                cs, tda = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(
+                    (k for k, cm in enumerate(sof[2]) if cm[0] == cs), None
+                )
+                if idx is None:
+                    raise MediaDecodeError(f"jpeg: SOS references unknown component {cs}")
+                scan.append((idx, tda >> 4, tda & 0x0F))
+            return _decode_scan(
+                payload, pos + 2 + seglen, sof, scan, qts, dc_tabs, ac_tabs, restart
+            )
+        # APPn / COM / anything else length-prefixed: skip
+        pos += 2 + seglen
+    raise MediaDecodeError("jpeg: no SOS marker")
+
+
+def _decode_scan(payload, pos, sof, scan, qts, dc_tabs, ac_tabs, restart):
+    h, w, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if any(hmax % hs or vmax % vs for (_, hs, vs, _) in comps):
+        raise MediaDecodeError("jpeg: sampling factors must divide the maxima")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * 8 * vs, mcux * 8 * hs), dtype=np.float64)
+        for (_, hs, vs, _) in comps
+    ]
+    for _, _, _, tq in comps:
+        if tq not in qts:
+            raise MediaDecodeError(f"jpeg: missing quant table {tq}")
+    segs, rsts, _end = _split_entropy(payload, pos)
+    if rsts and rsts != [i % 8 for i in range(len(rsts))]:
+        raise MediaDecodeError(f"jpeg: restart markers out of sequence {rsts}")
+    basis = _dct_basis()
+    nat = np.array(_ZIGZAG)
+    n_mcu = mcux * mcuy
+    per_seg = restart if restart else n_mcu
+    if restart and len(segs) != -(-n_mcu // restart):
+        raise MediaDecodeError(
+            f"jpeg: expected {-(-n_mcu // restart)} restart intervals, got {len(segs)}"
+        )
+    mcu = 0
+    for seg in segs:
+        rd = _BitReader(seg)
+        preds = [0] * len(comps)
+        for _ in range(min(per_seg, n_mcu - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for ci, tdc, tac in scan:
+                _, hs, vs, tq = comps[ci]
+                qt = qts[tq]
+                dct = dc_tabs.get(tdc)
+                act = ac_tabs.get(tac)
+                if dct is None or act is None:
+                    raise MediaDecodeError("jpeg: missing Huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.float64)
+                        s = _huff_lookup(rd, dct)
+                        zz[0] = preds[ci] = preds[ci] + _extend(rd.receive(s), s)
+                        k = 1
+                        while k < 64:
+                            rs = _huff_lookup(rd, act)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise MediaDecodeError("jpeg: AC run past block end")
+                            zz[k] = _extend(rd.receive(size), size)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[nat] = zz * qt
+                        block = basis.T @ coef.reshape(8, 8) @ basis
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu += 1
+    if mcu != n_mcu:
+        raise MediaDecodeError(f"jpeg: decoded {mcu} of {n_mcu} MCUs")
+    # level shift, round, clip; upsample to full resolution; crop
+    out = []
+    for (_, hs, vs, _), plane in zip(comps, planes):
+        px = np.clip(np.floor(plane + 128.5), 0, 255)
+        if hs != hmax or vs != vmax:
+            px = np.repeat(np.repeat(px, vmax // vs, axis=0), hmax // hs, axis=1)
+        out.append(px[:h, :w])
+    if len(out) == 1:
+        return np.repeat(out[0].astype(np.uint8)[..., None], 3, axis=2)
+    y, cb, cr = out
+    kr, kb = cr - 128.0, cb - 128.0
+    # exact JFIF rationals; numerators are integer-valued floats < 2^53,
+    # so each channel is one IEEE division + one add from exact ints
+    r = y + 1402.0 * kr / 1000.0
+    b = y + 1772.0 * kb / 1000.0
+    g = y - (419198.0 * kr + 202008.0 * kb) / 587000.0
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _huff_lookup(rd: _BitReader, lut: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | rd.bit()
+        v = lut.get((ln, code))
+        if v is not None:
+            return v
+    raise MediaDecodeError("jpeg: invalid Huffman code")
+
+
+class _BitWriter:
+    """MSB-first bit writer with FF byte stuffing and 1-padding."""
+
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, appended bits) for a signed coefficient, per F.1.2.1.2:
+    negatives send their value minus one in size bits."""
+    s = abs(v).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _to_ycbcr(img: np.ndarray) -> list[np.ndarray]:
+    """RGB → JFIF YCbCr with floor(x+0.5) rounding (exact rationals as
+    integer-valued float numerators — the decode twin's convention)."""
+    r = img[..., 0].astype(np.float64)
+    g = img[..., 1].astype(np.float64)
+    b = img[..., 2].astype(np.float64)
+    y = (299.0 * r + 587.0 * g + 114.0 * b) / 1000.0
+    cb = 128.0 + (b - y) / 1.772
+    cr = 128.0 + (r - y) / 1.402
+    return [np.clip(np.floor(p + 0.5), 0, 255) for p in (y, cb, cr)]
+
+
+def _pad_edge(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _box_down(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Integer box-mean downsample by (fx, fy) with floor(mean+0.5)."""
+    h, w = plane.shape
+    p = _pad_edge(plane, -(-h // fy) * fy, -(-w // fx) * fx)
+    s = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).sum(axis=(1, 3))
+    return np.floor(s / (fx * fy) + 0.5)
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quant: int | tuple | None = None,
+    subsample: str = "444",
+    restart_interval: int = 0,
+    color_space: str = "rgb",
+) -> bytes:
+    """uint8 image → baseline JFIF JPEG with the Annex K typical Huffman
+    tables. `img` is (h, w, 3) for color_space "rgb"/"ycbcr" (ycbcr =
+    planes passed through unconverted — the q71 planting path, which
+    needs exact integer YCbCr), or (h, w)/(h, w, 1) grayscale (single
+    component). `quant`: None → Annex K tables; int q → flat tables of
+    step q (q71 uses 8 so constant/2-level blocks survive exactly);
+    (luma64, chroma64) → explicit natural-order tables. `subsample`:
+    "444", "422" or "420". `restart_interval` > 0 emits DRI + RSTn."""
+    gray = img.ndim == 2 or img.shape[2] == 1
+    h, w = img.shape[0], img.shape[1]
+    if h == 0 or w == 0 or h > 65535 or w > 65535:
+        raise MediaDecodeError(f"jpeg: bad encode dimensions {w}x{h}")
+    if quant is None:
+        qt_nat = [np.array(_STD_QT_LUMA, np.int64), np.array(_STD_QT_CHROMA, np.int64)]
+    elif isinstance(quant, int):
+        qt_nat = [np.full(64, quant, np.int64), np.full(64, quant, np.int64)]
+    else:
+        qt_nat = [np.asarray(quant[0], np.int64), np.asarray(quant[1], np.int64)]
+    if gray:
+        planes = [img.reshape(h, w).astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        if color_space == "rgb":
+            planes = _to_ycbcr(img)
+        elif color_space == "ycbcr":
+            planes = [img[..., i].astype(np.float64) for i in range(3)]
+        else:
+            raise MediaDecodeError(f"jpeg: unknown color space {color_space!r}")
+        fx, fy = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}[subsample]
+        samp = [(fx, fy), (1, 1), (1, 1)]
+        if (fx, fy) != (1, 1):
+            planes = [planes[0]] + [_box_down(p, fx, fy) for p in planes[1:]]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    padded = [
+        _pad_edge(p, mcuy * 8 * vs, mcux * 8 * hs)
+        for p, (hs, vs) in zip(planes, samp)
+    ]
+    basis = _dct_basis()
+    nat = np.array(_ZIGZAG)
+    dc_enc = [_huff_encode_table(*_STD_DC_LUMA), _huff_encode_table(*_STD_DC_CHROMA)]
+    ac_enc = [_huff_encode_table(*_STD_AC_LUMA), _huff_encode_table(*_STD_AC_CHROMA)]
+
+    def write_block(wr, plane, y0, x0, qzz, dct, act, pred):
+        f = basis @ (plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0) @ basis.T
+        fz = f.reshape(64)[nat]
+        q = np.sign(fz) * np.floor(np.abs(fz) / qzz + 0.5)
+        q = q.astype(np.int64)
+        diff = int(q[0]) - pred
+        s, bitsv = _magnitude(diff)
+        if s not in dct:
+            raise MediaDecodeError(f"jpeg: DC magnitude {s} exceeds table")
+        ln, code = dct[s]
+        wr.put(code, ln)
+        if s:
+            wr.put(bitsv, s)
+        run = 0
+        for k in range(1, 64):
+            v = int(q[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = act[0xF0]  # ZRL
+                wr.put(code, ln)
+                run -= 16
+            s, bitsv = _magnitude(v)
+            if (run << 4) | s not in act:
+                raise MediaDecodeError(f"jpeg: AC magnitude {s} exceeds table")
+            ln, code = act[(run << 4) | s]
+            wr.put(code, ln)
+            wr.put(bitsv, s)
+            run = 0
+        if run:
+            ln, code = act[0x00]  # EOB
+            wr.put(code, ln)
+        return int(q[0])
+
+    qzzs = [qt[nat].astype(np.float64) for qt in qt_nat]  # natural → zigzag
+    ncomp = len(planes)
+    entropy = bytearray()
+    wr = _BitWriter()
+    preds = [0] * ncomp
+    n_mcu = mcux * mcuy
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            wr.flush()
+            entropy += wr.out
+            entropy += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+            wr = _BitWriter()
+            preds = [0] * ncomp
+        my, mx = divmod(mcu, mcux)
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            t = 0 if ci == 0 else 1
+            for by in range(vs):
+                for bx in range(hs):
+                    preds[ci] = write_block(
+                        wr,
+                        padded[ci],
+                        (my * vs + by) * 8,
+                        (mx * hs + bx) * 8,
+                        qzzs[t],
+                        dc_enc[t],
+                        ac_enc[t],
+                        preds[ci],
+                    )
+    wr.flush()
+    entropy += wr.out
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    ntab = 1 if gray else 2
+    for t in range(ntab):
+        out += seg(0xDB, bytes([t]) + bytes(int(v) for v in qt_nat[t][nat]))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([ncomp])
+    for ci in range(ncomp):
+        hs, vs = samp[ci]
+        sof += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    huffs = [(0x00, _STD_DC_LUMA), (0x10, _STD_AC_LUMA)]
+    if not gray:
+        huffs += [(0x01, _STD_DC_CHROMA), (0x11, _STD_AC_CHROMA)]
+    for tid, (bits, vals) in huffs:
+        out += seg(0xC4, bytes([tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, restart_interval.to_bytes(2, "big"))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_features(payload: bytes) -> list[float]:
+    """Same integer-exact feature layout as ppm_features — a JPEG, PNG,
+    BMP and PPM of the same decoded pixels yield identical features."""
+    img = decode_jpeg(payload)
+    h, w = img.shape[0], img.shape[1]
+    n = w * h
+    sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    ch = [float((1_000_000 * int(s)) // (255 * n)) / 1e6 for s in sums]
+    return [IMAGE_TAG, float(w), float(h), *ch, 255.0, float(n)]
+
+
+def jpeg_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Decode-JPEG → bilinear → re-encode (Annex K tables, 4:4:4)."""
+    return encode_jpeg(bilinear_resize(decode_jpeg(payload), w, h))

@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata; decode/feature-extract as Arrow-batched mapInPandas stages.
 
-Decode kernels (round 4): uncompressed formats decode FOR REAL via the
-pure-numpy codecs in media_codecs.py — PPM (P6) images (decode +
-bilinear resize + re-encode) and PCM16 WAV audio. Compressed formats
-(png/jpeg/mp3/…) still need a registered kernel (`register_decoder`,
-e.g. PIL/torchaudio in a real deployment); for those the deterministic
+Decode kernels: PPM (P6), 24-bit BMP, PNG (zlib + unfilter) and
+baseline JPEG (Huffman + IDCT) images plus PCM16 WAV audio decode FOR
+REAL via the pure-numpy codecs in media_codecs.py (decode + bilinear
+resize + re-encode). The remaining compressed formats (gif/webp/
+mp3/ogg) still need a registered kernel (`register_decoder`, e.g.
+PIL/torchaudio in a real deployment); for those the deterministic
 byte-hash stub remains as the documented fallback so the plumbing —
 schema, partitioning, batch shape, UDF signatures — is exercised for
 every kind.
@@ -71,15 +72,18 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _default_image_decode(payload: bytes) -> list[float]:
-    """Real P6 decode when the payload is PPM; byte-hash stub fallback
-    for compressed formats (no PIL in this container — register a
-    kernel for png/jpeg)."""
+    """Real decode for PPM, BMP, PNG and baseline JPEG (the pure-numpy
+    kernels in media_codecs); byte-hash stub fallback only for the
+    formats still lacking a kernel (gif/webp — register one in a real
+    deployment)."""
     if payload[:2] == b"P6":
         return media_codecs.ppm_features(payload)
     if payload[:2] == b"BM":
         return media_codecs.bmp_features(payload)
     if payload[:8] == media_codecs._PNG_SIG:
         return media_codecs.png_features(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        return media_codecs.jpeg_features(payload)
     return _fake_decode(payload)
 
 
@@ -228,14 +232,16 @@ def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
 
 
 def _default_image_resize(payload: bytes, w: int, h: int) -> bytes:
-    """Real bilinear resize for P6 payloads (media_codecs.ppm_resize);
-    byte-resample stub fallback for compressed formats."""
+    """Real bilinear resize for PPM/BMP/PNG/JPEG payloads; byte-resample
+    stub fallback for the formats still lacking a kernel."""
     if payload[:2] == b"P6":
         return media_codecs.ppm_resize(payload, w, h)
     if payload[:2] == b"BM":
         return media_codecs.bmp_resize(payload, w, h)
     if payload[:8] == media_codecs._PNG_SIG:
         return media_codecs.png_resize(payload, w, h)
+    if payload[:3] == b"\xff\xd8\xff":
+        return media_codecs.jpeg_resize(payload, w, h)
     return _fake_resize(payload, w, h)
 
 

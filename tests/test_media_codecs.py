@@ -119,7 +119,8 @@ def test_extract_features_real_kernels_and_error_column(spark):
         ("corrupt_wav", b"RIFF\x10\x00\x00\x00WAVEdata", "audio"),
         ("png_real", mc.encode_png(np.full((2, 2, 3), 60, np.uint8)), "image"),
         ("corrupt_png", b"\x89PNG\r\n\x1a\n" + bytes(32), "image"),
-        ("jpeg_fallback", b"\xff\xd8\xff\xe0" + bytes(32), "image"),
+        ("corrupt_jpeg", b"\xff\xd8\xff\xe0" + bytes(32), "image"),
+        ("gif_fallback", b"GIF87a" + bytes(32), "image"),
     ]
     df = spark.createDataFrame(rows, "key string, media binary, kind string")
     out = {r["key"]: r for r in extract_features(df, kind_col="kind").collect()}
@@ -144,13 +145,17 @@ def test_extract_features_real_kernels_and_error_column(spark):
     )
     assert out["corrupt_png"].feat is None
     assert "png" in out["corrupt_png"].decode_error
-    # still-compressed formats (jpeg) fall back to the deterministic stub
+    # JPEG decodes for REAL too (round 5): a signature-bearing but
+    # malformed payload lands in decode_error
+    assert out["corrupt_jpeg"].feat is None
+    assert "jpeg" in out["corrupt_jpeg"].decode_error
+    # still-kernel-less formats (gif) fall back to the deterministic stub
     from beats_spark.training.multimodal import _fake_decode
 
-    assert ppm_ints(out["jpeg_fallback"].feat) == ppm_ints(
-        _fake_decode(b"\xff\xd8\xff\xe0" + bytes(32))
+    assert ppm_ints(out["gif_fallback"].feat) == ppm_ints(
+        _fake_decode(b"GIF87a" + bytes(32))
     )
-    assert out["jpeg_fallback"].decode_error is None
+    assert out["gif_fallback"].decode_error is None
 
 
 def test_resize_media_real_bilinear_kernel(spark):
@@ -446,3 +451,170 @@ def test_png_grayscale_palette_and_alpha_variants():
     assert mc.png_features(
         _raw_png(4, 2, 3, rows, extra=plte)
     ) == mc.ppm_features(mc.encode_ppm(pal[idx]))
+
+
+# --- JPEG (baseline DCT) -------------------------------------------------------
+
+
+def _plant_jpeg(d: int) -> tuple[bytes, np.ndarray]:
+    """The q71 planting recipe: per-block two-level Y (+the (0,4) DCT
+    basis), constant chroma, flat quant 8. Returns (payload, expected
+    RGB pixels from the exact integer twin of the decoder's IEEE
+    arithmetic)."""
+    pat = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
+    y = np.zeros((16, 32), dtype=np.int64)
+    amp = 2 * (d % 7)
+    for by in range(2):
+        for bx in range(4):
+            base = 72 + 3 * ((5 * d + bx + 2 * by) % 37)
+            y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = base + amp * np.tile(
+                pat, (8, 1)
+            )
+    ri = 2 if d % 6 == 0 else 0
+    if d % 8 == 5:
+        return (
+            mc.encode_jpeg(y.astype(np.uint8), quant=8, restart_interval=ri),
+            np.repeat(y[..., None], 3, axis=2),
+        )
+    kr = 20 * ((d * 11) % 5 - 2)
+    kb = 20 * ((d * 7) % 3 - 1)
+    img = np.stack(
+        [y, np.full_like(y, 128 + kb), np.full_like(y, 128 + kr)], axis=-1
+    ).astype(np.uint8)
+    payload = mc.encode_jpeg(
+        img,
+        quant=8,
+        subsample="420" if d % 2 else "444",
+        restart_interval=ri,
+        color_space="ycbcr",
+    )
+    r = (1000 * y + 1402 * kr + 500) // 1000
+    b = (1000 * y + 1772 * kb + 500) // 1000
+    g = (587000 * y - 419198 * kr - 202008 * kb + 293500) // 587000
+    return payload, np.stack([r, g, b], axis=-1)
+
+
+def test_jpeg_planted_corpus_pixel_exact():
+    """The q71 pytest twin: all 48 planted docs decode pixel-identical
+    to the integer-arithmetic oracle (gray expansion, 4:4:4 and 4:2:0,
+    restart markers, AC run-length at zigzag position 14)."""
+    for d in range(48):
+        payload, exp = _plant_jpeg(d)
+        assert payload[:3] == b"\xff\xd8\xff"
+        dec = mc.decode_jpeg(payload).astype(np.int64)
+        assert np.array_equal(dec, exp), f"doc {d}"
+
+
+def test_jpeg_huffman_tables_and_magnitude_coding():
+    """Entropy-layer internals: every symbol of all four Annex K tables
+    survives a BitWriter→BitReader round trip (incl. byte stuffing and
+    1-padding), and EXTEND inverts the magnitude coding for the full
+    baseline range."""
+    for bits, vals in (
+        mc._STD_DC_LUMA,
+        mc._STD_DC_CHROMA,
+        mc._STD_AC_LUMA,
+        mc._STD_AC_CHROMA,
+    ):
+        enc = mc._huff_encode_table(bits, vals)
+        dec = mc._huff_decode_table(bits, vals)
+        assert sorted(enc) == sorted(vals)
+        wr = mc._BitWriter()
+        for v in vals:
+            ln, code = enc[v]
+            wr.put(code, ln)
+        wr.flush()
+        # the writer stuffs FF→FF 00 on the wire; _split_entropy
+        # destuffs before the reader sees it — mirror that here
+        rd = mc._BitReader(bytes(wr.out).replace(b"\xff\x00", b"\xff"))
+        for v in vals:
+            assert mc._huff_lookup(rd, dec) == v
+    for v in range(-2047, 2048):
+        s, bitsv = mc._magnitude(v)
+        assert mc._extend(bitsv, s) == v
+    # stuffing: a run of 1-bits produces FF 00 on the wire
+    wr = mc._BitWriter()
+    wr.put(0xFFFF, 16)
+    assert bytes(wr.out) == b"\xff\x00\xff\x00"
+
+
+def test_jpeg_round_trip_error_bounds():
+    """Lossy-path sanity with empirically pinned bounds: flat quant 1
+    is near-lossless (only color-space rounding), Annex K tables keep
+    a smooth gradient close, constant colors survive subsampling."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    d = mc.decode_jpeg(mc.encode_jpeg(img, quant=1, subsample="444"))
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
+    g = rng.integers(0, 256, (19, 23), dtype=np.uint8)
+    d = mc.decode_jpeg(mc.encode_jpeg(g, quant=1))
+    assert np.abs(d.astype(int) - np.repeat(g[..., None], 3, 2).astype(int)).max() <= 1
+    sm = np.clip(
+        np.arange(24)[:, None, None] * 5
+        + np.arange(40)[None, :, None] * 3
+        + np.array([10, 60, 120])[None, None, :],
+        0,
+        255,
+    ).astype(np.uint8)
+    d = mc.decode_jpeg(mc.encode_jpeg(sm))
+    assert np.abs(d.astype(int) - sm.astype(int)).mean() <= 2.0
+    const = np.full((20, 26, 3), [137, 61, 202], dtype=np.uint8)
+    for sub in ("444", "422", "420"):
+        d = mc.decode_jpeg(mc.encode_jpeg(const, subsample=sub))
+        assert np.abs(d.astype(int) - const.astype(int)).max() <= 2, sub
+
+
+def test_jpeg_odd_dimensions_and_restart_intervals():
+    """Non-MCU-multiple dimensions pad with edge replication and crop
+    back; restart markers re-sync DC predictors at every interval."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 29, 3), dtype=np.uint8)
+    for sub in ("444", "420", "422"):
+        for ri in (0, 1, 3):
+            d = mc.decode_jpeg(
+                mc.encode_jpeg(img, quant=1, subsample=sub, restart_interval=ri)
+            )
+            assert d.shape == (17, 29, 3), (sub, ri)
+    # 444 quant=1: odd dims stay near-lossless (crop discards the padding)
+    d = mc.decode_jpeg(mc.encode_jpeg(img, quant=1, subsample="444"))
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_jpeg_malformed_raises():
+    payload = mc.encode_jpeg(
+        np.full((16, 16, 3), 99, dtype=np.uint8), restart_interval=1
+    )
+    with pytest.raises(mc.MediaDecodeError, match="SOI"):
+        mc.decode_jpeg(b"\x89PNG" + payload)
+    with pytest.raises(mc.MediaDecodeError, match="truncated"):
+        mc.decode_jpeg(payload[:40])
+    bad = bytearray(payload)
+    bad[bad.index(b"\xff\xc0") + 1] = 0xC2  # progressive SOF
+    with pytest.raises(mc.MediaDecodeError, match="baseline"):
+        mc.decode_jpeg(bytes(bad))
+    # restart sequence corruption: bump the first RST marker's number
+    bad = bytearray(payload)
+    i = bad.find(b"\xff\xd0", bad.index(b"\xff\xda"))
+    assert i > 0
+    bad[i + 1] = 0xD5
+    with pytest.raises(mc.MediaDecodeError, match="restart"):
+        mc.decode_jpeg(bytes(bad))
+    # entropy data cut mid-scan
+    with pytest.raises(mc.MediaDecodeError, match="jpeg"):
+        mc.decode_jpeg(payload[: payload.index(b"\xff\xda") + 20])
+
+
+def test_jpeg_features_parity_and_resize():
+    """jpeg_features of an exactly-decoding payload == ppm_features of
+    the same pixels; jpeg_resize emits a decodable JPEG of the target
+    dimensions (kernel-chain dispatch covered via the defaults)."""
+    from beats_spark.training import multimodal
+
+    payload, exp = _plant_jpeg(7)
+    assert mc.jpeg_features(payload) == mc.ppm_features(
+        mc.encode_ppm(exp.astype(np.uint8))
+    )
+    assert multimodal._default_image_decode(payload) == mc.jpeg_features(payload)
+    out = multimodal._default_image_resize(payload, 10, 6)
+    img = mc.decode_jpeg(out)
+    assert img.shape == (6, 10, 3)
