@@ -1154,3 +1154,482 @@ def jpeg_features(payload: bytes) -> list[float]:
 def jpeg_resize(payload: bytes, w: int, h: int) -> bytes:
     """Decode-JPEG → bilinear → re-encode (Annex K tables, 4:4:4)."""
     return encode_jpeg(bilinear_resize(decode_jpeg(payload), w, h))
+
+
+# --- GIF (87a/89a, LZW) -------------------------------------------------------
+#
+# The third compressed real codec — and the one real ANIMATED format,
+# which makes `sample_frames` a real frame sampler instead of a
+# byte-slice stub. Spec: GIF89a (CompuServe, public): header + logical
+# screen descriptor, global/local color tables, graphic control
+# extension (disposal, delay, transparency), image descriptors with
+# sub-rect frames and interlacing, variable-width LSB-first LZW with
+# clear/end codes and the 12-bit table cap. Ref analog:
+# libbeat/processors/actions/detect_mime_type.go:53 sniffs image/gif.
+#
+# LZW width-growth convention (the classic interop off-by-one): both
+# sides keep a `running` counter seeded to clear+2 on every clear —
+# the decoder bumps it per data code READ, the encoder per entry ADDED
+# (one add per emitted code) — and grow the code width the moment the
+# counter exceeds 1<<width (giflib's RunningCode/MaxCode1 rule), so
+# encoder emission k and decoder read k always agree on the width.
+# Determinism: LZW is lossless and the palette is integer RGB, so a
+# decoded frame is bit-equal to the planted frame — SQL oracles
+# recompute pixel sums from planting arithmetic with no rounding
+# analysis at all (unlike the JPEG gate).
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    """Row indices in interlaced storage order (4 passes)."""
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    return order
+
+
+def _gif_subblocks(payload: bytes, i: int) -> tuple[bytes, int]:
+    """Read a GIF sub-block chain (len byte + data, 0x00 terminator)."""
+    out = bytearray()
+    n = len(payload)
+    while True:
+        if i >= n:
+            raise MediaDecodeError("gif: truncated sub-block chain")
+        ln = payload[i]
+        i += 1
+        if ln == 0:
+            return bytes(out), i
+        if i + ln > n:
+            raise MediaDecodeError("gif: truncated sub-block")
+        out += payload[i : i + ln]
+        i += ln
+
+
+def _lzw_decode(data: bytes, mcs: int, n_px: int) -> np.ndarray:
+    """GIF LZW decode → exactly n_px palette indices (uint8)."""
+    if not 2 <= mcs <= 8:
+        raise MediaDecodeError(f"gif: bad LZW min code size {mcs}")
+    clear = 1 << mcs
+    end = clear + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    width = mcs + 1
+    running = clear + 2
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while len(out) < n_px:
+        while nbits < width:
+            if pos >= len(data):
+                raise MediaDecodeError("gif: LZW stream truncated")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = list(roots)
+            width = mcs + 1
+            running = clear + 2
+            prev = None
+            continue
+        if code == end:
+            break
+        # giflib RunningCode/MaxCode1 rule: bump per data code, grow
+        # when the counter exceeds the current width's capacity
+        if running < 4098:
+            running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+        if prev is None:
+            if code >= len(table):
+                raise MediaDecodeError(f"gif: first LZW code {code} out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise MediaDecodeError(f"gif: LZW code {code} out of range")
+        out += entry
+        prev = entry
+    if len(out) < n_px:
+        raise MediaDecodeError(f"gif: LZW pixel shortfall ({len(out)} < {n_px})")
+    return np.frombuffer(bytes(out[:n_px]), dtype=np.uint8)
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF LZW encode (emits clear up front and on table overflow)."""
+    clear = 1 << mcs
+    end = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    width = mcs + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    running = clear + 2
+    emit(clear, width)
+    buf = b""
+    for px in indices:
+        s = buf + bytes([px])
+        if s in table:
+            buf = s
+            continue
+        emit(table[buf], width)
+        # mirror of the decoder's rule: grow after the emission the
+        # counter overflows on, so the NEXT code uses the wider width
+        if running >= 4096:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            width = mcs + 1
+            running = clear + 2
+        else:
+            table[s] = running
+            running += 1
+            if running > (1 << width) and width < 12:
+                width += 1
+        buf = bytes([px])
+    if buf:
+        emit(table[buf], width)
+        if running < 4096:
+            running += 1
+            if running > (1 << width) and width < 12:
+                width += 1
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """Decode every frame of a GIF, composited onto the logical-screen
+    canvas (disposal 0/1 leave, 2 restore-to-background, 3
+    restore-to-previous; transparent pixels leave the canvas through).
+    Returns (frames, delays_ms): each frame an (H, W, 3) uint8 RGB
+    array of the canvas as displayed, delay = 10 × the GCE centisecond
+    field. Canvas initializes to the background-color-table entry
+    (GCT[bg_index]; zeros when no GCT — the GIF87a convention; this
+    codec's contract is deterministic compositing, not browser
+    emulation, which treats the backdrop as transparent)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("gif: bad signature")
+    if len(payload) < 13:
+        raise MediaDecodeError("gif: truncated logical screen descriptor")
+
+    def u16(at: int) -> int:
+        return payload[at] | (payload[at + 1] << 8)
+
+    sw, sh = u16(6), u16(8)
+    if sw <= 0 or sh <= 0:
+        raise MediaDecodeError(f"gif: bad canvas {sw}x{sh}")
+    packed, bg_idx = payload[10], payload[11]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if i + 3 * n > len(payload):
+            raise MediaDecodeError("gif: truncated global color table")
+        gct = (
+            np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8)
+            .reshape(n, 3)
+            .copy()
+        )
+        i += 3 * n
+    bg_rgb = (
+        gct[bg_idx] if gct is not None and bg_idx < len(gct)
+        else np.zeros(3, dtype=np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:, :] = bg_rgb
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    gce: tuple[int, int | None, int] | None = None
+    while True:
+        if i >= len(payload):
+            raise MediaDecodeError("gif: missing trailer")
+        b0 = payload[i]
+        i += 1
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            if i >= len(payload):
+                raise MediaDecodeError("gif: truncated extension")
+            label = payload[i]
+            i += 1
+            blocks, i = _gif_subblocks(payload, i)
+            if label == 0xF9:
+                if len(blocks) < 4:
+                    raise MediaDecodeError("gif: short graphic control extension")
+                p = blocks[0]
+                gce = (
+                    (p >> 2) & 0x7,
+                    blocks[3] if p & 1 else None,
+                    blocks[1] | (blocks[2] << 8),
+                )
+            # comment / application / plain-text extensions: skipped
+        elif b0 == 0x2C:
+            if i + 9 > len(payload):
+                raise MediaDecodeError("gif: truncated image descriptor")
+            left, top, w, h = u16(i), u16(i + 2), u16(i + 4), u16(i + 6)
+            fpacked = payload[i + 8]
+            i += 9
+            if w <= 0 or h <= 0 or left + w > sw or top + h > sh:
+                raise MediaDecodeError(
+                    f"gif: frame rect {w}x{h}+{left}+{top} outside {sw}x{sh}"
+                )
+            lct = None
+            if fpacked & 0x80:
+                n = 2 << (fpacked & 7)
+                if i + 3 * n > len(payload):
+                    raise MediaDecodeError("gif: truncated local color table")
+                lct = (
+                    np.frombuffer(payload[i : i + 3 * n], dtype=np.uint8)
+                    .reshape(n, 3)
+                    .copy()
+                )
+                i += 3 * n
+            if i >= len(payload):
+                raise MediaDecodeError("gif: missing LZW min code size")
+            mcs = payload[i]
+            i += 1
+            data, i = _gif_subblocks(payload, i)
+            idxs = _lzw_decode(data, mcs, w * h).reshape(h, w)
+            if fpacked & 0x40:
+                deinterlaced = np.empty_like(idxs)
+                deinterlaced[_gif_interlace_order(h)] = idxs
+                idxs = deinterlaced
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise MediaDecodeError("gif: frame has no color table")
+            disposal, tidx, delay_cs = gce if gce is not None else (0, None, 0)
+            opaque = (
+                np.ones((h, w), dtype=bool) if tidx is None else idxs != tidx
+            )
+            if int(idxs[opaque].max(initial=0)) >= len(pal):
+                raise MediaDecodeError("gif: pixel index outside color table")
+            region = canvas[top : top + h, left : left + w]
+            snapshot = region.copy() if disposal == 3 else None
+            rgb = pal[idxs]
+            region[opaque] = rgb[opaque]
+            frames.append(canvas.copy())
+            delays.append(10 * delay_cs)
+            if disposal == 2:
+                region[:, :] = bg_rgb
+            elif disposal == 3:
+                region[:, :] = snapshot
+            gce = None
+        else:
+            raise MediaDecodeError(f"gif: unknown block 0x{b0:02x}")
+    if not frames:
+        raise MediaDecodeError("gif: no image data")
+    return frames, delays
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame as (H, W, 3) uint8 RGB."""
+    return decode_gif_frames(payload)[0][0]
+
+
+def _gif_color_table(colors: list[tuple[int, int, int]]) -> tuple[bytes, dict, int]:
+    """Build a GIF color table: padded to the next power of two ≥ 2.
+    Returns (raw bytes, color→index map, size field = log2(size)−1)."""
+    if len(colors) > 256:
+        raise MediaDecodeError(f"gif: {len(colors)} colors exceed the 256-entry table")
+    size = 2
+    while size < len(colors):
+        size *= 2
+    field = size.bit_length() - 2
+    raw = bytearray()
+    for c in colors:
+        raw += bytes(c)
+    raw += b"\x00" * (3 * (size - len(colors)))
+    return bytes(raw), {c: k for k, c in enumerate(colors)}, field
+
+
+def encode_gif(
+    frames: "np.ndarray | list[np.ndarray]",
+    *,
+    delays_ms: list[int] | None = None,
+    rects: list[tuple[int, int]] | None = None,
+    canvas: tuple[int, int] | None = None,
+    transparent: "list[tuple[int, int, int] | None] | None" = None,
+    disposal: list[int] | None = None,
+    interlace: list[bool] | None = None,
+    local_palette: list[bool] | None = None,
+    bg: tuple[int, int, int] = (0, 0, 0),
+    loop: int | None = 0,
+) -> bytes:
+    """Encode one or more RGB frames as a GIF89a.
+
+    frames: one (h, w, 3) uint8 array or a list of them; frame f is
+    drawn at rects[f] = (left, top) (default (0, 0)) on a canvas sized
+    to the max extent (or explicit `canvas` = (W, H)). Per-frame
+    options (all default-None lists): delays_ms (rounded down to
+    centiseconds), transparent (an RGB triple in that frame to encode
+    as the GCE transparent index), disposal (0..3, default 1 = leave),
+    interlace, local_palette (frame carries its own color table).
+    Colors not routed to a local table — plus `bg`, which becomes
+    GCT[0] / the logical background — must fit one 256-entry global
+    table. `loop` writes the NETSCAPE2.0 loop extension (None omits)."""
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    nf = len(frames)
+    if nf == 0:
+        raise MediaDecodeError("gif: no frames to encode")
+
+    def opt(lst, default):
+        return [default] * nf if lst is None else list(lst)
+
+    delays_ms = opt(delays_ms, 0)
+    rects = opt(rects, (0, 0))
+    transparent = opt(transparent, None)
+    disposal = opt(disposal, 1)
+    interlace = opt(interlace, False)
+    local_palette = opt(local_palette, False)
+    norm = []
+    for f in frames:
+        a = np.asarray(f, dtype=np.uint8)
+        if a.ndim != 3 or a.shape[2] != 3:
+            raise MediaDecodeError(f"gif: frame shape {a.shape} not (h, w, 3)")
+        norm.append(a)
+    frames = norm
+    if canvas is None:
+        cw = max(r[0] + f.shape[1] for r, f in zip(rects, frames))
+        ch = max(r[1] + f.shape[0] for r, f in zip(rects, frames))
+    else:
+        cw, ch = canvas
+    for (left, top), f in zip(rects, frames):
+        if left < 0 or top < 0 or left + f.shape[1] > cw or top + f.shape[0] > ch:
+            raise MediaDecodeError("gif: frame rect outside canvas")
+
+    def frame_colors(f: int) -> list[tuple[int, int, int]]:
+        uniq = np.unique(frames[f].reshape(-1, 3), axis=0)
+        cols = [tuple(int(v) for v in c) for c in uniq]
+        t = transparent[f]
+        if t is not None and tuple(t) not in cols:
+            cols.append(tuple(t))
+        return cols
+
+    # global table: bg first (index 0 = logical background color),
+    # then every color of frames not using a local table
+    gcols: list[tuple[int, int, int]] = [tuple(bg)]
+    seen = {tuple(bg)}
+    for f in range(nf):
+        if local_palette[f]:
+            continue
+        for c in frame_colors(f):
+            if c not in seen:
+                seen.add(c)
+                gcols.append(c)
+    graw, gmap, gfield = _gif_color_table(gcols)
+
+    out = bytearray(b"GIF89a")
+    out += cw.to_bytes(2, "little") + ch.to_bytes(2, "little")
+    out += bytes([0x80 | (gfield << 4) | gfield, 0, 0])  # GCT flag, bg=0
+    out += graw
+    if loop is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + loop.to_bytes(2, "little") + b"\x00"
+    for f in range(nf):
+        img = frames[f]
+        h, w = img.shape[0], img.shape[1]
+        left, top = rects[f]
+        if local_palette[f]:
+            lraw, cmap, lfield = _gif_color_table(frame_colors(f))
+        else:
+            lraw, cmap, lfield = b"", gmap, 0
+            for c in frame_colors(f):
+                if c not in cmap:
+                    raise MediaDecodeError(f"gif: color {c} missing from global table")
+        tidx = cmap[tuple(transparent[f])] if transparent[f] is not None else None
+        # GCE: disposal / delay / transparency
+        p = (disposal[f] & 0x7) << 2 | (1 if tidx is not None else 0)
+        out += b"\x21\xf9\x04" + bytes([p])
+        out += (delays_ms[f] // 10).to_bytes(2, "little")
+        out += bytes([tidx or 0, 0])
+        fpacked = (0x80 | lfield if local_palette[f] else 0) | (
+            0x40 if interlace[f] else 0
+        )
+        out += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([fpacked])
+        out += lraw
+        flat = img.reshape(-1, 3)
+        keys = (
+            flat[:, 0].astype(np.int64) << 16
+            | flat[:, 1].astype(np.int64) << 8
+            | flat[:, 2].astype(np.int64)
+        )
+        kmap = {(r << 16 | g << 8 | b): i for (r, g, b), i in cmap.items()}
+        idxs = np.array([kmap[int(k)] for k in keys], dtype=np.uint8).reshape(h, w)
+        if interlace[f]:
+            idxs = idxs[_gif_interlace_order(h)]
+        table_bits = max(2, (len(cmap) - 1).bit_length())
+        out += bytes([table_bits])
+        stream = _lzw_encode(idxs.tobytes(), table_bits)
+        for o in range(0, len(stream), 255):
+            chunk = stream[o : o + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_features(payload: bytes) -> list[float]:
+    """Same integer-exact feature layout as ppm_features, over the
+    first composited frame — a GIF and a PPM of the same pixels yield
+    identical features."""
+    img = decode_gif(payload)
+    h, w = img.shape[0], img.shape[1]
+    n = w * h
+    sums = img.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+    ch = [float((1_000_000 * int(s)) // (255 * n)) / 1e6 for s in sums]
+    return [IMAGE_TAG, float(w), float(h), *ch, 255.0, float(n)]
+
+
+def gif_frame_sample(payload: bytes, n_frames: int) -> list[tuple[int, int, bytes]]:
+    """REAL frame sampling for animated GIFs (the sample_frames
+    kernel): decode + composite all frames, pick index (j·F)//n for
+    sample j (ffmpeg-style nearest sampling; repeats when n > F),
+    timestamp = the frame's start time on the GIF's own delay
+    timeline, re-encode each sampled frame as PPM — so downstream
+    extract_features runs the real PPM kernel on real pixels."""
+    frames, delays = decode_gif_frames(payload)
+    nf = len(frames)
+    starts = [0] * nf
+    for k in range(1, nf):
+        starts[k] = starts[k - 1] + delays[k - 1]
+    out = []
+    for j in range(n_frames):
+        fi = (j * nf) // n_frames
+        out.append((j, starts[fi], encode_ppm(frames[fi])))
+    return out
+
+
+def gif_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Decode first frame → nearest-neighbor resample → re-encode.
+    Nearest (not bilinear) on purpose: it preserves the palette
+    exactly, so the output always fits a 256-entry table — the
+    lossless-thumbnail semantics a palette format supports."""
+    img = decode_gif(payload)
+    if w <= 0 or h <= 0:
+        raise MediaDecodeError(f"resize: bad target {w}x{h}")
+    sh, sw = img.shape[0], img.shape[1]
+    ys = np.clip(((np.arange(h) + 0.5) * (sh / h)).astype(np.int64), 0, sh - 1)
+    xs = np.clip(((np.arange(w) + 0.5) * (sw / w)).astype(np.int64), 0, sw - 1)
+    return encode_gif(img[ys][:, xs])

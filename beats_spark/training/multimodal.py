@@ -1,15 +1,16 @@
 """Multimodal columns: image/audio/video as opaque binary + typed
 metadata; decode/feature-extract as Arrow-batched mapInPandas stages.
 
-Decode kernels: PPM (P6), 24-bit BMP, PNG (zlib + unfilter) and
-baseline JPEG (Huffman + IDCT) images plus PCM16 WAV audio decode FOR
-REAL via the pure-numpy codecs in media_codecs.py (decode + bilinear
-resize + re-encode). The remaining compressed formats (gif/webp/
-mp3/ogg) still need a registered kernel (`register_decoder`, e.g.
-PIL/torchaudio in a real deployment); for those the deterministic
-byte-hash stub remains as the documented fallback so the plumbing —
-schema, partitioning, batch shape, UDF signatures — is exercised for
-every kind.
+Decode kernels: PPM (P6), 24-bit BMP, PNG (zlib + unfilter), baseline
+JPEG (Huffman + IDCT) and GIF (LZW, incl. animation) images plus
+PCM16 WAV audio decode FOR REAL via the pure-numpy codecs in
+media_codecs.py (decode + resize + re-encode); animated GIFs also make
+sample_frames a real frame sampler. The remaining compressed formats
+(webp/mp3/ogg) still need a registered kernel (`register_decoder`,
+e.g. PIL/torchaudio in a real deployment); for those the
+deterministic byte-hash stub remains as the documented fallback so
+the plumbing — schema, partitioning, batch shape, UDF signatures — is
+exercised for every kind.
 
 Schema convention:
     media: binary                 -- the opaque payload
@@ -72,10 +73,10 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _default_image_decode(payload: bytes) -> list[float]:
-    """Real decode for PPM, BMP, PNG and baseline JPEG (the pure-numpy
-    kernels in media_codecs); byte-hash stub fallback only for the
-    formats still lacking a kernel (gif/webp — register one in a real
-    deployment)."""
+    """Real decode for PPM, BMP, PNG, baseline JPEG and GIF (the
+    pure-numpy kernels in media_codecs); byte-hash stub fallback only
+    for the formats still lacking a kernel (webp — register one in a
+    real deployment)."""
     if payload[:2] == b"P6":
         return media_codecs.ppm_features(payload)
     if payload[:2] == b"BM":
@@ -84,6 +85,8 @@ def _default_image_decode(payload: bytes) -> list[float]:
         return media_codecs.png_features(payload)
     if payload[:3] == b"\xff\xd8\xff":
         return media_codecs.jpeg_features(payload)
+    if payload[:4] == b"GIF8":
+        return media_codecs.gif_features(payload)
     return _fake_decode(payload)
 
 
@@ -118,19 +121,24 @@ def sniff_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
         # non-UTF8 magic bytes
         return F.hex(F.substring(b, 1, len(sig))) == sig.hex().upper()
 
+    # RIFF is a container: the form type at bytes 9-12 disambiguates
+    # (WAVE → wav audio, WEBP → webp image) — a bare-RIFF→wav mapping
+    # would misclass every webp
+    riff_form = F.hex(F.substring(b, 9, 4))
     fmt = (
         F.when(magic(b"\x89PNG"), F.lit("png"))
         .when(magic(b"\xff\xd8\xff"), F.lit("jpeg"))
         .when(magic(b"GIF8"), F.lit("gif"))
         .when(magic(b"P6"), F.lit("ppm"))
         .when(magic(b"BM"), F.lit("bmp"))
-        .when(magic(b"RIFF"), F.lit("wav"))
+        .when(magic(b"RIFF") & (riff_form == b"WAVE".hex().upper()), F.lit("wav"))
+        .when(magic(b"RIFF") & (riff_form == b"WEBP".hex().upper()), F.lit("webp"))
         .when(magic(b"ID3"), F.lit("mp3"))
         .when(magic(b"OggS"), F.lit("ogg"))
         .otherwise(F.lit("unknown"))
     )
     kind = (
-        F.when(fmt.isin("png", "jpeg", "gif", "ppm", "bmp"), F.lit("image"))
+        F.when(fmt.isin("png", "jpeg", "gif", "ppm", "bmp", "webp"), F.lit("image"))
         .when(fmt.isin("wav", "mp3", "ogg"), F.lit("audio"))
         .otherwise(F.lit("unknown"))
     )
@@ -232,8 +240,9 @@ def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
 
 
 def _default_image_resize(payload: bytes, w: int, h: int) -> bytes:
-    """Real bilinear resize for PPM/BMP/PNG/JPEG payloads; byte-resample
-    stub fallback for the formats still lacking a kernel."""
+    """Real resize for PPM/BMP/PNG/JPEG (bilinear) and GIF
+    (palette-preserving nearest); byte-resample stub fallback for the
+    formats still lacking a kernel."""
     if payload[:2] == b"P6":
         return media_codecs.ppm_resize(payload, w, h)
     if payload[:2] == b"BM":
@@ -242,6 +251,8 @@ def _default_image_resize(payload: bytes, w: int, h: int) -> bytes:
         return media_codecs.png_resize(payload, w, h)
     if payload[:3] == b"\xff\xd8\xff":
         return media_codecs.jpeg_resize(payload, w, h)
+    if payload[:4] == b"GIF8":
+        return media_codecs.gif_resize(payload, w, h)
     return _fake_resize(payload, w, h)
 
 
@@ -307,6 +318,52 @@ def resize_media(
 
 FRAME_SCHEMA = "key string, frame_idx int, ts_ms long, frame binary"
 
+_SAMPLERS: dict[str, Callable[[bytes, int], list]] = {}
+
+
+def register_sampler(fmt: str, fn: Callable[[bytes, int], list]) -> None:
+    """Plug in a real frame sampler for a container format keyed by its
+    sniffed name (e.g. an ffmpeg-backed 'mp4'). The callable takes
+    (payload, n_frames) and returns [(frame_idx, ts_ms, frame_bytes)]."""
+    _SAMPLERS[fmt] = fn
+
+
+def _real_frame_sample(payload: bytes, n_frames: int):
+    """Dispatch to a real sampler when one exists for the payload's
+    sniffed format: animated GIF ships built-in (decode + composite,
+    frames re-encoded as PPM, timestamps from the GIF's own delay
+    timeline). Returns None when no real sampler applies — caller
+    falls back to the deterministic byte-slice stub."""
+    fmt = _sniff_one(payload)
+    fn = _SAMPLERS.get(fmt)
+    if fn is None and fmt == "gif":
+        fn = media_codecs.gif_frame_sample
+    return fn(payload, n_frames) if fn is not None else None
+
+
+def _sniff_one(payload: bytes) -> str:
+    """Python-side twin of sniff_media_meta's magic chain (worker-side
+    dispatch for registered samplers)."""
+    if payload[:8] == media_codecs._PNG_SIG[:8]:
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:4] == b"GIF8":
+        return "gif"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if payload[:3] == b"ID3":
+        return "mp3"
+    if payload[:4] == b"OggS":
+        return "ogg"
+    return "unknown"
+
 
 def sample_frames(
     df: DataFrame,
@@ -318,12 +375,15 @@ def sample_frames(
 ) -> DataFrame:
     """mapInPandas video frame sampling: one input row fans out to
     n_frames rows (key, frame_idx, ts_ms, frame) — the flat-map batch
-    shape a real ffmpeg-backed sampler uses. The frame extraction is
+    shape a real ffmpeg-backed sampler uses. Animated GIFs sample for
+    REAL (decode + composite, frame (j·F)//n, timestamps from the
+    GIF's delay timeline, frames re-encoded as PPM) — as does any
+    format with a register_sampler kernel; other payloads fall back to
     the deterministic stub (equal byte slices standing in for decoded
-    frames); timestamps are evenly spaced over the duration column
+    frames) with timestamps evenly spaced over the duration column
     when given, else over [0, 1000·n). Rows with empty payloads fan
-    out to zero frames (a decode failure drops the asset, not the
-    stage)."""
+    out to zero frames (a decode/sample failure drops the asset, not
+    the stage)."""
     import pandas as pd
 
     from beats_spark._pickle import ensure_udf_portable
@@ -355,15 +415,17 @@ def sample_frames(
                 # (ADVICE r03 — same policy as the zero-frame fan-out
                 # for empty payloads)
                 try:
-                    step = max(len(payload) // n_frames, 1)
-                    rows = []
-                    for j in range(n_frames):
-                        lo = j * step
-                        if lo >= len(payload):
-                            break
-                        rows.append(
-                            (j, (dur * j) // n_frames, payload[lo : lo + step])
-                        )
+                    rows = _real_frame_sample(payload, n_frames)
+                    if rows is None:
+                        step = max(len(payload) // n_frames, 1)
+                        rows = []
+                        for j in range(n_frames):
+                            lo = j * step
+                            if lo >= len(payload):
+                                break
+                            rows.append(
+                                (j, (dur * j) // n_frames, payload[lo : lo + step])
+                            )
                 except Exception:  # noqa: BLE001 — asset-level skip
                     continue
                 for j, ts, fr in rows:

@@ -120,7 +120,8 @@ def test_extract_features_real_kernels_and_error_column(spark):
         ("png_real", mc.encode_png(np.full((2, 2, 3), 60, np.uint8)), "image"),
         ("corrupt_png", b"\x89PNG\r\n\x1a\n" + bytes(32), "image"),
         ("corrupt_jpeg", b"\xff\xd8\xff\xe0" + bytes(32), "image"),
-        ("gif_fallback", b"GIF87a" + bytes(32), "image"),
+        ("corrupt_gif", b"GIF87a" + bytes(32), "image"),
+        ("webp_fallback", b"RIFF0000WEBP" + bytes(32), "image"),
     ]
     df = spark.createDataFrame(rows, "key string, media binary, kind string")
     out = {r["key"]: r for r in extract_features(df, kind_col="kind").collect()}
@@ -149,13 +150,17 @@ def test_extract_features_real_kernels_and_error_column(spark):
     # malformed payload lands in decode_error
     assert out["corrupt_jpeg"].feat is None
     assert "jpeg" in out["corrupt_jpeg"].decode_error
-    # still-kernel-less formats (gif) fall back to the deterministic stub
+    # GIF decodes for REAL as well (round 5): malformed -> decode_error
+    assert out["corrupt_gif"].feat is None
+    assert "gif" in out["corrupt_gif"].decode_error
+    # the still-kernel-less format (webp) falls back to the
+    # deterministic stub
     from beats_spark.training.multimodal import _fake_decode
 
-    assert ppm_ints(out["gif_fallback"].feat) == ppm_ints(
-        _fake_decode(b"GIF87a" + bytes(32))
+    assert ppm_ints(out["webp_fallback"].feat) == ppm_ints(
+        _fake_decode(b"RIFF0000WEBP" + bytes(32))
     )
-    assert out["gif_fallback"].decode_error is None
+    assert out["webp_fallback"].decode_error is None
 
 
 def test_resize_media_real_bilinear_kernel(spark):
@@ -618,3 +623,185 @@ def test_jpeg_features_parity_and_resize():
     out = multimodal._default_image_resize(payload, 10, 6)
     img = mc.decode_jpeg(out)
     assert img.shape == (6, 10, 3)
+
+
+# --- GIF ----------------------------------------------------------------------
+
+
+def test_gif_round_trip_lzw_widths_and_interlace():
+    """LZW survives code-width growth, 12-bit table overflow (clear +
+    reset mid-stream) and the 4-pass interlace reorder."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 4, (13, 17, 1)).repeat(3, axis=2).astype(np.uint8) * 60
+    assert np.array_equal(mc.decode_gif(mc.encode_gif(img)), img)
+    assert np.array_equal(mc.decode_gif(mc.encode_gif(img, interlace=[True])), img)
+    # 216 colors x 60k px: the dictionary hits 4096 -> clear/reset path
+    huge = (rng.randint(0, 6, (200, 300, 3)) * 51).astype(np.uint8)
+    assert np.array_equal(mc.decode_gif(mc.encode_gif(huge)), huge)
+
+
+def test_gif_animation_compositing_transparency_and_disposal():
+    W, H = 24, 16
+    bg = (10, 20, 30)
+    f0 = np.full((4, W, 3), (200, 0, 0), dtype=np.uint8)
+    f1 = np.full((4, W, 3), (0, 200, 0), dtype=np.uint8)
+    f1[:, 1::2] = (1, 2, 3)  # transparent sentinel on odd columns
+    f2 = np.full((4, W, 3), (0, 0, 200), dtype=np.uint8)
+    p = mc.encode_gif(
+        [f0, f1, f2],
+        rects=[(0, 0), (0, 4), (0, 8)],
+        canvas=(W, H),
+        delays_ms=[20, 30, 40],
+        transparent=[None, (1, 2, 3), None],
+        local_palette=[False, False, True],
+        bg=bg,
+    )
+    frames, delays = mc.decode_gif_frames(p)
+    assert delays == [20, 30, 40] and len(frames) == 3
+    c0, c1, c2 = frames
+    assert tuple(c0[0, 0]) == (200, 0, 0) and tuple(c0[5, 0]) == bg
+    # transparency shows the canvas through; disposal 1 leaves band 0
+    assert tuple(c1[4, 0]) == (0, 200, 0) and tuple(c1[4, 1]) == bg
+    assert tuple(c1[0, 0]) == (200, 0, 0)
+    assert tuple(c2[8, 0]) == (0, 0, 200) and tuple(c2[0, 0]) == (200, 0, 0)
+
+    # disposal 2 restores the region to background before the next
+    # frame; disposal 3 restores it to the pre-paint snapshot
+    g0 = np.full((8, 8, 3), (100, 100, 100), dtype=np.uint8)
+    g1 = np.full((4, 4, 3), (250, 0, 0), dtype=np.uint8)
+    g2 = np.full((4, 4, 3), (0, 250, 0), dtype=np.uint8)
+    g3 = np.full((2, 2, 3), (9, 9, 9), dtype=np.uint8)
+    p2 = mc.encode_gif(
+        [g0, g1, g2, g3],
+        rects=[(0, 0), (2, 2), (2, 2), (0, 0)],
+        canvas=(8, 8),
+        disposal=[1, 2, 3, 1],
+        bg=(7, 7, 7),
+    )
+    fr, _ = mc.decode_gif_frames(p2)
+    assert tuple(fr[1][2, 2]) == (250, 0, 0)
+    # frame 1's disposal 2 cleared its rect to bg; frame 2 paints it
+    assert tuple(fr[2][2, 2]) == (0, 250, 0) and tuple(fr[2][0, 0]) == (100, 100, 100)
+    # frame 2's disposal 3 restored its rect to the pre-paint state (bg)
+    assert tuple(fr[3][2, 2]) == (7, 7, 7)
+
+
+def test_gif_frame_sample_features_and_resize():
+    img = np.full((6, 8, 3), (40, 80, 120), dtype=np.uint8)
+    img[2:4, 3:6] = (200, 10, 0)
+    p = mc.encode_gif([img, img[::-1]], delays_ms=[30, 50])
+    s = mc.gif_frame_sample(p, 2)
+    assert [(j, ts) for j, ts, _ in s] == [(0, 0), (1, 30)]
+    frames, _ = mc.decode_gif_frames(p)
+    assert np.array_equal(mc.decode_ppm(s[0][2]), frames[0])
+    assert np.array_equal(mc.decode_ppm(s[1][2]), frames[1])
+    # n > F repeats frames (nearest sampling)
+    s4 = mc.gif_frame_sample(p, 4)
+    assert [x[0] for x in s4] == [0, 1, 2, 3]
+    assert np.array_equal(mc.decode_ppm(s4[1][2]), frames[0])
+    # features == the PPM features of the same first composited frame
+    assert mc.gif_features(p) == mc.ppm_features(mc.encode_ppm(frames[0]))
+    # nearest resize preserves the palette exactly
+    r = mc.decode_gif(mc.gif_resize(p, 5, 3))
+    assert r.shape == (3, 5, 3)
+    assert set(map(tuple, r.reshape(-1, 3))) <= set(map(tuple, img.reshape(-1, 3)))
+
+
+def test_gif_malformed_raises():
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = mc.encode_gif(img)
+    for bad, msg in [
+        (b"GIF8", "signature|truncated"),
+        (b"GIF89a" + b"\x00" * 5, "truncated"),
+        (good[:-1], "trailer"),
+        (good[:20], "truncated|trailer|unknown|LZW"),
+        (b"GIF89a" + good[6:20] + b"\xff", "unknown block|truncated|LZW"),
+    ]:
+        with pytest.raises(mc.MediaDecodeError, match=msg):
+            mc.decode_gif_frames(bad)
+    # >256 colors cannot be palette-encoded (324 unique (r, g) pairs)
+    i = np.arange(18 * 18, dtype=np.int64)
+    grad = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=-1)
+    with pytest.raises(mc.MediaDecodeError, match="256"):
+        mc.encode_gif(grad.reshape(18, 18, 3).astype(np.uint8))
+
+
+def _plant_gif(d: int):
+    """The q72 planting recipe; returns (payload, expected composited
+    frames from pure-integer arithmetic, delays_ms)."""
+    nf = 2 + d % 3
+    frames, rects, delays, transp, inter, lct = [], [], [], [], [], []
+    bg = tuple((17 * d + 29 * c) % 200 for c in range(3))
+    for fr in range(nf):
+        col = tuple((37 * d + 11 * fr + 53 * c) % 256 for c in range(3))
+        band = np.empty((4, 24, 3), dtype=np.uint8)
+        band[:, :] = col
+        if d % 5 == 0 and fr >= 1:
+            band[:, 1::2] = (255, 254, 253)
+            transp.append((255, 254, 253))
+        else:
+            transp.append(None)
+        frames.append(band)
+        rects.append((0, 4 * fr))
+        delays.append(10 * (1 + (d + fr) % 3))
+        inter.append(fr == 0 and d % 3 == 0)
+        lct.append(fr == 1 and d % 4 == 1)
+    payload = mc.encode_gif(
+        frames, rects=rects, canvas=(24, 16), delays_ms=delays,
+        transparent=transp, interlace=inter, local_palette=lct, bg=bg,
+    )
+    exp = []
+    canvas = np.empty((16, 24, 3), dtype=np.uint8)
+    canvas[:, :] = bg
+    for fr in range(nf):
+        col = tuple((37 * d + 11 * fr + 53 * c) % 256 for c in range(3))
+        band = canvas[4 * fr : 4 * fr + 4]
+        if d % 5 == 0 and fr >= 1:
+            band[:, 0::2] = col
+        else:
+            band[:, :] = col
+        exp.append(canvas.copy())
+    return payload, exp, delays
+
+
+def test_gif_planted_corpus_pixel_exact():
+    """The q72 pytest twin: all 48 planted animated GIFs decode and
+    composite pixel-identical to the integer planting arithmetic
+    (sub-rect bands, transparency, interlace, local color tables)."""
+    for d in range(48):
+        payload, exp, delays = _plant_gif(d)
+        frames, got_delays = mc.decode_gif_frames(payload)
+        assert got_delays == delays, f"doc {d}"
+        assert len(frames) == len(exp)
+        for k, (g, e) in enumerate(zip(frames, exp)):
+            assert np.array_equal(g, e), f"doc {d} frame {k}"
+
+
+def test_sample_frames_real_gif_kernel(spark):
+    """Distributed twin: sample_frames runs the REAL GIF sampler for
+    GIF payloads (timeline timestamps, PPM frames) while non-GIF
+    payloads keep the byte-slice stub, and a corrupt GIF drops the
+    asset, not the stage."""
+    from beats_spark.training.multimodal import sample_frames
+
+    payload, exp, delays = _plant_gif(3)  # 3 frames, delays [10, 20, 30]
+    rows = [
+        ("gif", bytearray(payload), 9999),
+        ("raw", bytearray(bytes(range(100))), 8000),
+        ("badgif", bytearray(b"GIF89a-corrupt-payload"), 1),
+    ]
+    df = spark.createDataFrame(rows, "key string, media binary, duration_ms long")
+    out = sample_frames(df, 2, duration_ms_col="duration_ms").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["key"], {})[r["frame_idx"]] = r
+    assert set(by) == {"gif", "raw"}  # corrupt asset dropped
+    # GIF path: frame (j*3)//2 -> frames 0 and 1; ts from GIF delays,
+    # NOT from the duration column
+    assert by["gif"][0]["ts_ms"] == 0 and by["gif"][1]["ts_ms"] == 10
+    f0 = mc.decode_ppm(bytes(by["gif"][0]["frame"]))
+    f1 = mc.decode_ppm(bytes(by["gif"][1]["frame"]))
+    assert np.array_equal(f0, exp[0]) and np.array_equal(f1, exp[1])
+    # stub path unchanged: equal byte slices, duration-spaced ts
+    assert by["raw"][1]["ts_ms"] == 4000
+    assert bytes(by["raw"][0]["frame"]) == bytes(range(50))

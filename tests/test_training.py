@@ -163,34 +163,43 @@ def test_doc_fingerprint_detects_exact_dupes(spark, docs):
 
 
 def test_multimodal_sniff_and_features(spark):
+    # webp carries a real container magic but a still-stubbed kernel —
+    # the fallback-path probe (png/jpeg/gif magics now decode for REAL,
+    # so malformed payloads behind those land in decode_error instead)
     rows = [
-        ("png1", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x01\x02\x03\x04" * 16)),
+        ("webp1", bytearray(b"RIFF0000WEBP" + b"\x01\x02\x03\x04" * 16)),
+        ("png_bad", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x01\x02\x03\x04" * 16)),
         ("mp3", bytearray(b"ID3\x04" + b"\x7f\x00" * 32)),
         ("blob", bytearray(b"\x00\x01unknownpayload")),
     ]
     df = spark.createDataFrame(rows, "key string, media binary")
     sniffed = sniff_media_meta(df)
     meta = {r.key: r.media_meta for r in sniffed.collect()}
-    assert meta["png1"].kind == "image" and meta["png1"].format == "png"
+    assert meta["webp1"].kind == "image" and meta["webp1"].format == "webp"
+    assert meta["png_bad"].kind == "image" and meta["png_bad"].format == "png"
     assert meta["mp3"].kind == "audio"
     assert meta["blob"].kind == "unknown"
 
     feats = extract_features(df, default_kind="image").collect()
     by_key = {r.key: r for r in feats}
-    assert by_key["png1"].n_bytes == 8 + 64
-    assert len(by_key["png1"].feat) == 8
-    assert all(0.0 <= v <= 1.1 for v in by_key["png1"].feat)
+    assert by_key["webp1"].n_bytes == 12 + 64
+    assert len(by_key["webp1"].feat) == 8
+    assert all(0.0 <= v <= 1.1 for v in by_key["webp1"].feat)
+    # a REAL codec's magic on a malformed payload is a decode error,
+    # never a silent stub (the q19 regression lesson)
+    assert by_key["png_bad"].feat is None
+    assert "png" in by_key["png_bad"].decode_error
     # deterministic: rerun produces identical features
     feats2 = {r.key: r.feat for r in extract_features(df, default_kind="image").collect()}
-    assert feats2["png1"] == by_key["png1"].feat
+    assert feats2["webp1"] == by_key["webp1"].feat
     from beats_spark.training.multimodal import poly_checksum
 
-    assert by_key["blob"].checksum == poly_checksum(bytes(rows[2][1]))
+    assert by_key["blob"].checksum == poly_checksum(bytes(rows[3][1]))
     # ppm quantization survives the float32 schema: the integer ppm is
     # recoverable via round(v*1e6) with margin (0.5 ulp of v<8.39 scales
     # to <0.48 ppm), which is what q19's oracle-checked reduction relies on
     assert all(
-        abs(v * 1e6 - round(v * 1e6)) < 0.49 for v in by_key["png1"].feat
+        abs(v * 1e6 - round(v * 1e6)) < 0.49 for v in by_key["webp1"].feat
     )
 
 
