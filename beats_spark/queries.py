@@ -1334,26 +1334,14 @@ FROM t ORDER BY doc_id"""
 # --- q66: REAL compressed-format decode (pure-numpy+zlib PNG kernel) ---------
 
 
-def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-5 compressed-decode gate (VERDICT r04 missing #2): plant
-    real zlib-compressed PNGs — 8×4 gradient images whose channel c
-    value at (x, y) is (doc_id·m_c + x + 2y) % 256 for m = (5, 11, 17),
-    scanline filter type rotating doc_id % 3 over None/Sub/Up, every
-    4th doc RGBA (alpha excluded from features), every 8th-plus-5 a
-    true GRAYSCALE PNG (color type 0, expanded to equal RGB channels
-    by the decoder) — then run the REAL
-    decoder (signature → chunk CRC walk → zlib inflate → per-filter
-    unfilter) distributed through extract_features. The oracle
-    recomputes every channel ppm from the planting arithmetic alone:
-    a decoder that mishandles any filter type, the chunk grammar, or
-    the RGBA stride diverges. Payload construction is driver-side for
-    the 48 planted docs (bounded, like q40's WAV header literal) —
-    zlib output bytes aren't expressible in native Spark SQL; the
-    graded DISTRIBUTED work is the decode."""
+def _png_planted_rows() -> list:
+    """The 48 q66 payloads (driver-side, bounded): 8×4 gradient PNGs,
+    filter type d % 3, every 4th RGBA, every 8th-plus-5 true grayscale.
+    Shared by the q66 gate (doc_id < 48) and the uncapped scale probe
+    (scripts/probe_scale.py replicates them over the full corpus)."""
     import numpy as np
 
     from beats_spark.training import media_codecs
-    from beats_spark.training.multimodal import extract_features
 
     xs = np.arange(8, dtype=np.int64)[None, :]
     ys = np.arange(4, dtype=np.int64)[:, None]
@@ -1379,7 +1367,30 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (d, bytearray(media_codecs.encode_png(img, filter_type=d % 3)))
         )
-    planted = spark.createDataFrame(rows, "doc_id long, media binary")
+    return rows
+
+
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 compressed-decode gate (VERDICT r04 missing #2): plant
+    real zlib-compressed PNGs — 8×4 gradient images whose channel c
+    value at (x, y) is (doc_id·m_c + x + 2y) % 256 for m = (5, 11, 17),
+    scanline filter type rotating doc_id % 3 over None/Sub/Up, every
+    4th doc RGBA (alpha excluded from features), every 8th-plus-5 a
+    true GRAYSCALE PNG (color type 0, expanded to equal RGB channels
+    by the decoder) — then run the REAL
+    decoder (signature → chunk CRC walk → zlib inflate → per-filter
+    unfilter) distributed through extract_features. The oracle
+    recomputes every channel ppm from the planting arithmetic alone:
+    a decoder that mishandles any filter type, the chunk grammar, or
+    the RGBA stride diverges. Payload construction is driver-side for
+    the 48 planted docs (bounded, like q40's WAV header literal) —
+    zlib output bytes aren't expressible in native Spark SQL; the
+    graded DISTRIBUTED work is the decode."""
+    from beats_spark.training.multimodal import extract_features
+
+    planted = spark.createDataFrame(
+        _png_planted_rows(), "doc_id long, media binary"
+    )
     docs = _documents(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
     media = docs.join(F.broadcast(planted), "doc_id").select(
         F.col("doc_id").cast("string").alias("key"), "media"
@@ -1435,33 +1446,15 @@ FROM s ORDER BY doc_id"""
 # --- q71: REAL baseline-JPEG decode (pure-numpy Huffman+IDCT kernel) ---------
 
 
-def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-5 JPEG gate (the second compressed codec, closing the
-    last registered-kernel stub for a dominant real-corpus format):
-    plant real baseline JPEGs — 32×16 images whose Y is per-8×8-block
-    two-level, base(d,bx,by) = 72 + 3·((5d + bx + 2by) % 37) plus
-    amp(d) = 2·(d % 7) times the x-pattern (+,−,−,+,+,−,−,+) (the
-    exactly-representable (0,4) DCT basis vector — so the gate
-    exercises AC run-length decode, not just DC), chroma constant per
-    doc (kr ∈ {−40..40}, kb ∈ {−20..20}), flat quant step 8 (every
-    planted coefficient survives quantization exactly), alternating
-    4:4:4 / 4:2:0 subsampling, restart markers every 2 MCUs for
-    d % 6 == 0, every 8th-plus-5 doc a single-component GRAYSCALE
-    JPEG — then run the REAL decoder (marker walk → DHT canonical
-    Huffman → dequant → IDCT → floor(x+0.5) YCbCr→RGB on exact JFIF
-    rationals) distributed through extract_features. The oracle
-    recomputes every channel ppm from the planting arithmetic alone —
-    integer-exact because each decode stage is (Huffman: lossless,
-    quant: identity on planted coefficients, IDCT/color: one IEEE
-    division from integer numerators, pinned ≥1e-3 from rounding
-    boundaries; the pytest twin checks all 48 docs pixel-exact).
-    Payload construction is driver-side for the 48 planted docs
-    (bounded, the q66 recipe); the graded DISTRIBUTED work is the
-    decode."""
+def _jpeg_planted_rows() -> list:
+    """The 48 q71 payloads (driver-side, bounded): 32×16 baseline
+    JPEGs — two-level Y blocks on the (0,4) DCT basis, flat quant 8,
+    alternating 4:4:4/4:2:0, restart markers on every 6th doc, every
+    8th-plus-5 grayscale. Shared by the q71 gate and the uncapped
+    scale probe."""
     import numpy as np
 
     from beats_spark.training import media_codecs
-    from beats_spark.training.multimodal import extract_features
 
     rows = []
     for d in range(48):
@@ -1493,7 +1486,37 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 color_space="ycbcr",
             )
         rows.append((d, bytearray(payload)))
-    planted = spark.createDataFrame(rows, "doc_id long, media binary")
+    return rows
+
+
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 JPEG gate (the second compressed codec, closing the
+    last registered-kernel stub for a dominant real-corpus format):
+    plant real baseline JPEGs — 32×16 images whose Y is per-8×8-block
+    two-level, base(d,bx,by) = 72 + 3·((5d + bx + 2by) % 37) plus
+    amp(d) = 2·(d % 7) times the x-pattern (+,−,−,+,+,−,−,+) (the
+    exactly-representable (0,4) DCT basis vector — so the gate
+    exercises AC run-length decode, not just DC), chroma constant per
+    doc (kr ∈ {−40..40}, kb ∈ {−20..20}), flat quant step 8 (every
+    planted coefficient survives quantization exactly), alternating
+    4:4:4 / 4:2:0 subsampling, restart markers every 2 MCUs for
+    d % 6 == 0, every 8th-plus-5 doc a single-component GRAYSCALE
+    JPEG — then run the REAL decoder (marker walk → DHT canonical
+    Huffman → dequant → IDCT → floor(x+0.5) YCbCr→RGB on exact JFIF
+    rationals) distributed through extract_features. The oracle
+    recomputes every channel ppm from the planting arithmetic alone —
+    integer-exact because each decode stage is (Huffman: lossless,
+    quant: identity on planted coefficients, IDCT/color: one IEEE
+    division from integer numerators, pinned ≥1e-3 from rounding
+    boundaries; the pytest twin checks all 48 docs pixel-exact).
+    Payload construction is driver-side for the 48 planted docs
+    (bounded, the q66 recipe); the graded DISTRIBUTED work is the
+    decode."""
+    from beats_spark.training.multimodal import extract_features
+
+    planted = spark.createDataFrame(
+        _jpeg_planted_rows(), "doc_id long, media binary"
+    )
     docs = _documents(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
     media = docs.join(F.broadcast(planted), "doc_id").select(
         F.col("doc_id").cast("string").alias("key"), "media"
@@ -1564,30 +1587,14 @@ FROM s ORDER BY doc_id"""
 # --- q72: REAL animated-GIF frame sampling (LZW decode + compositing) --------
 
 
-def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-5 GIF gate — the third compressed codec AND the query that
-    makes sample_frames a REAL frame sampler: plant 48 animated GIFs
-    (24×16 canvas, F = 2 + d%3 frames; frame f is a 4-row sub-rect band
-    at top = 4f with channel colors (37d + 11f + 53c) % 256 over a
-    background (17d + 29c) % 200; every-5th doc's later frames make odd
-    columns TRANSPARENT so compositing shows the background through;
-    frame 0 interlaced for d%3==0; frame 1 carries a LOCAL color table
-    for d%4==1; per-frame delays 10·(1+(d+f)%3) ms), then run the real
-    distributed chain: sample_frames(n=2) — LZW decode → composite →
-    pick frame (j·F)//2 → timestamp from the GIF's own delay timeline →
-    re-encode as PPM — into extract_features (the real PPM kernel).
-    The oracle recomputes every channel ppm and timestamp from the
-    planting arithmetic alone, with NO rounding analysis: LZW is
-    lossless and compositing is integer, so any misstep in the marker
-    walk, code widths, interlace reorder, sub-rect placement,
-    transparency masking or delay accounting diverges the hash.
-    Payload construction is driver-side for the 48 planted docs
-    (bounded, the q66/q71 recipe); the graded DISTRIBUTED work is the
-    two mapInPandas stages."""
+def _gif_planted_rows() -> list:
+    """The 48 q72 payloads (driver-side, bounded): 24×16 animated
+    GIFs, 2-4 sub-rect band frames, transparency on every 5th doc,
+    interlace/local-table variants, per-frame delays. Shared by the
+    q72 gate and the uncapped scale probe."""
     import numpy as np
 
     from beats_spark.training import media_codecs
-    from beats_spark.training.multimodal import extract_features, sample_frames
 
     rows = []
     for d in range(48):
@@ -1619,7 +1626,34 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             bg=bg,
         )
         rows.append((d, bytearray(payload)))
-    planted = spark.createDataFrame(rows, "doc_id long, media binary")
+    return rows
+
+
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 GIF gate — the third compressed codec AND the query that
+    makes sample_frames a REAL frame sampler: plant 48 animated GIFs
+    (24×16 canvas, F = 2 + d%3 frames; frame f is a 4-row sub-rect band
+    at top = 4f with channel colors (37d + 11f + 53c) % 256 over a
+    background (17d + 29c) % 200; every-5th doc's later frames make odd
+    columns TRANSPARENT so compositing shows the background through;
+    frame 0 interlaced for d%3==0; frame 1 carries a LOCAL color table
+    for d%4==1; per-frame delays 10·(1+(d+f)%3) ms), then run the real
+    distributed chain: sample_frames(n=2) — LZW decode → composite →
+    pick frame (j·F)//2 → timestamp from the GIF's own delay timeline →
+    re-encode as PPM — into extract_features (the real PPM kernel).
+    The oracle recomputes every channel ppm and timestamp from the
+    planting arithmetic alone, with NO rounding analysis: LZW is
+    lossless and compositing is integer, so any misstep in the marker
+    walk, code widths, interlace reorder, sub-rect placement,
+    transparency masking or delay accounting diverges the hash.
+    Payload construction is driver-side for the 48 planted docs
+    (bounded, the q66/q71 recipe); the graded DISTRIBUTED work is the
+    two mapInPandas stages."""
+    from beats_spark.training.multimodal import extract_features, sample_frames
+
+    planted = spark.createDataFrame(
+        _gif_planted_rows(), "doc_id long, media binary"
+    )
     docs = _documents(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
     media = docs.join(F.broadcast(planted), "doc_id").select(
         F.col("doc_id").cast("string").alias("key"), "media"

@@ -96,7 +96,54 @@ def _winnow_op(spark: SparkSession, sf_dir: str):
     return dedup.winnow_dup_pairs(docs, k=4, w=4, min_shared=2, portable=True)
 
 
-EXTRA_PROBES = {"q60_winnow_operator": _winnow_op}
+def _media_probe(builder: str, chain: str = "features"):
+    """q66/q71/q72 cap their gates at 48 planted docs (the oracle's
+    bounded driver-side construction), so their catalog α would only
+    measure the fixed plant. The probe measures the DISTRIBUTED stage
+    uncapped: replicate the 48 planted payloads over the full probe
+    documents table (broadcast join on doc_id % 48) and run the real
+    decode chain over every row — the regime where n payloads decode
+    on n rows."""
+
+    def run(spark: SparkSession, sf_dir: str):
+        from pyspark.sql import functions as F
+
+        from beats_spark import queries as Q
+        from beats_spark.training.multimodal import (
+            extract_features,
+            sample_frames,
+        )
+
+        planted = spark.createDataFrame(
+            getattr(Q, builder)(), "pid long, media binary"
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        media = (
+            docs.withColumn("pid", F.col("doc_id") % 48)
+            .join(F.broadcast(planted), "pid")
+            .select(F.col("doc_id").cast("string").alias("key"), "media")
+        )
+        if chain == "frames":
+            sampled = sample_frames(media, n_frames=2)
+            media = sampled.select(
+                F.concat_ws(":", "key", "frame_idx").alias("key"),
+                F.col("frame").alias("media"),
+            )
+        feats = extract_features(media, key_col="key")
+        return feats.select(
+            F.count("*").alias("n"),
+            F.sum(F.element_at("feat", 8)).alias("px"),
+        )
+
+    return run
+
+
+EXTRA_PROBES = {
+    "q60_winnow_operator": _winnow_op,
+    "q66_png_operator": _media_probe("_png_planted_rows"),
+    "q71_jpeg_operator": _media_probe("_jpeg_planted_rows"),
+    "q72_gif_operator": _media_probe("_gif_planted_rows", chain="frames"),
+}
 
 
 def build_dir(spark: SparkSession, path: str, mult: int) -> None:
