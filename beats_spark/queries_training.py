@@ -997,6 +997,7 @@ def catalog():
         "q37_scrub": q_scrub,
         "q38_quality_funnel": q_quality_funnel,
         "q39_vocab": q_vocab,
+        "q74_pagerank": q_pagerank,
     }
 
 
@@ -1008,6 +1009,7 @@ def oracles():
         "q14_jaccard_pairs": q_jaccard_pairs_oracle(),
         "q15_multiline": q_multiline_oracle(),
         "q60_winnow": q_winnow_oracle(),
+        "q74_pagerank": q_pagerank_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1023,3 +1025,69 @@ def oracles():
         "q38_quality_funnel": q_quality_funnel_oracle(),
         "q39_vocab": q_vocab_oracle(),
     }
+
+
+# --- q74: link-graph authority rank (exact integer PageRank) -----------------
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-graph curation signal (round 5): rank every document
+    by 3-iteration PageRank over a deterministic synthetic link graph
+    — doc i cites (i·7+1) % n, (i·13+5) % n, (i·29+11) % n (duplicate
+    targets dedup'd, so out-degree is 1-3 and the 18/deg weights stay
+    integral). The score is the exact integer-scaled recurrence
+    T_3 = rank_3·n·360³ (training/cluster.pagerank_scaled), so the
+    DuckDB twin reproduces every BIGINT bit-for-bit — no grouped
+    double sums anywhere. The n scalar is a count(), never a
+    collect.
+
+    Scale shape: edges persist partitioned on src once; each of the 3
+    iterations moves only the skinny (node, T) table plus one
+    map-side-combined groupBy(dst) — the canonical PageRank-on-Spark
+    layout (bucket the edge table at 100 TB and the one repartition
+    disappears too)."""
+    from beats_spark.training import cluster
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    targets = F.array(
+        (F.col("doc_id") * 7 + 1) % n,
+        (F.col("doc_id") * 13 + 5) % n,
+        (F.col("doc_id") * 29 + 11) % n,
+    )
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), F.explode(targets).alias("dst"))
+        .distinct()
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (
+        cluster.pagerank_scaled(edges, nodes, iterations=3)
+        .select(F.col("node").alias("doc_id"), "pr_scaled")
+        .orderBy("doc_id")
+    )
+
+
+def q_pagerank_oracle() -> str:
+    return """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+edges AS (
+  SELECT DISTINCT id AS src, dst
+  FROM nodes, nn,
+       UNNEST([(id*7 + 1) % n, (id*13 + 5) % n, (id*29 + 11) % n]) AS t(dst)),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, 18 // d AS w FROM edges e JOIN deg USING (src)),
+r0 AS (SELECT id, CAST(1 AS BIGINT) AS t FROM nodes),
+c1 AS (SELECT dst, CAST(SUM(t * w) AS BIGINT) AS s
+       FROM ew JOIN r0 ON ew.src = r0.id GROUP BY dst),
+r1 AS (SELECT id, CAST(54 + 17 * COALESCE(s, 0) AS BIGINT) AS t
+       FROM nodes LEFT JOIN c1 ON id = dst),
+c2 AS (SELECT dst, CAST(SUM(t * w) AS BIGINT) AS s
+       FROM ew JOIN r1 ON ew.src = r1.id GROUP BY dst),
+r2 AS (SELECT id, CAST(54 * 360 + 17 * COALESCE(s, 0) AS BIGINT) AS t
+       FROM nodes LEFT JOIN c2 ON id = dst),
+c3 AS (SELECT dst, CAST(SUM(t * w) AS BIGINT) AS s
+       FROM ew JOIN r2 ON ew.src = r2.id GROUP BY dst),
+r3 AS (SELECT id, CAST(54 * 360 * 360 + 17 * COALESCE(s, 0) AS BIGINT) AS t
+       FROM nodes LEFT JOIN c3 ON id = dst)
+SELECT id AS doc_id, t AS pr_scaled FROM r3 ORDER BY doc_id"""

@@ -151,3 +151,86 @@ def dup_clusters(
         "n_members",
         F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
     )
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Exact integer-scaled PageRank (damping 0.85) — the iterative
+    link-graph authority score a curation pipeline ranks domains/docs
+    by (the "quality via citations" signal; public algorithm, Page et
+    al. 1999). The OTHER graph algorithm class next to
+    connected_components: per-iteration propagation instead of
+    converging star-contraction.
+
+    EXACTNESS ACROSS ENGINES: floating PageRank is unreproducible
+    across engines (grouped double sums are order-dependent), so the
+    recurrence is kept in scaled integers. With rank_k = T_k/(n·360^k):
+
+        T_0     = 1
+        T_{k+1} = 54·360^k  +  17 · Σ_{j→i} T_k(j) · (18 / deg_j)
+
+    (0.15·360 = 54, 0.85·360 = 306 = 17·18; 18/deg is an integer for
+    deg ≤ 3 — callers whose graphs exceed out-degree 3 must raise the
+    18 to lcm(1..max_deg)·k accordingly, or accept doubles). Every
+    term is a BIGINT, so Spark and a SQL twin agree bit-for-bit and
+    int64 holds comfortably (T_3 ~ 4.6e7 × in-degree factors).
+    Out-degree > 3 is rejected; a dangling node (no out-edges) simply
+    contributes nothing — a mass leak, not an error (the standard
+    redistribution term would break integrality; callers' synthetic
+    graphs have no dangling nodes).
+
+    SCALE SHAPE: the fat edge table is repartitioned on src ONCE and
+    persisted — each iteration joins the skinny rank table (node,
+    T_k) against that fixed layout (ranks move to the edges, never
+    the reverse), then one groupBy(dst) shuffle aggregates
+    contributions (map-side partial sums first). At 100 TB the edge
+    table is bucketed on src (bucketing.write_bucketed) and even that
+    one repartition disappears; iterations stay at exactly one
+    exchange of skinny ranks + one of partial sums. Driver loop is
+    over ITERATIONS (a constant), never rows.
+    """
+    if not 1 <= iterations <= 12:
+        raise ValueError(f"iterations out of range: {iterations}")
+    deg = edges.groupBy(src_col).agg(F.count("*").alias("__deg"))
+    e = (
+        edges.join(deg, src_col)
+        .select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            (F.lit(18) / F.col("__deg")).cast("long").alias("__w"),
+            F.col("__deg"),
+        )
+    )
+    if e.filter(F.col("__deg") > 3).limit(1).count():
+        raise ValueError("pagerank_scaled: out-degree > 3 breaks integrality")
+    e = e.drop("__deg").repartition(F.col("__src")).persist()
+    n = nodes.select(F.col(node_col).alias("__node"))
+    ranks = n.select("__node", F.lit(1).cast("long").alias("__t"))
+    base = 1  # 360^k
+    for _ in range(iterations):
+        contrib = (
+            e.join(ranks, e.__src == ranks.__node)
+            .groupBy("__dst")
+            .agg(F.sum(F.col("__t") * F.col("__w")).alias("__in"))
+        )
+        ranks = (
+            n.join(contrib, n.__node == contrib.__dst, "left")
+            .select(
+                "__node",
+                (
+                    F.lit(54 * base)
+                    + F.lit(17) * F.coalesce(F.col("__in"), F.lit(0))
+                ).cast("long").alias("__t"),
+            )
+        )
+        base *= 360
+    out = ranks.select(
+        F.col("__node").alias(node_col), F.col("__t").alias("pr_scaled")
+    )
+    return out

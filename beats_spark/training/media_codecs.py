@@ -5,9 +5,12 @@ No image/audio libraries exist in this container, but none are needed:
 PPM (P6) is a whitespace header + raw RGB24, WAV (PCM16) is a RIFF
 chunk list + raw little-endian int16, PNG is zlib + per-scanline
 unfiltering, and baseline JPEG is canonical Huffman + dequant + IDCT —
-numpy + stdlib decode all of them for real. Only gif/webp/mp3/ogg
-still require a registered kernel (`multimodal.register_decoder`); the
-deterministic byte-hash stubs remain only as the fallback for those.
+numpy + stdlib decode all of them for real — as do GIF (LZW) and
+lossless WebP (VP8L), so EVERY image format the sniff chain knows
+decodes end-to-end. Only the compressed audio formats (mp3/ogg), lossy
+VP8 WebP and video containers still require a registered kernel
+(`multimodal.register_decoder`); the deterministic byte-hash stubs
+remain only as the fallback for those.
 
 Feature vectors are integer-derived (ppm quantization, the q19/q27
 recipe) so a DuckDB oracle can recompute them exactly from the
@@ -1633,3 +1636,939 @@ def gif_resize(payload: bytes, w: int, h: int) -> bytes:
     ys = np.clip(((np.arange(h) + 0.5) * (sh / h)).astype(np.int64), 0, sh - 1)
     xs = np.clip(((np.arange(w) + 0.5) * (sw / w)).astype(np.int64), 0, sw - 1)
     return encode_gif(img[ys][:, xs])
+
+
+# --- WEBP (VP8L lossless) -----------------------------------------------------
+#
+# The fourth compressed real codec, closing the LAST stub image format
+# in the sniff chain. Spec: the public "WebP Lossless Bitstream
+# Specification" (VP8L): RIFF/WEBP container, LSB-first bitstream,
+# canonical Huffman entropy coding (DEFLATE-style code-length codes),
+# pixel-domain LZ77 with a 120-entry 2D distance map, a hashed color
+# cache, and four reversible transforms (predictor, cross-color,
+# subtract-green, color-indexing with sub-byte bundling). The decoder
+# handles the general single-frame stream incl. meta-Huffman groups;
+# lossy VP8 and extended VP8X (animation) raise MediaDecodeError into
+# the per-row decode_error channel (the progressive-JPEG precedent —
+# those need a registered kernel). The encoder exists to PLANT
+# payloads and prove round-trips: literals + greedy LZ77 with
+# package-merge length-limited Huffman codes, optional color cache /
+# subtract-green / single-mode predictor / bundled palette.
+#
+# Reference analog: sniffed (only) in
+# libbeat/processors/actions/detect_mime_type.go:53; the decode is the
+# training-pipeline extension per the build brief.
+
+_VP8L_CL_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+# 2D distance map for LZ77 distance codes 1..120: (dx, dy) neighborhood
+# offsets ordered by squared distance, then dy descending, then dx
+# descending (+dx before -dx) — dy 0..7, dx -7..8, dy=0 only dx>0.
+_VP8L_DIST_MAP = sorted(
+    [
+        (dx, dy)
+        for dy in range(8)
+        for dx in range(-7, 9)
+        if dy > 0 or dx > 0
+    ],
+    key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], -p[0]),
+)
+
+
+class _LsbReader:
+    """LSB-first bit reader (VP8L bit order). Reading past the end of
+    the payload raises — a complete stream supplies every bit the
+    decode needs, so overrun means truncation."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.byte = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.byte >= len(self.data):
+                raise MediaDecodeError("webp: truncated bitstream")
+            self.acc |= self.data[self.byte] << self.nbits
+            self.byte += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+
+class _LsbWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, length: int) -> None:
+        """Huffman codes go to the stream MSB-first."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+class _HuffDecoder:
+    """Canonical-code decoder: DEFLATE assignment (codes per ascending
+    length, within a length by ascending symbol), walked MSB-first one
+    bit at a time. A single used symbol decodes with ZERO bits (the
+    VP8L simple-code / degenerate-normal-code rule)."""
+
+    def __init__(self, lengths: list[int]):
+        used = [(ln, s) for s, ln in enumerate(lengths) if ln > 0]
+        if not used:
+            raise MediaDecodeError("webp: empty huffman code")
+        if len(used) == 1:
+            self.single = used[0][1]
+            self.map = {}
+            return
+        self.single = None
+        bl_count: dict[int, int] = {}
+        for ln, _ in used:
+            bl_count[ln] = bl_count.get(ln, 0) + 1
+        code = 0
+        next_code = {}
+        for ln in range(1, max(bl_count) + 1):
+            code = (code + bl_count.get(ln - 1, 0)) << 1
+            next_code[ln] = code
+        self.map = {}
+        for ln, sym in sorted(used):
+            self.map[(ln, next_code[ln])] = sym
+            next_code[ln] += 1
+
+    def decode(self, rd: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, 16):
+            code = (code << 1) | rd.read(1)
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise MediaDecodeError("webp: invalid huffman code")
+
+
+def _vp8l_read_code(rd: _LsbReader, alphabet_size: int) -> _HuffDecoder:
+    """Read one Huffman code: the 2-symbol 'simple' form or the normal
+    form (3-bit code-length code in _VP8L_CL_ORDER, then RLE-coded
+    symbol lengths with 16/17/18 repeats, prev length defaulting 8)."""
+    if rd.read(1):  # simple
+        num_symbols = rd.read(1) + 1
+        first8 = rd.read(1)
+        s0 = rd.read(8 if first8 else 1)
+        lengths = [0] * alphabet_size
+        if s0 >= alphabet_size:
+            raise MediaDecodeError("webp: simple-code symbol out of range")
+        if num_symbols == 2:
+            s1 = rd.read(8)
+            if s1 >= alphabet_size:
+                raise MediaDecodeError("webp: simple-code symbol out of range")
+            lengths[s0] = lengths[s1] = 1
+        else:
+            lengths[s0] = 1  # single symbol -> zero-bit decode
+        return _HuffDecoder(lengths)
+    ncl = rd.read(4) + 4
+    cl_lengths = [0] * 19
+    for i in range(ncl):
+        cl_lengths[_VP8L_CL_ORDER[i]] = rd.read(3)
+    cl_dec = _HuffDecoder(cl_lengths)
+    if rd.read(1):
+        length_nbits = 2 + 2 * rd.read(3)
+        max_symbol = 2 + rd.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        s = cl_dec.decode(rd)
+        if s < 16:
+            lengths[i] = s
+            i += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + rd.read(2)
+            for _ in range(min(rep, alphabet_size - i)):
+                lengths[i] = prev
+                i += 1
+        elif s == 17:
+            i += 3 + rd.read(3)
+        else:
+            i += 11 + rd.read(7)
+    if i > alphabet_size:
+        raise MediaDecodeError("webp: code lengths overflow alphabet")
+    return _HuffDecoder(lengths)
+
+
+def _vp8l_prefix_decode(rd: _LsbReader, code: int) -> int:
+    """Length/distance prefix decode: codes 0..3 mean 1..4; above that
+    (2 + (code&1)) << extra carries `extra = (code-2)>>1` literal bits."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + rd.read(extra) + 1
+
+
+def _vp8l_prefix_encode(v: int) -> tuple[int, int, int]:
+    """Inverse of _vp8l_prefix_decode: value -> (code, n_extra, extra)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    u = v - 1
+    e = u.bit_length() - 2
+    b = (u >> e) - 2  # 0 or 1
+    return 2 * e + 2 + b, e, u - ((2 + b) << e)
+
+
+def _cache_key(px: int, bits: int) -> int:
+    return ((0x1E35A7BD * px) & 0xFFFFFFFF) >> (32 - bits)
+
+
+def _vp8l_decode_entropy(
+    rd: _LsbReader, w: int, h: int, spatial: bool
+) -> list[int]:
+    """Decode one entropy-coded ARGB image (the main image when
+    spatial=True — meta-Huffman groups allowed — or a transform /
+    palette / meta sub-image). Returns w*h ARGB ints in scan order."""
+    cache_bits = rd.read(4) if rd.read(1) else 0
+    if cache_bits > 11:
+        raise MediaDecodeError("webp: color cache too large")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    meta = None
+    hbits = 0
+    num_groups = 1
+    if spatial and rd.read(1):
+        hbits = rd.read(3) + 2
+        mw = (w + (1 << hbits) - 1) >> hbits
+        mh = (h + (1 << hbits) - 1) >> hbits
+        meta = _vp8l_decode_entropy(rd, mw, mh, False)
+        num_groups = max(((p >> 8) & 0xFFFF) for p in meta) + 1
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _vp8l_read_code(rd, 256 + 24 + cache_size),
+                _vp8l_read_code(rd, 256),
+                _vp8l_read_code(rd, 256),
+                _vp8l_read_code(rd, 256),
+                _vp8l_read_code(rd, 40),
+            )
+        )
+    cache = [0] * cache_size
+    n = w * h
+    out = [0] * n
+    pos = 0
+    g = groups[0]
+    mw = (w + (1 << hbits) - 1) >> hbits if meta is not None else 0
+    while pos < n:
+        if meta is not None:
+            x, y = pos % w, pos // w
+            g = groups[(meta[(y >> hbits) * mw + (x >> hbits)] >> 8) & 0xFFFF]
+        green, red, blue, alpha, dist = g
+        s = green.decode(rd)
+        if s < 256:
+            r = red.decode(rd)
+            b = blue.decode(rd)
+            a = alpha.decode(rd)
+            px = (a << 24) | (r << 16) | (s << 8) | b
+            out[pos] = px
+            pos += 1
+            if cache_bits:
+                cache[_cache_key(px, cache_bits)] = px
+        elif s < 280:
+            length = _vp8l_prefix_decode(rd, s - 256)
+            dcode = _vp8l_prefix_decode(rd, dist.decode(rd))
+            if dcode > 120:
+                d = dcode - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dcode - 1]
+                d = max(1, dx + dy * w)
+            if d > pos or pos + length > n:
+                raise MediaDecodeError("webp: LZ77 reference out of range")
+            for _ in range(length):
+                px = out[pos - d]
+                out[pos] = px
+                pos += 1
+                if cache_bits:
+                    cache[_cache_key(px, cache_bits)] = px
+        else:
+            idx = s - 280
+            if idx >= cache_size:
+                raise MediaDecodeError("webp: cache index out of range")
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+def _avg2(a: int, b: int) -> int:
+    return (((a ^ b) & 0xFEFEFEFE) >> 1) + (a & b)
+
+
+def _chans(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
+    """Spatial predictors 0..13. Component sums are mod-256 (the
+    add is followed by & 0xff per channel); 11..13 are the select /
+    clamp-add-subtract predictors. The left/top/corner fallbacks are
+    handled by the caller."""
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return _avg2(_avg2(left, tr), top)
+    if mode == 6:
+        return _avg2(left, tl)
+    if mode == 7:
+        return _avg2(left, top)
+    if mode == 8:
+        return _avg2(tl, top)
+    if mode == 9:
+        return _avg2(top, tr)
+    if mode == 10:
+        return _avg2(_avg2(left, tl), _avg2(top, tr))
+    la, lr, lg, lb = _chans(left)
+    ta, tr_, tg, tb = _chans(top)
+    ca, cr, cg, cb = _chans(tl)
+    if mode == 11:
+        p = [la + ta - ca, lr + tr_ - cr, lg + tg - cg, lb + tb - cb]
+        p_l = sum(abs(pc - lc) for pc, lc in zip(p, (la, lr, lg, lb)))
+        p_t = sum(abs(pc - tc) for pc, tc in zip(p, (ta, tr_, tg, tb)))
+        return left if p_l <= p_t else top
+    if mode == 12:
+        comps = [
+            max(0, min(255, lc + tc - cc))
+            for lc, tc, cc in zip((la, lr, lg, lb), (ta, tr_, tg, tb), (ca, cr, cg, cb))
+        ]
+        return (comps[0] << 24) | (comps[1] << 16) | (comps[2] << 8) | comps[3]
+    if mode == 13:
+        av = _avg2(left, top)
+        aa, ar, ag, ab = _chans(av)
+        comps = [
+            max(0, min(255, ac + (ac - cc) // 2))
+            for ac, cc in zip((aa, ar, ag, ab), (ca, cr, cg, cb))
+        ]
+        return (comps[0] << 24) | (comps[1] << 16) | (comps[2] << 8) | comps[3]
+    raise MediaDecodeError(f"webp: bad predictor mode {mode}")
+
+
+def _add_px(a: int, b: int) -> int:
+    """Per-channel mod-256 pixel add."""
+    return (
+        (((a >> 24) + (b >> 24)) & 0xFF) << 24
+        | (((a >> 16) + (b >> 16)) & 0xFF) << 16
+        | (((a >> 8) + (b >> 8)) & 0xFF) << 8
+        | ((a + b) & 0xFF)
+    )
+
+
+def _sub_px(a: int, b: int) -> int:
+    return (
+        (((a >> 24) - (b >> 24)) & 0xFF) << 24
+        | (((a >> 16) - (b >> 16)) & 0xFF) << 16
+        | (((a >> 8) - (b >> 8)) & 0xFF) << 8
+        | ((a - b) & 0xFF)
+    )
+
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _ct_delta(t: int, c: int) -> int:
+    return (_s8(t) * _s8(c)) >> 5
+
+
+def _vp8l_apply_inverse(kind: int, data, pixels: list[int], w: int, h: int):
+    """Apply one inverse transform in place (predictor / cross-color /
+    subtract-green); color-indexing is handled by the caller because it
+    changes the width."""
+    if kind == 2:  # subtract green: add G back into R and B
+        for i, p in enumerate(pixels):
+            g = (p >> 8) & 0xFF
+            r = ((p >> 16) + g) & 0xFF
+            b = (p + g) & 0xFF
+            pixels[i] = (p & 0xFF00FF00) | (r << 16) | b
+        return
+    bits, sub = data
+    sw = (w + (1 << bits) - 1) >> bits
+    if kind == 0:  # predictor
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pixels[i - 1]
+                elif x == 0:
+                    pred = pixels[i - w]
+                else:
+                    mode = (sub[(y >> bits) * sw + (x >> bits)] >> 8) & 0xFF
+                    tr = pixels[i - w] if x == w - 1 else pixels[i - w + 1]
+                    pred = _vp8l_predict(
+                        mode, pixels[i - 1], pixels[i - w], pixels[i - w - 1], tr
+                    )
+                pixels[i] = _add_px(pixels[i], pred)
+        return
+    if kind == 1:  # cross-color: cte pixel = (255, red_to_blue, green_to_blue, green_to_red)
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                cte = sub[(y >> bits) * sw + (x >> bits)]
+                r2b, g2b, g2r = (cte >> 16) & 0xFF, (cte >> 8) & 0xFF, cte & 0xFF
+                p = pixels[i]
+                g = (p >> 8) & 0xFF
+                r = ((p >> 16) + _ct_delta(g2r, g)) & 0xFF
+                b = (p + _ct_delta(g2b, g) + _ct_delta(r2b, r)) & 0xFF
+                pixels[i] = (p & 0xFF00FF00) | (r << 16) | b
+        return
+    raise MediaDecodeError(f"webp: bad transform {kind}")
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a lossless (VP8L) WebP to (h, w, 3) RGB or (h, w, 4)
+    RGBA uint8 (4 channels iff the stream's alpha hint is set). Lossy
+    'VP8 ' and extended 'VP8X' (animation/metadata) payloads raise —
+    they need a registered kernel, the progressive-JPEG precedent.
+
+    Foreign-stream caveat (documented, untestable in this container —
+    no libwebp): the 120-entry LZ77 distance map, sub-byte bundling
+    bit order, and predictor edge/tie conventions are implemented from
+    the public spec and pinned by encoder round-trips; payloads from
+    other encoders exercise paths our own encoder can also emit
+    (use_dist_map=True covers the map)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise MediaDecodeError("webp: bad RIFF/WEBP container")
+    pos, vp8l = 12, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos + 0 : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise MediaDecodeError("webp: truncated chunk")
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag == b"VP8 ":
+            raise MediaDecodeError("webp: lossy VP8 needs a registered kernel")
+        if tag == b"VP8X":
+            raise MediaDecodeError(
+                "webp: extended VP8X (animation/metadata) needs a registered kernel"
+            )
+        pos += 8 + size + (size & 1)
+    if vp8l is None:
+        raise MediaDecodeError("webp: no VP8L chunk")
+    if not vp8l or vp8l[0] != 0x2F:
+        raise MediaDecodeError("webp: bad VP8L signature")
+    rd = _LsbReader(vp8l[1:])
+    w = rd.read(14) + 1
+    h = rd.read(14) + 1
+    alpha_hint = rd.read(1)
+    if rd.read(3) != 0:
+        raise MediaDecodeError("webp: unsupported VP8L version")
+    transforms = []  # (kind, data, width-at-read-time)
+    seen: set[int] = set()
+    cur_w = w
+    while rd.read(1):
+        kind = rd.read(2)
+        if kind in seen:
+            raise MediaDecodeError("webp: duplicate transform")
+        seen.add(kind)
+        if kind == 2:
+            transforms.append((2, None, cur_w))
+        elif kind in (0, 1):
+            bits = rd.read(3) + 2
+            sw = (cur_w + (1 << bits) - 1) >> bits
+            sh = (h + (1 << bits) - 1) >> bits
+            sub = _vp8l_decode_entropy(rd, sw, sh, False)
+            transforms.append((kind, (bits, sub), cur_w))
+        else:  # color indexing
+            psize = rd.read(8) + 1
+            coded = _vp8l_decode_entropy(rd, psize, 1, False)
+            palette, prev = [], 0
+            for q in coded:  # entries are per-channel delta-coded
+                prev = _add_px(prev, q)
+                palette.append(prev)
+            xbits = 3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
+            transforms.append((3, (xbits, palette), cur_w))
+            cur_w = (cur_w + (1 << xbits) - 1) >> xbits
+    pixels = _vp8l_decode_entropy(rd, cur_w, h, True)
+    for kind, data, w_at in reversed(transforms):
+        if kind == 3:
+            xbits, palette = data
+            np_pal = len(palette)
+            if xbits:
+                bpp = 8 >> xbits
+                mask = (1 << bpp) - 1
+                cw = cur_w
+                out = [0] * (w_at * h)
+                for y in range(h):
+                    row = y * cw
+                    orow = y * w_at
+                    for x in range(w_at):
+                        packed = (pixels[row + (x >> xbits)] >> 8) & 0xFF
+                        idx = (packed >> ((x & ((1 << xbits) - 1)) * bpp)) & mask
+                        out[orow + x] = palette[idx] if idx < np_pal else 0
+                pixels = out
+            else:
+                pixels = [
+                    palette[(p >> 8) & 0xFF] if ((p >> 8) & 0xFF) < np_pal else 0
+                    for p in pixels
+                ]
+            cur_w = w_at
+        else:
+            _vp8l_apply_inverse(kind, data, pixels, cur_w, h)
+    arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
+    chans = [
+        ((arr >> 16) & 0xFF).astype(np.uint8),
+        ((arr >> 8) & 0xFF).astype(np.uint8),
+        (arr & 0xFF).astype(np.uint8),
+    ]
+    if alpha_hint:
+        chans.append((arr >> 24).astype(np.uint8))
+    return np.stack(chans, axis=-1)
+
+
+def _package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Length-limited Huffman code lengths (package-merge): optimal,
+    Kraft-complete, deterministic (ties broken by symbol tuples).
+    Needs 2 <= len(freqs) <= 2^limit."""
+    orig = sorted((f, (s,)) for s, f in freqs.items())
+    if len(orig) > (1 << limit):
+        raise MediaDecodeError("webp: alphabet too large for length limit")
+    prev: list = []
+    for _ in range(limit):
+        packages = [
+            (a[0] + b[0], a[1] + b[1]) for a, b in zip(prev[::2], prev[1::2])
+        ]
+        prev = sorted(orig + packages)
+    lengths = {s: 0 for s in freqs}
+    for _, syms in prev[: 2 * (len(orig) - 1)]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Symbol -> (code, length), DEFLATE canonical assignment (the
+    exact inverse of _HuffDecoder's table)."""
+    used = sorted((ln, s) for s, ln in enumerate(lengths) if ln > 0)
+    bl_count: dict[int, int] = {}
+    for ln, _ in used:
+        bl_count[ln] = bl_count.get(ln, 0) + 1
+    code = 0
+    next_code = {}
+    for ln in range(1, max(bl_count) + 1):
+        code = (code + bl_count.get(ln - 1, 0)) << 1
+        next_code[ln] = code
+    out = {}
+    for ln, sym in used:
+        out[sym] = (next_code[ln], ln)
+        next_code[ln] += 1
+    return out
+
+
+def _vp8l_write_lengths(wr: _LsbWriter, lengths: list[int]) -> None:
+    """Normal-form code emission: zero runs RLE'd with CL symbols
+    17/18, the 19-symbol code-length code itself package-merged to
+    <= 7 bits and written 3-bit in _VP8L_CL_ORDER."""
+    seq: list[tuple[int, int, int]] = []  # (cl symbol, n extra bits, extra)
+    i = 0
+    n = len(lengths)
+    while i < n:
+        if lengths[i] == 0:
+            j = i
+            while j < n and lengths[j] == 0:
+                j += 1
+            run = j - i
+            if j == n:
+                break  # trailing zeros are implicit (decoder stops at alphabet end)
+            while run >= 3:
+                if run >= 11:
+                    take = min(run, 138)
+                    seq.append((18, 7, take - 11))
+                    run -= take
+                else:
+                    seq.append((17, 3, run - 3))
+                    run = 0
+            for _ in range(run):
+                seq.append((0, 0, 0))
+            i = j
+        else:
+            seq.append((lengths[i], 0, 0))
+            i += 1
+    cl_freqs: dict[int, int] = {}
+    for s, _, _ in seq:
+        cl_freqs[s] = cl_freqs.get(s, 0) + 1
+    if len(cl_freqs) == 1:
+        only = next(iter(cl_freqs))
+        cl_lengths = [0] * 19
+        cl_lengths[only] = 1
+        cl_codes = {only: (0, 0)}  # single symbol decodes with zero bits
+    else:
+        lm = _package_merge(cl_freqs, 7)
+        cl_lengths = [lm.get(s, 0) for s in range(19)]
+        cl_codes = _canonical_codes(cl_lengths)
+    wr.write(0, 1)  # not simple
+    wr.write(19 - 4, 4)
+    for s in _VP8L_CL_ORDER:
+        wr.write(cl_lengths[s], 3)
+    # trailing zero lengths were trimmed, so the reader must be told
+    # how many CL symbols follow: the explicit max_symbol field
+    # (length_nbits is even, 2..14; value = count - 2)
+    wr.write(1, 1)
+    nbits = max(2, (len(seq) - 2).bit_length())
+    nbits += nbits & 1
+    wr.write((nbits - 2) >> 1, 3)
+    wr.write(len(seq) - 2, nbits)
+    for s, eb, ev in seq:
+        c, ln = cl_codes[s]
+        wr.write_code(c, ln)
+        if eb:
+            wr.write(ev, eb)
+
+
+def _vp8l_build_code(freqs: dict[int, int], alphabet: int):
+    """-> (emit map {sym: (code, len)}, header-writer). Uses the
+    simple form when <= 2 used symbols fit a byte; a lone symbol
+    > 255 (a length/cache code) is padded with a 1-bit dummy literal
+    so the normal-form code stays Kraft-complete."""
+    if not freqs:
+        freqs = {0: 1}
+    syms = sorted(freqs)
+    if len(syms) == 1 and syms[0] <= 255:
+        s = syms[0]
+
+        def write_single(wr: _LsbWriter) -> None:
+            wr.write(1, 1)  # simple
+            wr.write(0, 1)  # one symbol
+            if s <= 1:
+                wr.write(0, 1)
+                wr.write(s, 1)
+            else:
+                wr.write(1, 1)
+                wr.write(s, 8)
+
+        return {s: (0, 0)}, write_single
+    if len(syms) == 1:
+        freqs = dict(freqs)
+        freqs[0] = 1  # dummy literal, never emitted
+        syms = sorted(freqs)
+    if len(syms) == 2 and syms[1] <= 255:
+        s0, s1 = syms
+
+        def write_pair(wr: _LsbWriter) -> None:
+            wr.write(1, 1)  # simple
+            wr.write(1, 1)  # two symbols
+            if s0 <= 1:
+                wr.write(0, 1)
+                wr.write(s0, 1)
+            else:
+                wr.write(1, 1)
+                wr.write(s0, 8)
+            wr.write(s1, 8)
+
+        return {s0: (0, 1), s1: (1, 1)}, write_pair
+    lm = _package_merge(freqs, 15)
+    lengths = [lm.get(s, 0) for s in range(alphabet)]
+    codes = _canonical_codes(lengths)
+
+    def write_normal(wr: _LsbWriter) -> None:
+        _vp8l_write_lengths(wr, lengths)
+
+    return codes, write_normal
+
+
+def _vp8l_write_entropy(
+    wr: _LsbWriter,
+    pixels: list[int],
+    w: int,
+    h: int,
+    spatial: bool,
+    cache_bits: int = 0,
+    lz77: bool = False,
+    use_dist_map: bool = False,
+) -> None:
+    """Emit one entropy-coded ARGB image (single Huffman group).
+    Tokenizer: greedy LZ77 over the two cheap deterministic distances
+    (1 = horizontal run, w = vertical copy), color-cache hits when the
+    simulated cache (the decoder's exact insert rule — every produced
+    pixel) holds the value. use_dist_map emits table-mapped distance
+    codes when the offset is in the 120-entry neighborhood (exercises
+    the decoder's map; plain form emits dist+120, equally valid)."""
+    wr.write(1 if cache_bits else 0, 1)
+    if cache_bits:
+        wr.write(cache_bits, 4)
+    if spatial:
+        wr.write(0, 1)  # no meta-huffman: one group
+    dist_index = (
+        {off: i + 1 for i, off in enumerate(_VP8L_DIST_MAP)} if use_dist_map else None
+    )
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+    tokens: list[tuple] = []
+    n = len(pixels)
+    pos = 0
+    while pos < n:
+        if lz77 and pos > 0:
+            best_len, best_d = 0, 0
+            for d in (1, w):
+                if d > pos or (d == 1 and w == 1 and best_len):
+                    continue
+                ln = 0
+                while ln < 4096 and pos + ln < n and pixels[pos + ln - d] == pixels[pos + ln]:
+                    ln += 1
+                if ln > best_len:
+                    best_len, best_d = ln, d
+            if best_len >= 3:
+                tokens.append(("copy", best_len, best_d))
+                if cache is not None:
+                    for k in range(best_len):
+                        px = pixels[pos + k]
+                        cache[_cache_key(px, cache_bits)] = px
+                pos += best_len
+                continue
+        px = pixels[pos]
+        if cache is not None:
+            ck = _cache_key(px, cache_bits)
+            if cache[ck] == px:
+                tokens.append(("cache", ck))
+                pos += 1
+                continue
+            cache[ck] = px
+        tokens.append(("lit", px))
+        pos += 1
+
+    def dist_value(d: int) -> int:
+        if dist_index is not None and d >= 1:
+            dy, dx = d // w, d % w
+            for cdx, cdy in ((dx, dy), (dx - w, dy + 1)):
+                code = dist_index.get((cdx, cdy))
+                if code is not None and max(1, cdx + cdy * w) == d:
+                    return code
+        return d + 120
+
+    fg: dict[int, int] = {}
+    fr: dict[int, int] = {}
+    fb: dict[int, int] = {}
+    fa: dict[int, int] = {}
+    fd: dict[int, int] = {}
+
+    def bump(m, k):
+        m[k] = m.get(k, 0) + 1
+
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = _chans(t[1])
+            bump(fg, g)
+            bump(fr, r)
+            bump(fb, b)
+            bump(fa, a)
+        elif t[0] == "cache":
+            bump(fg, 280 + t[1])
+        else:
+            bump(fg, 256 + _vp8l_prefix_encode(t[1])[0])
+            bump(fd, _vp8l_prefix_encode(dist_value(t[2]))[0])
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cg, wg = _vp8l_build_code(fg, 256 + 24 + cache_size)
+    cr, wr_ = _vp8l_build_code(fr, 256)
+    cb, wb = _vp8l_build_code(fb, 256)
+    ca, wa = _vp8l_build_code(fa, 256)
+    cd, wd = _vp8l_build_code(fd, 40)
+    for writer in (wg, wr_, wb, wa, wd):
+        writer(wr)
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = _chans(t[1])
+            wr.write_code(*cg[g])
+            wr.write_code(*cr[r])
+            wr.write_code(*cb[b])
+            wr.write_code(*ca[a])
+        elif t[0] == "cache":
+            wr.write_code(*cg[280 + t[1]])
+        else:
+            lcode, leb, lev = _vp8l_prefix_encode(t[1])
+            wr.write_code(*cg[256 + lcode])
+            if leb:
+                wr.write(lev, leb)
+            dcode, deb, dev = _vp8l_prefix_encode(dist_value(t[2]))
+            wr.write_code(*cd[dcode])
+            if deb:
+                wr.write(dev, deb)
+
+
+def encode_webp(
+    img: np.ndarray,
+    *,
+    cache_bits: int = 0,
+    subtract_green: bool = False,
+    predictor: int | None = None,
+    predictor_bits: int = 4,
+    palette: bool = False,
+    lz77: bool = True,
+    use_dist_map: bool = False,
+) -> bytes:
+    """Encode (h, w, 3|4) uint8 as a lossless VP8L WebP (2-D gray is
+    replicated to RGB). Options pick the transform/entropy paths so
+    tests and planted corpora can exercise each decoder feature:
+    color cache, subtract-green, a single predictor mode applied to
+    every block (predictor 0-13), a bundled palette (<= 256 colors,
+    sub-byte packing below 17), greedy LZ77, table-mapped distances."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise MediaDecodeError(f"webp: bad image shape {img.shape}")
+    h, w = int(img.shape[0]), int(img.shape[1])
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise MediaDecodeError(f"webp: bad dimensions {w}x{h}")
+    alpha = img.shape[2] == 4
+    arr = img.astype(np.uint32)
+    a = arr[..., 3] if alpha else np.full((h, w), 255, dtype=np.uint32)
+    packed = (a << 24) | (arr[..., 0] << 16) | (arr[..., 1] << 8) | arr[..., 2]
+    pixels: list[int] = [int(v) for v in packed.reshape(-1)]
+    wr = _LsbWriter()
+    wr.write(w - 1, 14)
+    wr.write(h - 1, 14)
+    wr.write(1 if alpha else 0, 1)
+    wr.write(0, 3)  # version
+    cur_w = w
+    if palette:
+        colors: list[int] = []
+        index: dict[int, int] = {}
+        for p in pixels:
+            if p not in index:
+                index[p] = len(colors)
+                colors.append(p)
+        if len(colors) > 256:
+            raise MediaDecodeError(f"webp: {len(colors)} colors exceed palette")
+        psize = len(colors)
+        wr.write(1, 1)
+        wr.write(3, 2)
+        wr.write(psize - 1, 8)
+        deltas, prev = [], 0
+        for c in colors:
+            deltas.append(_sub_px(c, prev))
+            prev = c
+        _vp8l_write_entropy(wr, deltas, psize, 1, False)
+        xbits = 3 if psize <= 2 else 2 if psize <= 4 else 1 if psize <= 16 else 0
+        if xbits:
+            bpp = 8 >> xbits
+            per = 1 << xbits
+            cw = (w + per - 1) >> xbits
+            out = []
+            for y in range(h):
+                row = pixels[y * w : (y + 1) * w]
+                for cx in range(cw):
+                    g = 0
+                    for k in range(per):
+                        x = cx * per + k
+                        if x < w:
+                            g |= index[row[x]] << (k * bpp)
+                    out.append(0xFF000000 | (g << 8))
+            pixels = out
+            cur_w = cw
+        else:
+            pixels = [0xFF000000 | (index[p] << 8) for p in pixels]
+    if subtract_green:
+        wr.write(1, 1)
+        wr.write(2, 2)
+        out = []
+        for p in pixels:
+            g = (p >> 8) & 0xFF
+            r = ((p >> 16) - g) & 0xFF
+            b = (p - g) & 0xFF
+            out.append((p & 0xFF00FF00) | (r << 16) | b)
+        pixels = out
+    if predictor is not None:
+        if not 0 <= predictor <= 13:
+            raise MediaDecodeError(f"webp: bad predictor mode {predictor}")
+        bits = predictor_bits
+        wr.write(1, 1)
+        wr.write(0, 2)
+        wr.write(bits - 2, 3)
+        sw = (cur_w + (1 << bits) - 1) >> bits
+        sh = (h + (1 << bits) - 1) >> bits
+        _vp8l_write_entropy(
+            wr, [0xFF000000 | (predictor << 8)] * (sw * sh), sw, sh, False
+        )
+        out = []
+        for y in range(h):
+            for x in range(cur_w):
+                i = y * cur_w + x
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = pixels[i - 1]
+                elif x == 0:
+                    pred = pixels[i - cur_w]
+                else:
+                    tr = (
+                        pixels[i - cur_w]
+                        if x == cur_w - 1
+                        else pixels[i - cur_w + 1]
+                    )
+                    pred = _vp8l_predict(
+                        predictor,
+                        pixels[i - 1],
+                        pixels[i - cur_w],
+                        pixels[i - cur_w - 1],
+                        tr,
+                    )
+                out.append(_sub_px(pixels[i], pred))
+        pixels = out
+    wr.write(0, 1)  # end of transforms
+    _vp8l_write_entropy(
+        wr, pixels, cur_w, h, True, cache_bits, lz77, use_dist_map
+    )
+    data = b"\x2f" + wr.flush()
+    chunk = b"VP8L" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+
+
+def webp_features(payload: bytes) -> list[float]:
+    """Same integer-exact feature layout as ppm_features, over the RGB
+    channels (alpha excluded) — a WebP, PNG and PPM of the same pixels
+    yield identical features."""
+    img = decode_webp(payload)
+    h, w = img.shape[0], img.shape[1]
+    n = w * h
+    sums = img.reshape(-1, img.shape[2])[:, :3].sum(axis=0, dtype=np.int64)
+    ch = [float((1_000_000 * int(s)) // (255 * n)) / 1e6 for s in sums]
+    return [IMAGE_TAG, float(w), float(h), *ch, 255.0, float(n)]
+
+
+def webp_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Decode-WebP → bilinear (all channels incl. alpha) → re-encode."""
+    return encode_webp(bilinear_resize(decode_webp(payload), w, h))

@@ -2,15 +2,17 @@
 metadata; decode/feature-extract as Arrow-batched mapInPandas stages.
 
 Decode kernels: PPM (P6), 24-bit BMP, PNG (zlib + unfilter), baseline
-JPEG (Huffman + IDCT) and GIF (LZW, incl. animation) images plus
-PCM16 WAV audio decode FOR REAL via the pure-numpy codecs in
+JPEG (Huffman + IDCT), GIF (LZW, incl. animation) and lossless WebP
+(VP8L) images — every image format the sniff chain knows — plus PCM16
+WAV audio decode FOR REAL via the pure-numpy codecs in
 media_codecs.py (decode + resize + re-encode); animated GIFs also make
-sample_frames a real frame sampler. The remaining compressed formats
-(webp/mp3/ogg) still need a registered kernel (`register_decoder`,
-e.g. PIL/torchaudio in a real deployment); for those the
-deterministic byte-hash stub remains as the documented fallback so
-the plumbing — schema, partitioning, batch shape, UDF signatures — is
-exercised for every kind.
+sample_frames a real frame sampler. The remaining compressed AUDIO
+formats (mp3/ogg), lossy VP8 WebP and video containers still need a
+registered kernel (`register_decoder`, e.g. PIL/torchaudio/ffmpeg in
+a real deployment); for those the deterministic byte-hash stub
+remains as the documented fallback so the plumbing — schema,
+partitioning, batch shape, UDF signatures — is exercised for every
+kind.
 
 Schema convention:
     media: binary                 -- the opaque payload
@@ -73,10 +75,10 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
 
 
 def _default_image_decode(payload: bytes) -> list[float]:
-    """Real decode for PPM, BMP, PNG, baseline JPEG and GIF (the
-    pure-numpy kernels in media_codecs); byte-hash stub fallback only
-    for the formats still lacking a kernel (webp — register one in a
-    real deployment)."""
+    """Real decode for PPM, BMP, PNG, baseline JPEG, GIF and lossless
+    WebP — every image format the sniff chain knows (the pure-numpy
+    kernels in media_codecs); byte-hash stub fallback only for
+    non-image kinds routed here by an explicit kind column."""
     if payload[:2] == b"P6":
         return media_codecs.ppm_features(payload)
     if payload[:2] == b"BM":
@@ -87,6 +89,8 @@ def _default_image_decode(payload: bytes) -> list[float]:
         return media_codecs.jpeg_features(payload)
     if payload[:4] == b"GIF8":
         return media_codecs.gif_features(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return media_codecs.webp_features(payload)
     return _fake_decode(payload)
 
 
@@ -253,6 +257,8 @@ def _default_image_resize(payload: bytes, w: int, h: int) -> bytes:
         return media_codecs.jpeg_resize(payload, w, h)
     if payload[:4] == b"GIF8":
         return media_codecs.gif_resize(payload, w, h)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return media_codecs.webp_resize(payload, w, h)
     return _fake_resize(payload, w, h)
 
 

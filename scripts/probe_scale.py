@@ -79,6 +79,8 @@ PROBE_QUERIES = [
     "q68_anomaly_mad",
     "q69_theta_overlap",
     "q70_cooccurrence",
+    # round-5: iterative link-graph rank (consumes documents)
+    "q74_pagerank",
 ]
 
 
@@ -143,6 +145,7 @@ EXTRA_PROBES = {
     "q66_png_operator": _media_probe("_png_planted_rows"),
     "q71_jpeg_operator": _media_probe("_jpeg_planted_rows"),
     "q72_gif_operator": _media_probe("_gif_planted_rows", chain="frames"),
+    "q73_webp_operator": _media_probe("_webp_planted_rows"),
 }
 
 

@@ -121,7 +121,8 @@ def test_extract_features_real_kernels_and_error_column(spark):
         ("corrupt_png", b"\x89PNG\r\n\x1a\n" + bytes(32), "image"),
         ("corrupt_jpeg", b"\xff\xd8\xff\xe0" + bytes(32), "image"),
         ("corrupt_gif", b"GIF87a" + bytes(32), "image"),
-        ("webp_fallback", b"RIFF0000WEBP" + bytes(32), "image"),
+        ("corrupt_webp", b"RIFF0000WEBP" + bytes(32), "image"),
+        ("mp3_fallback", b"ID3" + bytes(32), "audio"),
     ]
     df = spark.createDataFrame(rows, "key string, media binary, kind string")
     out = {r["key"]: r for r in extract_features(df, kind_col="kind").collect()}
@@ -153,14 +154,18 @@ def test_extract_features_real_kernels_and_error_column(spark):
     # GIF decodes for REAL as well (round 5): malformed -> decode_error
     assert out["corrupt_gif"].feat is None
     assert "gif" in out["corrupt_gif"].decode_error
-    # the still-kernel-less format (webp) falls back to the
+    # WebP decodes for REAL now too (round 5, the last image format):
+    # malformed -> decode_error
+    assert out["corrupt_webp"].feat is None
+    assert "webp" in out["corrupt_webp"].decode_error
+    # the still-kernel-less family (compressed audio) falls back to the
     # deterministic stub
     from beats_spark.training.multimodal import _fake_decode
 
-    assert ppm_ints(out["webp_fallback"].feat) == ppm_ints(
-        _fake_decode(b"RIFF0000WEBP" + bytes(32))
+    assert ppm_ints(out["mp3_fallback"].feat) == ppm_ints(
+        _fake_decode(b"ID3" + bytes(32))
     )
-    assert out["webp_fallback"].decode_error is None
+    assert out["mp3_fallback"].decode_error is None
 
 
 def test_resize_media_real_bilinear_kernel(spark):
@@ -805,3 +810,118 @@ def test_sample_frames_real_gif_kernel(spark):
     # stub path unchanged: equal byte slices, duration-spaced ts
     assert by["raw"][1]["ts_ms"] == 4000
     assert bytes(by["raw"][0]["frame"]) == bytes(range(50))
+
+
+# --- WEBP (VP8L lossless) ------------------------------------------------------
+
+
+def test_webp_round_trip_feature_matrix():
+    """decode(encode(img)) is pixel-exact across the encoder's whole
+    option matrix: plain/cached/subtract-green/all 14 predictor
+    modes/bundled palettes at every sub-byte width/LZ77 with raw and
+    table-mapped distances/RGBA/gray-2D/1x1/wide."""
+    rng = np.random.RandomState(7)
+
+    def rt(img, **kw):
+        got = mc.decode_webp(mc.encode_webp(img, **kw))
+        exp = img if img.ndim == 3 else np.stack([img] * 3, axis=-1)
+        assert got.shape == exp.shape and (got == exp).all(), kw
+
+    img = rng.randint(0, 256, (4, 8, 3)).astype(np.uint8)
+    for kw in (
+        {},
+        {"cache_bits": 4},
+        {"subtract_green": True},
+        {"predictor": 2, "subtract_green": True},
+        {"lz77": False},
+    ):
+        rt(img, **kw)
+    for m in range(14):
+        rt(rng.randint(0, 256, (12, 12, 3)).astype(np.uint8), predictor=m)
+    rt(rng.randint(0, 256, (5, 7, 4)).astype(np.uint8), predictor=7, cache_bits=3)
+    # palettes at xbits 0/1/2/3 (257-, 16-, 4-, 2-color bundling)
+    for ncol in (2, 4, 14, 40):
+        pal = (rng.randint(0, ncol, (9, 13)) * (255 // (ncol - 1))).astype(np.uint8)
+        rt(np.stack([pal, pal // 2, 255 - pal], axis=-1), palette=True)
+    rt(rng.randint(0, 256, (3, 5)).astype(np.uint8))  # gray 2-D
+    rt(np.array([[[1, 2, 3]]], dtype=np.uint8))  # 1x1
+    vert = np.tile(rng.randint(0, 256, (1, 11, 3)).astype(np.uint8), (9, 1, 1))
+    rt(vert, use_dist_map=True)  # dist=w copies through the 120-entry map
+    rt(vert)  # same copies as raw dist+120 codes
+
+
+def test_webp_cache_and_simple_codes():
+    # alternating 2-color rows defeat dist-1 LZ77 -> the color cache
+    # carries the stream; flat image -> single-symbol (zero-bit) codes
+    rng = np.random.RandomState(3)
+    # 64 random colors tiled -> dist-1/dist-w LZ77 never matches, the
+    # cache carries the stream; big enough that payload beats headers
+    pal = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+    idx = rng.permutation(np.tile(np.arange(64), 63))
+    img = pal[idx].reshape(63, 64, 3)
+    plain = mc.encode_webp(img, lz77=False)
+    cached = mc.encode_webp(img, lz77=False, cache_bits=8)
+    assert (mc.decode_webp(cached) == img).all()
+    assert len(cached) < len(plain)
+    flat = np.full((16, 16, 3), 77, dtype=np.uint8)
+    tiny = mc.encode_webp(flat)
+    assert (mc.decode_webp(tiny) == flat).all()
+    assert len(tiny) < 60  # one literal + one 255-px LZ77 copy
+
+
+def test_webp_malformed_raises():
+    good = mc.encode_webp(np.zeros((4, 4, 3), dtype=np.uint8))
+    for bad, msg in [
+        (b"RIFX" + good[4:], "container"),
+        (good[:8] + b"WAVE" + good[12:], "container"),
+        (good[:12], "no VP8L"),
+        (good[:12] + b"VP8 " + good[16:], "lossy"),
+        (good[:12] + b"VP8X" + good[16:], "VP8X"),
+        (good[:20] + bytes([good[20] ^ 0xFF]) + good[21:], "signature|version|truncated|huffman|overflow|range"),
+        (good[:-3], "truncated|chunk"),
+    ]:
+        with pytest.raises(mc.MediaDecodeError, match=msg):
+            mc.decode_webp(bad)
+    i = np.arange(18 * 18, dtype=np.int64)
+    grad = np.stack([i % 256, i // 256, np.zeros_like(i)], axis=-1)
+    with pytest.raises(mc.MediaDecodeError, match="palette"):
+        mc.encode_webp(grad.reshape(18, 18, 3).astype(np.uint8), palette=True)
+
+
+def test_webp_features_parity_and_resize():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (6, 10, 3)).astype(np.uint8)
+    assert mc.webp_features(mc.encode_webp(img)) == mc.ppm_features(mc.encode_ppm(img))
+    # alpha excluded from features, like PNG
+    rgba = np.concatenate([img, rng.randint(0, 256, (6, 10, 1)).astype(np.uint8)], axis=-1)
+    assert mc.webp_features(mc.encode_webp(rgba)) == mc.ppm_features(mc.encode_ppm(img))
+    out = mc.decode_webp(mc.webp_resize(mc.encode_webp(img), 5, 3))
+    assert out.shape == (3, 5, 3)
+    assert (out == mc.bilinear_resize(img, 5, 3)).all()
+    # kernel dispatch: the default image decoder routes RIFF/WEBP here
+    from beats_spark.training import multimodal as mm
+
+    assert mm._default_image_decode(mc.encode_webp(img)) == mc.webp_features(
+        mc.encode_webp(img)
+    )
+
+
+def test_webp_planted_corpus_pixel_exact():
+    """Pure-python twin of the q73 gate: every planted doc decodes to
+    exactly the gradient the oracle's arithmetic assumes."""
+    from beats_spark.queries import _webp_planted_rows
+
+    xs = np.arange(8, dtype=np.int64)[None, :]
+    ys = np.arange(4, dtype=np.int64)[:, None]
+    for d, payload in _webp_planted_rows():
+        if d % 8 == 1:
+            chans = [(d * m + 64 * ((xs + 2 * ys) % 4)) % 256 for m in (5, 11, 17)]
+        else:
+            chans = [(d * m + xs + 2 * ys) % 256 for m in (5, 11, 17)]
+        chans = [np.broadcast_to(c, (4, 8)) for c in chans]
+        if d % 4 == 3:
+            chans.append(np.broadcast_to((d * 23 + xs + ys) % 256, (4, 8)))
+        exp = np.stack(chans, axis=-1).astype(np.uint8)
+        got = mc.decode_webp(bytes(payload))
+        assert got.shape == exp.shape, d
+        assert (got == exp).all(), d

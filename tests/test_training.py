@@ -163,11 +163,11 @@ def test_doc_fingerprint_detects_exact_dupes(spark, docs):
 
 
 def test_multimodal_sniff_and_features(spark):
-    # webp carries a real container magic but a still-stubbed kernel —
-    # the fallback-path probe (png/jpeg/gif magics now decode for REAL,
+    # mp3 carries a real container magic but a still-stubbed kernel —
+    # the fallback-path probe (every IMAGE magic now decodes for REAL,
     # so malformed payloads behind those land in decode_error instead)
     rows = [
-        ("webp1", bytearray(b"RIFF0000WEBP" + b"\x01\x02\x03\x04" * 16)),
+        ("webp_bad", bytearray(b"RIFF0000WEBP" + b"\x01\x02\x03\x04" * 16)),
         ("png_bad", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x01\x02\x03\x04" * 16)),
         ("mp3", bytearray(b"ID3\x04" + b"\x7f\x00" * 32)),
         ("blob", bytearray(b"\x00\x01unknownpayload")),
@@ -175,23 +175,26 @@ def test_multimodal_sniff_and_features(spark):
     df = spark.createDataFrame(rows, "key string, media binary")
     sniffed = sniff_media_meta(df)
     meta = {r.key: r.media_meta for r in sniffed.collect()}
-    assert meta["webp1"].kind == "image" and meta["webp1"].format == "webp"
+    assert meta["webp_bad"].kind == "image" and meta["webp_bad"].format == "webp"
     assert meta["png_bad"].kind == "image" and meta["png_bad"].format == "png"
     assert meta["mp3"].kind == "audio"
     assert meta["blob"].kind == "unknown"
 
     feats = extract_features(df, default_kind="image").collect()
     by_key = {r.key: r for r in feats}
-    assert by_key["webp1"].n_bytes == 12 + 64
-    assert len(by_key["webp1"].feat) == 8
-    assert all(0.0 <= v <= 1.1 for v in by_key["webp1"].feat)
+    assert by_key["mp3"].n_bytes == 4 + 64
+    assert len(by_key["mp3"].feat) == 8
+    assert all(0.0 <= v <= 1.1 for v in by_key["mp3"].feat)
     # a REAL codec's magic on a malformed payload is a decode error,
-    # never a silent stub (the q19 regression lesson)
+    # never a silent stub (the q19 regression lesson) — now true for
+    # webp too, the last image format to go real
     assert by_key["png_bad"].feat is None
     assert "png" in by_key["png_bad"].decode_error
+    assert by_key["webp_bad"].feat is None
+    assert "webp" in by_key["webp_bad"].decode_error
     # deterministic: rerun produces identical features
     feats2 = {r.key: r.feat for r in extract_features(df, default_kind="image").collect()}
-    assert feats2["webp1"] == by_key["webp1"].feat
+    assert feats2["mp3"] == by_key["mp3"].feat
     from beats_spark.training.multimodal import poly_checksum
 
     assert by_key["blob"].checksum == poly_checksum(bytes(rows[3][1]))
@@ -199,7 +202,7 @@ def test_multimodal_sniff_and_features(spark):
     # recoverable via round(v*1e6) with margin (0.5 ulp of v<8.39 scales
     # to <0.48 ppm), which is what q19's oracle-checked reduction relies on
     assert all(
-        abs(v * 1e6 - round(v * 1e6)) < 0.49 for v in by_key["webp1"].feat
+        abs(v * 1e6 - round(v * 1e6)) < 0.49 for v in by_key["mp3"].feat
     )
 
 
@@ -891,3 +894,42 @@ def test_ivf_two_level_twin_recall_and_volume(spark):
         corpus, dim=64, k_cells=k, n_probe=2, centroids=cents,
     )
     assert len(pairs) <= one.count()
+
+
+def test_pagerank_scaled_exact_against_python_oracle(spark):
+    """Tiny graph: Spark's integer-scaled PageRank equals a pure-Python
+    evaluation of the same recurrence; dangling nodes keep the base
+    term only; out-degree > 3 is rejected."""
+    from beats_spark.training.cluster import pagerank_scaled
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 4 dangling
+    nodes = list(range(5))
+    ed = spark.createDataFrame(edges, "src long, dst long")
+    nd = spark.createDataFrame([(i,) for i in nodes], "node long")
+    got = {
+        r["node"]: r["pr_scaled"]
+        for r in pagerank_scaled(ed, nd, iterations=3).collect()
+    }
+
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    t = {i: 1 for i in nodes}
+    base = 1
+    for _ in range(3):
+        inc = {i: 0 for i in nodes}
+        for s, d in edges:
+            inc[d] += t[s] * (18 // deg[s])
+        t = {i: 54 * base + 17 * inc[i] for i in nodes}
+        base *= 360
+    assert got == t
+    # dangling node 4: never receives, never sends -> pure base terms
+    assert t[4] == 54 * 360 * 360 + 17 * 0
+
+    import pytest as _pytest
+
+    fat = spark.createDataFrame(
+        [(0, j) for j in range(1, 5)], "src long, dst long"
+    )
+    with _pytest.raises(ValueError, match="out-degree"):
+        pagerank_scaled(fat, nd, iterations=1).collect()
