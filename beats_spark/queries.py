@@ -1854,6 +1854,154 @@ SELECT doc_id,
 FROM s ORDER BY doc_id"""
 
 
+# --- q75: REAL animated-WebP frame sampling (VP8X/ANMF + VP8L kernel) --------
+
+
+def _webp_anim_planted_rows() -> list:
+    """The 48 q75 payloads (driver-side, bounded): 24×16 animated
+    WebPs, F = 2 + d%3 frames — frame 0 a full-canvas wash with
+    channel colors (17d + 29c) % 200, frames f >= 1 four-row bands at
+    y = 4f with colors (37d + 11f + 53c) % 256, per-frame durations
+    10·(1+(d+f)%3) ms, frame 1 DISPOSING to background
+    ((11d + 7c) % 256) on every 5th-plus-2 doc with >= 3 frames, and
+    per-frame VP8L options rotating through plain / subtract-green /
+    color-cache / palette by (d+f) % 4. Shared by the q75 gate and the
+    uncapped scale probe."""
+    import numpy as np
+
+    from beats_spark.training import media_codecs
+
+    kws = [{}, {"subtract_green": True}, {"cache_bits": 3}, {"palette": True}]
+    rows = []
+    for d in range(48):
+        nf = 2 + d % 3
+        frames = [
+            np.full(
+                (16, 24, 3),
+                [(17 * d + 29 * c) % 200 for c in range(3)],
+                dtype=np.uint8,
+            )
+        ]
+        rects = [(0, 0)]
+        durs = [10 * (1 + d % 3)]
+        disp = [False]
+        fkw = [kws[d % 4]]
+        for f in range(1, nf):
+            frames.append(
+                np.full(
+                    (4, 24, 3),
+                    [(37 * d + 11 * f + 53 * c) % 256 for c in range(3)],
+                    dtype=np.uint8,
+                )
+            )
+            rects.append((0, 4 * f))
+            durs.append(10 * (1 + (d + f) % 3))
+            disp.append(f == 1 and d % 5 == 2 and nf >= 3)
+            fkw.append(kws[(d + f) % 4])
+        payload = media_codecs.encode_webp_anim(
+            frames,
+            rects=rects,
+            canvas=(24, 16),
+            durations_ms=durs,
+            dispose=disp,
+            bg=tuple((11 * d + 7 * c) % 256 for c in range(3)) + (255,),
+            frame_kw=fkw,
+        )
+        rows.append((d, bytearray(payload)))
+    return rows
+
+
+def q_webp_anim_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 animated-WebP gate: with GIF (q72) this makes BOTH real
+    animated formats sample for real — plant 48 VP8X/ANIM/ANMF files
+    (full-canvas frame 0, sub-rect band frames, dispose-to-background
+    variants, per-frame VP8L feature-matrix options), then run the
+    real distributed chain: sample_frames(n=3) — VP8L decode →
+    composite (overwrite + disposal) → pick frame (j·F)//3 →
+    timestamp from the file's own duration timeline → re-encode as
+    PPM — into extract_features. The oracle recomputes every channel
+    ppm and timestamp from the planting arithmetic alone, pure
+    integer (VP8L is lossless and no-blend compositing is
+    assignment). Payload construction is driver-side for the 48
+    planted docs (bounded, the q66/q71/q72 recipe); the graded
+    DISTRIBUTED work is the two mapInPandas stages."""
+    from beats_spark.training.multimodal import extract_features, sample_frames
+
+    planted = spark.createDataFrame(
+        _webp_anim_planted_rows(), "doc_id long, media binary"
+    )
+    docs = _documents(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
+    media = docs.join(F.broadcast(planted), "doc_id").select(
+        F.col("doc_id").cast("string").alias("key"), "media"
+    )
+    sampled = sample_frames(media, n_frames=3)
+    packed = sampled.select(
+        F.concat_ws(":", "key", "frame_idx", "ts_ms").alias("pk"),
+        F.col("frame").alias("media"),
+    )
+    feats = extract_features(packed, key_col="pk")
+
+    def f(i):
+        return F.element_at("feat", i)
+
+    part = F.split(F.col("key"), ":")
+
+    return feats.select(
+        F.element_at(part, 1).cast("long").alias("doc_id"),
+        F.element_at(part, 2).cast("long").alias("frame_idx"),
+        F.element_at(part, 3).cast("long").alias("ts_ms"),
+        F.round(f(2)).cast("long").alias("w"),
+        F.round(f(3)).cast("long").alias("h"),
+        F.round(f(4) * 1e6).cast("long").alias("p_r"),
+        F.round(f(5) * 1e6).cast("long").alias("p_g"),
+        F.round(f(6) * 1e6).cast("long").alias("p_b"),
+        F.round(f(8)).cast("long").alias("n_px"),
+        F.when(F.col("decode_error").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ok"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q_webp_anim_frames_oracle() -> str:
+    # composited channel value of band b at display frame fi: frame 0
+    # everywhere frames haven't painted, band frames 1..fi, frame 1's
+    # band restored to the ANIM background once disposed (fi >= 2 on
+    # dispose docs) — pure integer, no rounding terms
+    def chan_sum(c: int) -> str:
+        c0 = f"((17*d + 29*{c}) % 200)"
+        fcol = f"((37*d + 11*b + 53*{c}) % 256)"
+        bgc = f"((11*d + 7*{c}) % 256)"
+        band = (
+            f"CASE WHEN b = 0 OR b > fi THEN {c0} "
+            f"WHEN b = 1 AND disp AND fi >= 2 THEN {bgc} "
+            f"ELSE {fcol} END"
+        )
+        return f"list_sum(list_transform(range(0, 4), b -> 96*({band})))"
+
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id < 48),
+u AS (SELECT d, 2 + d % 3 AS nf,
+             (d % 5 = 2 AND d % 3 >= 1) AS disp,
+             unnest([CAST(0 AS BIGINT), 1, 2]) AS j FROM t),
+p AS (SELECT d, j, disp, nf, (j * nf) // 3 AS fi FROM u),
+s AS (
+  SELECT d, j, fi,
+         {chan_sum(0)} AS sr,
+         {chan_sum(1)} AS sg,
+         {chan_sum(2)} AS sb,
+         COALESCE(list_sum(list_transform(range(0, fi),
+                                          f -> 10*(1 + (d + f) % 3))), 0) AS ts
+  FROM p)
+SELECT d AS doc_id, j AS frame_idx, CAST(ts AS BIGINT) AS ts_ms,
+       CAST(24 AS BIGINT) AS w, CAST(16 AS BIGINT) AS h,
+       CAST((1000000 * sr) // (255 * 384) AS BIGINT) AS p_r,
+       CAST((1000000 * sg) // (255 * 384) AS BIGINT) AS p_g,
+       CAST((1000000 * sb) // (255 * 384) AS BIGINT) AS p_b,
+       CAST(384 AS BIGINT) AS n_px, CAST(1 AS BIGINT) AS ok
+FROM s ORDER BY doc_id, frame_idx"""
+
+
 # --- q67: BM25 relevance top-k (relevance.py) --------------------------------
 
 
@@ -3103,6 +3251,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_jpeg_decode": q_jpeg_decode,
         "q72_gif_frames": q_gif_frames,
         "q73_webp_decode": q_webp_decode,
+        "q75_webp_anim_frames": q_webp_anim_frames,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -3123,7 +3272,7 @@ _WITNESS_FIRST = [
     "q65_kll_quantile_rollup", "q66_png_decode", "q67_bm25",
     "q68_anomaly_mad", "q69_theta_overlap", "q70_cooccurrence",
     "q71_jpeg_decode", "q72_gif_frames", "q73_webp_decode",
-    "q74_pagerank",
+    "q74_pagerank", "q75_webp_anim_frames",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -3223,4 +3372,5 @@ def _base_oracles() -> dict[str, str]:
         "q71_jpeg_decode": q_jpeg_decode_oracle(),
         "q72_gif_frames": q_gif_frames_oracle(),
         "q73_webp_decode": q_webp_decode_oracle(),
+        "q75_webp_anim_frames": q_webp_anim_frames_oracle(),
     }

@@ -2055,39 +2055,23 @@ def _vp8l_apply_inverse(kind: int, data, pixels: list[int], w: int, h: int):
     raise MediaDecodeError(f"webp: bad transform {kind}")
 
 
-def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a lossless (VP8L) WebP to (h, w, 3) RGB or (h, w, 4)
-    RGBA uint8 (4 channels iff the stream's alpha hint is set). Lossy
-    'VP8 ' and extended 'VP8X' (animation/metadata) payloads raise —
-    they need a registered kernel, the progressive-JPEG precedent.
-
-    Foreign-stream caveat (documented, untestable in this container —
-    no libwebp): the 120-entry LZ77 distance map, sub-byte bundling
-    bit order, and predictor edge/tie conventions are implemented from
-    the public spec and pinned by encoder round-trips; payloads from
-    other encoders exercise paths our own encoder can also emit
-    (use_dist_map=True covers the map)."""
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise MediaDecodeError("webp: bad RIFF/WEBP container")
-    pos, vp8l = 12, None
-    while pos + 8 <= len(payload):
+def _webp_chunks(payload: bytes, start: int = 12, end: int | None = None):
+    """Yield (tag, body) over a RIFF chunk run; word-aligned sizes."""
+    pos = start
+    stop = len(payload) if end is None else end
+    while pos + 8 <= stop:
         tag = payload[pos + 0 : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
         if len(body) < size:
             raise MediaDecodeError("webp: truncated chunk")
-        if tag == b"VP8L":
-            vp8l = body
-            break
-        if tag == b"VP8 ":
-            raise MediaDecodeError("webp: lossy VP8 needs a registered kernel")
-        if tag == b"VP8X":
-            raise MediaDecodeError(
-                "webp: extended VP8X (animation/metadata) needs a registered kernel"
-            )
+        yield tag, body
         pos += 8 + size + (size & 1)
-    if vp8l is None:
-        raise MediaDecodeError("webp: no VP8L chunk")
+
+
+def _decode_vp8l_payload(vp8l: bytes) -> np.ndarray:
+    """Decode one VP8L chunk body to (h, w, 3|4) uint8 (4 channels iff
+    the stream's alpha hint is set)."""
     if not vp8l or vp8l[0] != 0x2F:
         raise MediaDecodeError("webp: bad VP8L signature")
     rd = _LsbReader(vp8l[1:])
@@ -2157,6 +2141,204 @@ def decode_webp(payload: bytes) -> np.ndarray:
     if alpha_hint:
         chans.append((arr >> 24).astype(np.uint8))
     return np.stack(chans, axis=-1)
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """Decode a lossless WebP to (h, w, 3|4) uint8: a bare VP8L chunk,
+    a VP8X still wrapping VP8L, or — for an ANIMATED VP8X — the first
+    composited frame (the gif_features convention). Lossy 'VP8 '
+    payloads raise (a real VP8 intra decoder needs a registered
+    kernel, the progressive-JPEG precedent).
+
+    Foreign-stream caveat (documented, untestable in this container —
+    no libwebp): the 120-entry LZ77 distance map, sub-byte bundling
+    bit order, predictor edge/tie conventions and the ANMF alpha-blend
+    rounding are implemented from the public spec and pinned by
+    encoder round-trips; payloads from other encoders exercise paths
+    our own encoder can also emit (use_dist_map=True covers the map)."""
+    return decode_webp_frames(payload)[0][0]
+
+
+def decode_webp_frames(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
+    """Decode ALL frames of a WebP: still images return one frame with
+    duration 0; animated VP8X/ANIM/ANMF files return every frame
+    COMPOSITED onto the canvas (sub-rect placement, no-blend vs
+    integer alpha-blend, dispose-to-background) plus per-frame
+    durations in ms. Frames are (h, w, 4) RGBA for animations (the
+    canvas starts transparent, so alpha is structural) and 3|4 per the
+    stream's alpha hint for stills."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise MediaDecodeError("webp: bad RIFF/WEBP container")
+    vp8x = None
+    for tag, body in _webp_chunks(payload):
+        if tag == b"VP8L":
+            return [_decode_vp8l_payload(body)], [0]
+        if tag == b"VP8 ":
+            raise MediaDecodeError("webp: lossy VP8 needs a registered kernel")
+        if tag == b"VP8X":
+            vp8x = body
+            break
+    if vp8x is None:
+        raise MediaDecodeError("webp: no VP8L chunk")
+    if len(vp8x) < 10:
+        raise MediaDecodeError("webp: truncated VP8X header")
+    flags = vp8x[0]
+    cw = int.from_bytes(vp8x[4:7], "little") + 1
+    ch = int.from_bytes(vp8x[7:10], "little") + 1
+    if not flags & 0x02:  # still VP8X (alpha/metadata hints only)
+        for tag, body in _webp_chunks(payload):
+            if tag == b"VP8L":
+                return [_decode_vp8l_payload(body)], [0]
+            if tag == b"VP8 ":
+                raise MediaDecodeError("webp: lossy VP8 needs a registered kernel")
+        raise MediaDecodeError("webp: VP8X still without VP8L chunk")
+    bg = None
+    frames: list[np.ndarray] = []
+    durations: list[int] = []
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    for tag, body in _webp_chunks(payload):
+        if tag == b"ANIM":
+            if len(body) < 6:
+                raise MediaDecodeError("webp: truncated ANIM chunk")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]  # BGRA
+            bg = (r_, g_, b_, a_)
+        elif tag == b"ANMF":
+            if bg is None:
+                raise MediaDecodeError("webp: ANMF before ANIM chunk")
+            if len(body) < 16:
+                raise MediaDecodeError("webp: truncated ANMF header")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            dur = int.from_bytes(body[12:15], "little")
+            fflags = body[15]
+            sub = None
+            for stag, sbody in _webp_chunks(body, start=16, end=len(body)):
+                if stag == b"VP8L":
+                    sub = _decode_vp8l_payload(sbody)
+                    break
+                if stag == b"VP8 ":
+                    raise MediaDecodeError(
+                        "webp: lossy VP8 frame needs a registered kernel"
+                    )
+            if sub is None:
+                raise MediaDecodeError("webp: ANMF frame without VP8L data")
+            if sub.shape[0] != fh or sub.shape[1] != fw:
+                raise MediaDecodeError("webp: ANMF size mismatch")
+            if fx + fw > cw or fy + fh > ch:
+                raise MediaDecodeError("webp: frame exceeds canvas")
+            if sub.shape[2] == 3:
+                sub = np.concatenate(
+                    [sub, np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=-1
+                )
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if fflags & 0x02:  # no-blend: overwrite
+                region[:] = sub
+            else:  # integer alpha compositing (src over dst)
+                sa = sub[..., 3].astype(np.int64)
+                da = region[..., 3].astype(np.int64)
+                oa = sa + da * (255 - sa) // 255
+                for c in range(3):
+                    num = sub[..., c] * sa + region[..., c] * (
+                        da * (255 - sa) // 255
+                    )
+                    region[..., c] = np.where(oa > 0, num // np.maximum(oa, 1), 0)
+                region[..., 3] = oa
+            frames.append(canvas.copy())
+            durations.append(dur)
+            if fflags & 0x01:  # dispose frame rect to background color
+                region[:] = bg
+    if not frames:
+        raise MediaDecodeError("webp: animation with no frames")
+    return frames, durations
+
+
+def encode_webp_anim(
+    frames: "list[np.ndarray]",
+    *,
+    rects: list[tuple[int, int]] | None = None,
+    canvas: tuple[int, int] | None = None,
+    durations_ms: list[int] | None = None,
+    no_blend: list[bool] | None = None,
+    dispose: list[bool] | None = None,
+    bg: tuple[int, int, int, int] = (0, 0, 0, 0),
+    loop: int = 0,
+    frame_kw: list[dict] | None = None,
+) -> bytes:
+    """Encode an animated WebP (VP8X + ANIM + per-frame ANMF/VP8L).
+    Frame f is drawn at rects[f] (EVEN coordinates — ANMF stores x/2,
+    y/2) on a canvas sized to the max extent (or explicit (W, H));
+    no_blend picks overwrite vs alpha-blend compositing, dispose
+    clears the frame rect to `bg` (RGBA) afterwards. frame_kw passes
+    per-frame _vp8l_chunk options (cache/subtract-green/palette/...)
+    so tests can sweep the decoder matrix inside animations too."""
+    nf = len(frames)
+    if nf == 0:
+        raise MediaDecodeError("webp: no frames to encode")
+
+    def opt(lst, default):
+        return [default] * nf if lst is None else list(lst)
+
+    rects = opt(rects, (0, 0))
+    durations_ms = opt(durations_ms, 0)
+    no_blend = opt(no_blend, True)
+    dispose = opt(dispose, False)
+    frame_kw = opt(frame_kw, None)
+    if canvas is None:
+        cw = max(r[0] + f.shape[1] for r, f in zip(rects, frames))
+        ch = max(r[1] + f.shape[0] for r, f in zip(rects, frames))
+    else:
+        cw, ch = canvas
+    anim_alpha = False
+    anmf = b""
+    for f, img in enumerate(frames):
+        fx, fy = rects[f]
+        if fx % 2 or fy % 2:
+            raise MediaDecodeError("webp: ANMF offsets must be even")
+        data, has_a = _vp8l_chunk(img, **(frame_kw[f] or {}))
+        anim_alpha = anim_alpha or has_a or not no_blend[f]
+        fh, fw = img.shape[0], img.shape[1]
+        if fx + fw > cw or fy + fh > ch:
+            raise MediaDecodeError("webp: frame exceeds canvas")
+        hdr = (
+            (fx // 2).to_bytes(3, "little")
+            + (fy // 2).to_bytes(3, "little")
+            + (fw - 1).to_bytes(3, "little")
+            + (fh - 1).to_bytes(3, "little")
+            + int(durations_ms[f]).to_bytes(3, "little")
+            + bytes([(0x02 if no_blend[f] else 0) | (0x01 if dispose[f] else 0)])
+        )
+        anmf += _webp_chunk(b"ANMF", hdr + _webp_chunk(b"VP8L", data))
+    flags = 0x02 | (0x10 if anim_alpha else 0)
+    vp8x = (
+        bytes([flags, 0, 0, 0])
+        + (cw - 1).to_bytes(3, "little")
+        + (ch - 1).to_bytes(3, "little")
+    )
+    r_, g_, b_, a_ = bg
+    anim = bytes([b_, g_, r_, a_]) + int(loop).to_bytes(2, "little")
+    return _webp_container(
+        _webp_chunk(b"VP8X", vp8x) + _webp_chunk(b"ANIM", anim) + anmf
+    )
+
+
+def webp_frame_sample(payload: bytes, n_frames: int) -> list[tuple[int, int, bytes]]:
+    """REAL frame sampling for animated WebPs (the sample_frames
+    kernel, gif_frame_sample's exact twin): decode + composite, pick
+    index (j·F)//n, timestamp = the frame's start on the file's own
+    duration timeline, re-encode each sampled frame as PPM (alpha
+    dropped — PPM is the pixel-exact downstream interchange)."""
+    frames, durations = decode_webp_frames(payload)
+    nf = len(frames)
+    starts = [0] * nf
+    for k in range(1, nf):
+        starts[k] = starts[k - 1] + durations[k - 1]
+    out = []
+    for j in range(n_frames):
+        fi = (j * nf) // n_frames
+        out.append((j, starts[fi], encode_ppm(frames[fi][..., :3])))
+    return out
 
 
 def _package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
@@ -2426,7 +2608,7 @@ def _vp8l_write_entropy(
                 wr.write(dev, deb)
 
 
-def encode_webp(
+def _vp8l_chunk(
     img: np.ndarray,
     *,
     cache_bits: int = 0,
@@ -2436,8 +2618,12 @@ def encode_webp(
     palette: bool = False,
     lz77: bool = True,
     use_dist_map: bool = False,
-) -> bytes:
-    """Encode (h, w, 3|4) uint8 as a lossless VP8L WebP (2-D gray is
+) -> tuple[bytes, bool]:
+    """Build the VP8L chunk payload (signature byte + bitstream) for
+    one image; returns (payload, has_alpha). Shared by encode_webp
+    (still image) and encode_webp_anim (per-ANMF frame data).
+
+    Encode (h, w, 3|4) uint8 as a lossless VP8L stream (2-D gray is
     replicated to RGB). Options pick the transform/entropy paths so
     tests and planted corpora can exercise each decoder feature:
     color cache, subtract-green, a single predictor mode applied to
@@ -2550,11 +2736,23 @@ def encode_webp(
     _vp8l_write_entropy(
         wr, pixels, cur_w, h, True, cache_bits, lz77, use_dist_map
     )
-    data = b"\x2f" + wr.flush()
-    chunk = b"VP8L" + len(data).to_bytes(4, "little") + data
-    if len(data) & 1:
-        chunk += b"\x00"
-    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+    return b"\x2f" + wr.flush(), alpha
+
+
+def _webp_container(chunks: bytes) -> bytes:
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP" + chunks
+
+
+def _webp_chunk(tag: bytes, data: bytes) -> bytes:
+    out = tag + len(data).to_bytes(4, "little") + data
+    return out + b"\x00" if len(data) & 1 else out
+
+
+def encode_webp(img: np.ndarray, **kw) -> bytes:
+    """Encode (h, w, 3|4) uint8 as a still lossless VP8L WebP; see
+    _vp8l_chunk for the transform/entropy options."""
+    data, _ = _vp8l_chunk(img, **kw)
+    return _webp_container(_webp_chunk(b"VP8L", data))
 
 
 def webp_features(payload: bytes) -> list[float]:

@@ -336,14 +336,17 @@ def register_sampler(fmt: str, fn: Callable[[bytes, int], list]) -> None:
 
 def _real_frame_sample(payload: bytes, n_frames: int):
     """Dispatch to a real sampler when one exists for the payload's
-    sniffed format: animated GIF ships built-in (decode + composite,
-    frames re-encoded as PPM, timestamps from the GIF's own delay
-    timeline). Returns None when no real sampler applies — caller
-    falls back to the deterministic byte-slice stub."""
+    sniffed format: animated GIF and animated WebP (VP8X/ANMF) ship
+    built-in (decode + composite, frames re-encoded as PPM,
+    timestamps from the file's own delay timeline). Returns None when
+    no real sampler applies — caller falls back to the deterministic
+    byte-slice stub."""
     fmt = _sniff_one(payload)
     fn = _SAMPLERS.get(fmt)
     if fn is None and fmt == "gif":
         fn = media_codecs.gif_frame_sample
+    if fn is None and fmt == "webp":
+        fn = media_codecs.webp_frame_sample
     return fn(payload, n_frames) if fn is not None else None
 
 

@@ -146,6 +146,7 @@ EXTRA_PROBES = {
     "q71_jpeg_operator": _media_probe("_jpeg_planted_rows"),
     "q72_gif_operator": _media_probe("_gif_planted_rows", chain="frames"),
     "q73_webp_operator": _media_probe("_webp_planted_rows"),
+    "q75_webp_anim_operator": _media_probe("_webp_anim_planted_rows", chain="frames"),
 }
 
 

@@ -876,7 +876,7 @@ def test_webp_malformed_raises():
         (good[:8] + b"WAVE" + good[12:], "container"),
         (good[:12], "no VP8L"),
         (good[:12] + b"VP8 " + good[16:], "lossy"),
-        (good[:12] + b"VP8X" + good[16:], "VP8X"),
+        (good[:12] + b"VP8X" + good[16:], "frames|truncated|VP8X"),
         (good[:20] + bytes([good[20] ^ 0xFF]) + good[21:], "signature|version|truncated|huffman|overflow|range"),
         (good[:-3], "truncated|chunk"),
     ]:
@@ -925,3 +925,102 @@ def test_webp_planted_corpus_pixel_exact():
         got = mc.decode_webp(bytes(payload))
         assert got.shape == exp.shape, d
         assert (got == exp).all(), d
+
+
+# --- animated WebP (VP8X / ANIM / ANMF) ----------------------------------------
+
+
+def test_webp_anim_compositing_disposal_and_blending():
+    rng = np.random.RandomState(13)
+    f0 = rng.randint(0, 256, (6, 8, 3)).astype(np.uint8)
+    b1 = rng.randint(0, 256, (2, 8, 3)).astype(np.uint8)
+    b2 = rng.randint(0, 256, (2, 4, 3)).astype(np.uint8)
+    p = mc.encode_webp_anim(
+        [f0, b1, b2],
+        rects=[(0, 0), (0, 2), (4, 4)],
+        durations_ms=[100, 50, 70],
+        frame_kw=[{"cache_bits": 4}, {"subtract_green": True}, {}],
+    )
+    frames, durs = mc.decode_webp_frames(p)
+    assert durs == [100, 50, 70] and len(frames) == 3
+    assert (frames[0][..., :3] == f0).all() and (frames[0][..., 3] == 255).all()
+    assert (frames[1][2:4, :, :3] == b1).all()
+    assert (frames[1][0:2, :, :3] == f0[0:2]).all()  # untouched rows persist
+    assert (frames[2][4:6, 4:8, :3] == b2).all()
+    assert (frames[2][2:4, :, :3] == b1).all()  # no disposal: band 1 persists
+    # disposal: frame 1's rect restored to the ANIM background afterwards
+    p2 = mc.encode_webp_anim(
+        [f0, b1, b2],
+        rects=[(0, 0), (0, 2), (4, 4)],
+        dispose=[False, True, False],
+        bg=(9, 8, 7, 255),
+    )
+    fr2, _ = mc.decode_webp_frames(p2)
+    assert (fr2[1][2:4, :, :3] == b1).all()  # visible while displayed
+    assert (fr2[2][2:4, :, :3] == [9, 8, 7]).all()  # disposed before frame 2
+    # alpha blending (integer src-over-dst): half-alpha red over opaque blue
+    base = np.zeros((2, 2, 4), np.uint8)
+    base[..., 2] = 200
+    base[..., 3] = 255
+    top = np.zeros((2, 2, 4), np.uint8)
+    top[..., 0] = 100
+    top[..., 3] = 128
+    fr3, _ = mc.decode_webp_frames(
+        mc.encode_webp_anim([base, top], no_blend=[True, False])
+    )
+    oa = 128 + 255 * 127 // 255
+    assert fr3[1][0, 0].tolist() == [
+        100 * 128 // oa,
+        0,
+        (200 * (255 * 127 // 255)) // oa,
+        oa,
+    ]
+    # still payloads answer the frames API with one frame, duration 0
+    sframes, sdurs = mc.decode_webp_frames(mc.encode_webp(f0))
+    assert sdurs == [0] and (sframes[0] == f0).all()
+
+
+def test_webp_anim_sampler_and_malformed():
+    f0 = np.full((4, 6, 3), 50, np.uint8)
+    b1 = np.full((2, 6, 3), 150, np.uint8)
+    p = mc.encode_webp_anim([f0, b1], rects=[(0, 0), (0, 2)], durations_ms=[80, 20])
+    out = mc.webp_frame_sample(p, 4)
+    assert [(j, t) for j, t, _ in out] == [(0, 0), (1, 0), (2, 80), (3, 80)]
+    assert all(v[:2] == b"P6" for _, _, v in out)
+    assert (mc.decode_ppm(out[2][2])[2:4] == 150).all()
+    # odd ANMF offsets are unencodable (the x/2 grid)
+    with pytest.raises(mc.MediaDecodeError, match="even"):
+        mc.encode_webp_anim([f0, b1], rects=[(0, 0), (1, 2)])
+    # frame exceeding the canvas
+    with pytest.raises(mc.MediaDecodeError, match="canvas"):
+        mc.encode_webp_anim([f0, b1], rects=[(0, 0), (0, 4)], canvas=(6, 4))
+    for mutate, msg in [
+        (lambda b: b[:20], "truncated|VP8L|frames"),
+        (lambda b: b.replace(b"ANIM", b"XXXX", 1), "ANMF before ANIM"),
+    ]:
+        with pytest.raises(mc.MediaDecodeError, match=msg):
+            mc.decode_webp_frames(mutate(p))
+
+
+def test_webp_anim_planted_corpus_pixel_exact():
+    """Pure-python twin of the q75 gate: every sampled frame of every
+    planted doc composites to exactly what the oracle assumes."""
+    from beats_spark.queries import _webp_anim_planted_rows
+
+    for d, payload in _webp_anim_planted_rows():
+        nf = 2 + d % 3
+        disp = d % 5 == 2 and nf >= 3
+        frames, durs = mc.decode_webp_frames(bytes(payload))
+        assert len(frames) == nf
+        assert durs == [10 * (1 + (d + f) % 3) for f in range(nf)]
+        for fi in {(j * nf) // 3 for j in range(3)}:
+            img = frames[fi]
+            assert img.shape == (16, 24, 4) and (img[..., 3] == 255).all()
+            for b in range(4):
+                if b == 0 or b > fi:
+                    exp = [(17 * d + 29 * c) % 200 for c in range(3)]
+                elif b == 1 and disp and fi >= 2:
+                    exp = [(11 * d + 7 * c) % 256 for c in range(3)]
+                else:
+                    exp = [(37 * d + 11 * b + 53 * c) % 256 for c in range(3)]
+                assert (img[4 * b : 4 * b + 4, :, :3] == exp).all(), (d, fi, b)
