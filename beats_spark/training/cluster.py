@@ -175,11 +175,14 @@ def pagerank_scaled(
         T_0     = 1
         T_{k+1} = 54·360^k  +  17 · Σ_{j→i} T_k(j) · (18 / deg_j)
 
-    (0.15·360 = 54, 0.85·360 = 306 = 17·18; 18/deg is an integer for
-    deg ≤ 3 — callers whose graphs exceed out-degree 3 must raise the
-    18 to lcm(1..max_deg)·k accordingly, or accept doubles). Every
-    term is a BIGINT, so Spark and a SQL twin agree bit-for-bit and
-    int64 holds comfortably (T_3 ~ 4.6e7 × in-degree factors).
+    (0.15·360 = 54, 0.85·360 = 306 = 17·18; 18 div deg — INTEGER
+    division, the CLAUDE.md no-floats-near-oracles rule — is exact for
+    deg ≤ 3; callers whose graphs exceed out-degree 3 must raise the
+    18 to lcm(1..max_deg) accordingly). Every term is a BIGINT, so
+    Spark and a SQL twin agree bit-for-bit. int64 bound: T_k ≤
+    n·360^k (Σ ranks ≤ 1), so the cap is iterations ≤ 6 — k=6 is safe
+    to n ≈ 4.2e6 nodes and k=3 (the default) to n ≈ 2e14; beyond that
+    the recurrence needs a decimal/HUGEINT carrier, not a bigger cap.
     Out-degree > 3 is rejected; a dangling node (no out-edges) simply
     contributes nothing — a mass leak, not an error (the standard
     redistribution term would break integrality; callers' synthetic
@@ -195,21 +198,25 @@ def pagerank_scaled(
     exchange of skinny ranks + one of partial sums. Driver loop is
     over ITERATIONS (a constant), never rows.
     """
-    if not 1 <= iterations <= 12:
-        raise ValueError(f"iterations out of range: {iterations}")
+    if not 1 <= iterations <= 6:
+        raise ValueError(
+            f"iterations out of range (int64 bound, see docstring): {iterations}"
+        )
     deg = edges.groupBy(src_col).agg(F.count("*").alias("__deg"))
+    # guard on the skinny degree table alone — one scan+agg job, no
+    # join, and the persisted edge plan below still materializes once
+    if deg.filter(F.col("__deg") > 3).limit(1).count():
+        raise ValueError("pagerank_scaled: out-degree > 3 breaks integrality")
     e = (
         edges.join(deg, src_col)
         .select(
             F.col(src_col).alias("__src"),
             F.col(dst_col).alias("__dst"),
-            (F.lit(18) / F.col("__deg")).cast("long").alias("__w"),
-            F.col("__deg"),
+            F.expr("18 div __deg").alias("__w"),  # integer division, IEEE-free
         )
+        .repartition(F.col("__src"))
+        .persist()
     )
-    if e.filter(F.col("__deg") > 3).limit(1).count():
-        raise ValueError("pagerank_scaled: out-degree > 3 breaks integrality")
-    e = e.drop("__deg").repartition(F.col("__src")).persist()
     n = nodes.select(F.col(node_col).alias("__node"))
     ranks = n.select("__node", F.lit(1).cast("long").alias("__t"))
     base = 1  # 360^k

@@ -35,6 +35,21 @@ class MediaDecodeError(ValueError):
     """Raised on malformed payloads; callers record it per-row."""
 
 
+# Decode-side resource guard: a ~20-byte hostile/corrupt header can
+# claim 65535x65535 and make the decoder allocate gigabytes BEFORE any
+# pixel data is validated — an executor OOM-kill instead of the
+# per-row decode_error the kernels promise. 2^24 px (~50 MB RGB) is
+# far above any planted/test asset and caps the damage.
+MAX_DECODE_PIXELS = 1 << 24
+
+
+def _check_decode_dims(fmt: str, w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+        raise MediaDecodeError(
+            f"{fmt}: refusing {w}x{h} (decoder pixel cap {MAX_DECODE_PIXELS})"
+        )
+
+
 # --- PPM (P6) ----------------------------------------------------------------
 
 
@@ -417,8 +432,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, comp, filt, interlace = ihdr[8:13]
-    if w <= 0 or h <= 0:
-        raise MediaDecodeError(f"png: bad dimensions {w}x{h}")
+    _check_decode_dims("png", w, h)
     if depth != 8 or color not in (0, 2, 3, 4, 6):
         raise MediaDecodeError(
             f"png: only 8-bit RGB/RGBA supported (depth={depth}, color={color})"
@@ -796,6 +810,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append((cid, hs, vs, tq))
             if h == 0 or w == 0:
                 raise MediaDecodeError("jpeg: zero dimension (DNL unsupported)")
+            _check_decode_dims("jpeg", w, h)
             sof = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
@@ -1359,6 +1374,7 @@ def decode_gif_frames(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
         gct[bg_idx] if gct is not None and bg_idx < len(gct)
         else np.zeros(3, dtype=np.uint8)
     )
+    _check_decode_dims("gif", sw, sh)
     canvas = np.empty((sh, sw, 3), dtype=np.uint8)
     canvas[:, :] = bg_rgb
     frames: list[np.ndarray] = []
@@ -1961,10 +1977,17 @@ def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
     ta, tr_, tg, tb = _chans(top)
     ca, cr, cg, cb = _chans(tl)
     if mode == 11:
-        p = [la + ta - ca, lr + tr_ - cr, lg + tg - cg, lb + tb - cb]
-        p_l = sum(abs(pc - lc) for pc, lc in zip(p, (la, lr, lg, lb)))
-        p_t = sum(abs(pc - tc) for pc, tc in zip(p, (ta, tr_, tg, tb)))
-        return left if p_l <= p_t else top
+        # Select(top, left, topleft), libwebp convention: predict TOP
+        # when sum|left - tl| <= sum|top - tl| (tie -> top)
+        d_left = sum(
+            abs(lc - cc)
+            for lc, cc in zip((la, lr, lg, lb), (ca, cr, cg, cb))
+        )
+        d_top = sum(
+            abs(tc - cc)
+            for tc, cc in zip((ta, tr_, tg, tb), (ca, cr, cg, cb))
+        )
+        return top if d_left <= d_top else left
     if mode == 12:
         comps = [
             max(0, min(255, lc + tc - cc))
@@ -1972,10 +1995,16 @@ def _vp8l_predict(mode: int, left: int, top: int, tl: int, tr: int) -> int:
         ]
         return (comps[0] << 24) | (comps[1] << 16) | (comps[2] << 8) | comps[3]
     if mode == 13:
+        # AddSubtractComponentHalf: C division truncates TOWARD ZERO
+        # ((a - b) / 2 in libwebp), not Python floor
         av = _avg2(left, top)
         aa, ar, ag, ab = _chans(av)
+
+        def half(q: int) -> int:
+            return q // 2 if q >= 0 else -((-q) // 2)
+
         comps = [
-            max(0, min(255, ac + (ac - cc) // 2))
+            max(0, min(255, ac + half(ac - cc)))
             for ac, cc in zip((aa, ar, ag, ab), (ca, cr, cg, cb))
         ]
         return (comps[0] << 24) | (comps[1] << 16) | (comps[2] << 8) | comps[3]
@@ -2077,6 +2106,7 @@ def _decode_vp8l_payload(vp8l: bytes) -> np.ndarray:
     rd = _LsbReader(vp8l[1:])
     w = rd.read(14) + 1
     h = rd.read(14) + 1
+    _check_decode_dims("webp", w, h)
     alpha_hint = rd.read(1)
     if rd.read(3) != 0:
         raise MediaDecodeError("webp: unsupported VP8L version")
@@ -2185,6 +2215,7 @@ def decode_webp_frames(payload: bytes) -> tuple[list[np.ndarray], list[int]]:
     flags = vp8x[0]
     cw = int.from_bytes(vp8x[4:7], "little") + 1
     ch = int.from_bytes(vp8x[7:10], "little") + 1
+    _check_decode_dims("webp", cw, ch)
     if not flags & 0x02:  # still VP8X (alpha/metadata hints only)
         for tag, body in _webp_chunks(payload):
             if tag == b"VP8L":

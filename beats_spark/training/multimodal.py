@@ -115,9 +115,30 @@ def _real_decode(kind: str):
     raise NotImplementedError(f"no decoder registered for media kind {kind!r}")
 
 
+# Single source of truth for the magic chain — consumed by BOTH the
+# native sniff (sniff_media_meta) and the worker-side python dispatcher
+# (_sniff_one), so a format added to one cannot silently drift from the
+# other (the two used to disagree on the PNG prefix length). Entries:
+# (prefix, RIFF form type at bytes 9-12 or None, format, kind).
+_MAGIC_CHAIN: "list[tuple[bytes, bytes | None, str, str]]" = [
+    (b"\x89PNG\r\n\x1a\n", None, "png", "image"),
+    (b"\xff\xd8\xff", None, "jpeg", "image"),
+    (b"GIF8", None, "gif", "image"),
+    (b"P6", None, "ppm", "image"),
+    (b"BM", None, "bmp", "image"),
+    (b"RIFF", b"WAVE", "wav", "audio"),
+    (b"RIFF", b"WEBP", "webp", "image"),
+    (b"ID3", None, "mp3", "audio"),
+    (b"OggS", None, "ogg", "audio"),
+]
+
+
 def sniff_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
     """Magic-byte container sniff (native expressions, no decode):
-    fills media_meta.kind/format from the payload prefix."""
+    fills media_meta.kind/format from the payload prefix. Built from
+    _MAGIC_CHAIN; RIFF is a container, so its entries also match the
+    form type at bytes 9-12 (a bare-RIFF→wav mapping would misclass
+    every webp)."""
     b = F.col(media_col)
 
     def magic(sig: bytes) -> "F.Column":
@@ -125,25 +146,19 @@ def sniff_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
         # non-UTF8 magic bytes
         return F.hex(F.substring(b, 1, len(sig))) == sig.hex().upper()
 
-    # RIFF is a container: the form type at bytes 9-12 disambiguates
-    # (WAVE → wav audio, WEBP → webp image) — a bare-RIFF→wav mapping
-    # would misclass every webp
     riff_form = F.hex(F.substring(b, 9, 4))
-    fmt = (
-        F.when(magic(b"\x89PNG"), F.lit("png"))
-        .when(magic(b"\xff\xd8\xff"), F.lit("jpeg"))
-        .when(magic(b"GIF8"), F.lit("gif"))
-        .when(magic(b"P6"), F.lit("ppm"))
-        .when(magic(b"BM"), F.lit("bmp"))
-        .when(magic(b"RIFF") & (riff_form == b"WAVE".hex().upper()), F.lit("wav"))
-        .when(magic(b"RIFF") & (riff_form == b"WEBP".hex().upper()), F.lit("webp"))
-        .when(magic(b"ID3"), F.lit("mp3"))
-        .when(magic(b"OggS"), F.lit("ogg"))
-        .otherwise(F.lit("unknown"))
-    )
+    fmt = None
+    kinds = {}
+    for prefix, form, name, k in _MAGIC_CHAIN:
+        cond = magic(prefix)
+        if form is not None:
+            cond = cond & (riff_form == form.hex().upper())
+        fmt = F.when(cond, F.lit(name)) if fmt is None else fmt.when(cond, F.lit(name))
+        kinds.setdefault(k, []).append(name)
+    fmt = fmt.otherwise(F.lit("unknown"))
     kind = (
-        F.when(fmt.isin("png", "jpeg", "gif", "ppm", "bmp", "webp"), F.lit("image"))
-        .when(fmt.isin("wav", "mp3", "ogg"), F.lit("audio"))
+        F.when(fmt.isin(*kinds["image"]), F.lit("image"))
+        .when(fmt.isin(*kinds["audio"]), F.lit("audio"))
         .otherwise(F.lit("unknown"))
     )
     meta = F.named_struct(
@@ -351,26 +366,13 @@ def _real_frame_sample(payload: bytes, n_frames: int):
 
 
 def _sniff_one(payload: bytes) -> str:
-    """Python-side twin of sniff_media_meta's magic chain (worker-side
-    dispatch for registered samplers)."""
-    if payload[:8] == media_codecs._PNG_SIG[:8]:
-        return "png"
-    if payload[:3] == b"\xff\xd8\xff":
-        return "jpeg"
-    if payload[:4] == b"GIF8":
-        return "gif"
-    if payload[:2] == b"P6":
-        return "ppm"
-    if payload[:2] == b"BM":
-        return "bmp"
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return "wav"
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
-        return "webp"
-    if payload[:3] == b"ID3":
-        return "mp3"
-    if payload[:4] == b"OggS":
-        return "ogg"
+    """Python-side twin of sniff_media_meta (worker-side dispatch for
+    registered samplers) — driven by the SAME _MAGIC_CHAIN table."""
+    for prefix, form, name, _kind in _MAGIC_CHAIN:
+        if payload[: len(prefix)] == prefix and (
+            form is None or payload[8:12] == form
+        ):
+            return name
     return "unknown"
 
 

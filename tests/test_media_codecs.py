@@ -731,30 +731,12 @@ def test_gif_malformed_raises():
         mc.encode_gif(grad.reshape(18, 18, 3).astype(np.uint8))
 
 
-def _plant_gif(d: int):
-    """The q72 planting recipe; returns (payload, expected composited
-    frames from pure-integer arithmetic, delays_ms)."""
+def _gif_expected(d: int):
+    """Expected composited frames + delays for planted doc d, from the
+    pure-integer arithmetic alone (independent of the builder)."""
     nf = 2 + d % 3
-    frames, rects, delays, transp, inter, lct = [], [], [], [], [], []
     bg = tuple((17 * d + 29 * c) % 200 for c in range(3))
-    for fr in range(nf):
-        col = tuple((37 * d + 11 * fr + 53 * c) % 256 for c in range(3))
-        band = np.empty((4, 24, 3), dtype=np.uint8)
-        band[:, :] = col
-        if d % 5 == 0 and fr >= 1:
-            band[:, 1::2] = (255, 254, 253)
-            transp.append((255, 254, 253))
-        else:
-            transp.append(None)
-        frames.append(band)
-        rects.append((0, 4 * fr))
-        delays.append(10 * (1 + (d + fr) % 3))
-        inter.append(fr == 0 and d % 3 == 0)
-        lct.append(fr == 1 and d % 4 == 1)
-    payload = mc.encode_gif(
-        frames, rects=rects, canvas=(24, 16), delays_ms=delays,
-        transparent=transp, interlace=inter, local_palette=lct, bg=bg,
-    )
+    delays = [10 * (1 + (d + fr) % 3) for fr in range(nf)]
     exp = []
     canvas = np.empty((16, 24, 3), dtype=np.uint8)
     canvas[:, :] = bg
@@ -766,16 +748,20 @@ def _plant_gif(d: int):
         else:
             band[:, :] = col
         exp.append(canvas.copy())
-    return payload, exp, delays
+    return exp, delays
 
 
 def test_gif_planted_corpus_pixel_exact():
     """The q72 pytest twin: all 48 planted animated GIFs decode and
     composite pixel-identical to the integer planting arithmetic
-    (sub-rect bands, transparency, interlace, local color tables)."""
-    for d in range(48):
-        payload, exp, delays = _plant_gif(d)
-        frames, got_delays = mc.decode_gif_frames(payload)
+    (sub-rect bands, transparency, interlace, local color tables).
+    Payloads come from the PRODUCTION builder (queries._gif_planted_rows)
+    so an edit to the plant can't silently drift past this gate."""
+    from beats_spark.queries import _gif_planted_rows
+
+    for d, payload in _gif_planted_rows():
+        exp, delays = _gif_expected(d)
+        frames, got_delays = mc.decode_gif_frames(bytes(payload))
         assert got_delays == delays, f"doc {d}"
         assert len(frames) == len(exp)
         for k, (g, e) in enumerate(zip(frames, exp)):
@@ -789,7 +775,10 @@ def test_sample_frames_real_gif_kernel(spark):
     asset, not the stage."""
     from beats_spark.training.multimodal import sample_frames
 
-    payload, exp, delays = _plant_gif(3)  # 3 frames, delays [10, 20, 30]
+    from beats_spark.queries import _gif_planted_rows
+
+    payload = bytes(dict(_gif_planted_rows())[3])  # 3 frames
+    exp, delays = _gif_expected(3)
     rows = [
         ("gif", bytearray(payload), 9999),
         ("raw", bytearray(bytes(range(100))), 8000),
