@@ -2002,6 +2002,105 @@ SELECT d AS doc_id, j AS frame_idx, CAST(ts AS BIGINT) AS ts_ms,
 FROM s ORDER BY doc_id, frame_idx"""
 
 
+# --- q76: header-probe media metadata (no-decode dims/duration) --------------
+
+
+def _probe_planted_rows() -> list:
+    """The 48 q76 payloads (driver-side, bounded): one asset per doc
+    rotating through all six real container families with dims /
+    durations that are pure functions of doc_id — PPM, PNG, JPEG,
+    animated GIF, animated WebP, PCM16 WAV."""
+    import numpy as np
+
+    from beats_spark.training import media_codecs
+
+    rows = []
+    for d in range(48):
+        w, h = 3 + d % 5, 2 + d % 4
+        img = np.zeros((h, w, 3), dtype=np.uint8)
+        kind = d % 6
+        if kind == 0:
+            payload = media_codecs.encode_ppm(img)
+        elif kind == 1:
+            payload = media_codecs.encode_png(img)
+        elif kind == 2:
+            payload = media_codecs.encode_jpeg(
+                np.zeros((8, 8 + d % 9, 3), dtype=np.uint8)
+            )
+        elif kind == 3:
+            nf = 2 + d % 3
+            payload = media_codecs.encode_gif(
+                [img] * nf, delays_ms=[10 * (1 + (d + f) % 3) for f in range(nf)]
+            )
+        elif kind == 4:
+            nf = 2 + d % 3
+            payload = media_codecs.encode_webp_anim(
+                [img] * nf,
+                durations_ms=[10 * (1 + (d + f) % 3) for f in range(nf)],
+            )
+        else:
+            payload = media_codecs.encode_wav(
+                8000, 1, np.zeros(200 * (1 + d % 7), dtype=np.int16)
+            )
+        rows.append((d, bytearray(payload)))
+    return rows
+
+
+def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-probe metadata extraction (round 5): fill the
+    width/height/duration_ms fields the native sniff leaves NULL by
+    parsing ONLY container headers distributed over mapInPandas —
+    JPEG marker hops, GIF sub-block skips without LZW, ANMF headers
+    without touching VP8L, WAV fmt/data sizes. This is the catalog
+    pass a 100 TB media lake runs over every asset (a few dozen bytes
+    each); full decode stays in the training job (q19/q40/q66/+).
+    The oracle recomputes every dimension and duration from the
+    planting arithmetic — all six container families covered, pure
+    integers throughout."""
+    from beats_spark.training.multimodal import probe_media_meta
+
+    planted = spark.createDataFrame(
+        _probe_planted_rows(), "doc_id long, media binary"
+    )
+    docs = _documents(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
+    media = docs.join(F.broadcast(planted), "doc_id").select(
+        F.col("doc_id").cast("string").alias("key"), "media"
+    )
+    probed = probe_media_meta(media)
+    return probed.select(
+        F.col("key").cast("long").alias("doc_id"),
+        "format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.when(F.col("probe_error").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ok"),
+    ).orderBy("doc_id")
+
+
+def q_media_probe_oracle() -> str:
+    dur_anim = (
+        "CAST(10 * list_sum(list_transform(range(0, 2 + d % 3), "
+        "f -> 1 + (d + f) % 3)) AS BIGINT)"
+    )
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id < 48)
+SELECT d AS doc_id,
+       CASE d % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+                  WHEN 3 THEN 'gif' WHEN 4 THEN 'webp' ELSE 'wav' END AS format,
+       CASE WHEN d % 6 = 2 THEN 8 + d % 9
+            WHEN d % 6 = 5 THEN NULL ELSE 3 + d % 5 END AS width,
+       CASE WHEN d % 6 = 2 THEN 8
+            WHEN d % 6 = 5 THEN NULL ELSE 2 + d % 4 END AS height,
+       CASE WHEN d % 6 IN (3, 4) THEN {dur_anim}
+            WHEN d % 6 = 5 THEN 25 * (1 + d % 7)
+            ELSE NULL END AS duration_ms,
+       CAST(1 AS BIGINT) AS ok
+FROM t ORDER BY doc_id"""
+
+
 # --- q67: BM25 relevance top-k (relevance.py) --------------------------------
 
 
@@ -3252,6 +3351,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_gif_frames": q_gif_frames,
         "q73_webp_decode": q_webp_decode,
         "q75_webp_anim_frames": q_webp_anim_frames,
+        "q76_media_probe": q_media_probe,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -3272,7 +3372,7 @@ _WITNESS_FIRST = [
     "q65_kll_quantile_rollup", "q66_png_decode", "q67_bm25",
     "q68_anomaly_mad", "q69_theta_overlap", "q70_cooccurrence",
     "q71_jpeg_decode", "q72_gif_frames", "q73_webp_decode",
-    "q74_pagerank", "q75_webp_anim_frames",
+    "q74_pagerank", "q75_webp_anim_frames", "q76_media_probe",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -3373,4 +3473,5 @@ def _base_oracles() -> dict[str, str]:
         "q72_gif_frames": q_gif_frames_oracle(),
         "q73_webp_decode": q_webp_decode_oracle(),
         "q75_webp_anim_frames": q_webp_anim_frames_oracle(),
+        "q76_media_probe": q_media_probe_oracle(),
     }

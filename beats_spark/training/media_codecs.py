@@ -2801,3 +2801,199 @@ def webp_features(payload: bytes) -> list[float]:
 def webp_resize(payload: bytes, w: int, h: int) -> bytes:
     """Decode-WebP → bilinear (all channels incl. alpha) → re-encode."""
     return encode_webp(bilinear_resize(decode_webp(payload), w, h))
+
+
+# --- header probes (cheap metadata, NO pixel/sample decode) --------------------
+#
+# A media catalog at scale fills width/height/duration from HEADERS —
+# a few dozen bytes per asset — and leaves full decode to the training
+# job. These parsers walk only the container structure: JPEG skips
+# entropy segments by length, GIF skips LZW sub-blocks without
+# decompressing, animated WebP reads ANMF headers without touching the
+# VP8L streams. Each returns (width, height, duration_ms) with None
+# for fields the format doesn't carry.
+
+
+def probe_header(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """Dispatch on magic bytes; raises MediaDecodeError on a payload
+    whose header is malformed for its own magic."""
+    if payload[:2] == b"P6":
+        (w, h, _), _ = _ppm_header(payload)
+        return w, h, None
+    if payload[:2] == b"BM":
+        if len(payload) < 26:
+            raise MediaDecodeError("bmp: truncated header")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = abs(int.from_bytes(payload[22:26], "little", signed=True))
+        return w, h, None
+    if payload[:8] == _PNG_SIG:
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise MediaDecodeError("png: truncated IHDR")
+        return (
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+            None,
+        )
+    if payload[:3] == b"\xff\xd8\xff":
+        return _jpeg_header_dims(payload) + (None,)
+    if payload[:4] == b"GIF8":
+        return _gif_header_meta(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return _webp_header_meta(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        rate, _ch, n_frames = _wav_header_meta(payload)
+        return None, None, (1000 * n_frames) // rate if rate else None
+    if payload[:3] == b"ID3":
+        return None, None, _mp3_header_duration_ms(payload)
+    raise MediaDecodeError("probe: unknown magic")
+
+
+def _ppm_header(payload: bytes):
+    toks, pos = _ppm_tokens(payload, 3)
+    return (toks[0], toks[1], toks[2]), pos
+
+
+def _jpeg_header_dims(payload: bytes) -> tuple[int, int]:
+    """Marker walk to the first SOFn — segment-length hops only."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError("jpeg: expected marker in header walk")
+        marker = payload[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        seg = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = payload[pos + 4 : pos + 2 + seg]
+            if len(body) < 5:
+                raise MediaDecodeError("jpeg: truncated SOF")
+            return (
+                int.from_bytes(body[3:5], "big"),
+                int.from_bytes(body[1:3], "big"),
+            )
+        if marker == 0xDA:
+            break  # scan data reached without SOF
+        pos += 2 + seg
+    raise MediaDecodeError("jpeg: no SOF header found")
+
+
+def _gif_header_meta(payload: bytes) -> tuple[int, int, int]:
+    """LSD dims + total animation duration by walking block lengths
+    (GCE delays summed; LZW sub-blocks skipped, never decompressed)."""
+    if len(payload) < 13:
+        raise MediaDecodeError("gif: truncated header")
+    w = int.from_bytes(payload[6:8], "little")
+    h = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    i = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+    total_cs = 0
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            return w, h, total_cs * 10
+        if b == 0x21:  # extension
+            if i + 2 > len(payload):
+                break
+            label = payload[i + 1]
+            i += 2
+            if label == 0xF9 and i < len(payload) and payload[i] >= 4:
+                total_cs += int.from_bytes(payload[i + 2 : i + 4], "little")
+            while i < len(payload) and payload[i]:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                break
+            lflags = payload[i + 9]
+            i += 10 + (3 * (2 << (lflags & 7)) if lflags & 0x80 else 0)
+            i += 1  # LZW min code size
+            while i < len(payload) and payload[i]:
+                i += 1 + payload[i]
+            i += 1
+        else:
+            raise MediaDecodeError(f"gif: unknown block 0x{b:02x} in header walk")
+    raise MediaDecodeError("gif: missing trailer in header walk")
+
+
+def _webp_header_meta(payload: bytes) -> tuple[int, int, int | None]:
+    for tag, body in _webp_chunks(payload):
+        if tag == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise MediaDecodeError("webp: bad VP8L header")
+            bits = int.from_bytes(body[1:5], "little")
+            return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, None
+        if tag == b"VP8X":
+            if len(body) < 10:
+                raise MediaDecodeError("webp: truncated VP8X")
+            cw = int.from_bytes(body[4:7], "little") + 1
+            ch = int.from_bytes(body[7:10], "little") + 1
+            dur = None
+            if body[0] & 0x02:
+                dur = 0
+                for t2, b2 in _webp_chunks(payload):
+                    if t2 == b"ANMF":
+                        if len(b2) < 16:
+                            raise MediaDecodeError("webp: truncated ANMF header")
+                        dur += int.from_bytes(b2[12:15], "little")
+            return cw, ch, dur
+        if tag == b"VP8 ":
+            if len(body) < 10:
+                raise MediaDecodeError("webp: truncated VP8 header")
+            return (
+                int.from_bytes(body[6:8], "little") & 0x3FFF,
+                int.from_bytes(body[8:10], "little") & 0x3FFF,
+                None,
+            )
+    raise MediaDecodeError("webp: no image chunk in header walk")
+
+
+def _wav_header_meta(payload: bytes) -> tuple[int, int, int]:
+    """(sample_rate, channels, n_frames) from fmt + data chunk sizes."""
+    pos = 12
+    rate = ch = block = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if tag == b"fmt " and size >= 16:
+            body = payload[pos + 8 : pos + 8 + size]
+            ch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            block = int.from_bytes(body[12:14], "little")
+        elif tag == b"data":
+            data_len = size
+        pos += 8 + size + (size & 1)
+    if not rate or not block or data_len is None:
+        raise MediaDecodeError("wav: missing fmt or data in header walk")
+    return rate, ch, data_len // block
+
+
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def _mp3_header_duration_ms(payload: bytes) -> int | None:
+    """Skip the ID3v2 tag (syncsafe size), find the first MPEG-1
+    Layer III frame sync, estimate duration from the CBR bitrate.
+    Returns None when no frame follows the tag (tag-only payloads —
+    the stub-planted corpus — have no audio to measure)."""
+    if len(payload) < 10:
+        raise MediaDecodeError("mp3: truncated ID3 header")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise MediaDecodeError("mp3: bad syncsafe size")
+        size = (size << 7) | b
+    pos = 10 + size
+    hdr = payload[pos : pos + 4]
+    if len(hdr) < 4 or hdr[0] != 0xFF or (hdr[1] & 0xE0) != 0xE0:
+        return None
+    if (hdr[1] & 0x1E) != 0x1A:  # MPEG-1 Layer III only
+        return None
+    br_idx = hdr[2] >> 4
+    sr_idx = (hdr[2] >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = _MP3_BITRATES[br_idx] * 1000
+    return (len(payload) - pos) * 8 * 1000 // bitrate

@@ -454,3 +454,66 @@ def sample_frames(
             )
 
     return src.mapInPandas(gen, FRAME_SCHEMA)
+
+
+PROBE_SCHEMA = (
+    "key string, format string, width int, height int, "
+    "duration_ms long, probe_error string"
+)
+
+
+def probe_media_meta(
+    df: DataFrame,
+    key_col: str = "key",
+    media_col: str = "media",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """mapInPandas HEADER probe: fill width/height/duration_ms (the
+    media_meta fields the native sniff leaves NULL) by parsing only
+    container headers — a few dozen bytes per asset, never a pixel or
+    sample decode (media_codecs.probe_header: JPEG marker hops, GIF
+    sub-block skips, ANMF headers, WAV fmt/data sizes, MP3 frame-sync
+    bitrate estimate). This is how a 100 TB media catalog gets its
+    dimensions column: the full decoders stay in the training job.
+    Fields a format doesn't carry stay NULL; a malformed header lands
+    in probe_error per-row (same error contract as extract_features)."""
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    src = df.select(key_col, media_col)
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for b in batches:
+            keys, fmts, ws, hs, durs, errs = [], [], [], [], [], []
+            for key, raw in zip(b[key_col].tolist(), b[media_col].tolist()):
+                payload = bytes(raw) if raw is not None else b""
+                keys.append(key)
+                fmts.append(_sniff_one(payload))
+                try:
+                    w, h, dur = media_codecs.probe_header(payload)
+                    ws.append(w)
+                    hs.append(h)
+                    durs.append(dur)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — recorded per-row
+                    ws.append(None)
+                    hs.append(None)
+                    durs.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(
+                {
+                    "key": keys,
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                    "probe_error": errs,
+                }
+            )
+
+    return src.mapInPandas(gen, PROBE_SCHEMA)

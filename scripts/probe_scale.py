@@ -140,8 +140,32 @@ def _media_probe(builder: str, chain: str = "features"):
     return run
 
 
+def _probe_meta_op(spark: SparkSession, sf_dir: str):
+    """q76's operator uncapped: header-probe every row of the probe
+    corpus (48 planted assets replicated via doc_id % 48)."""
+    from pyspark.sql import functions as F
+
+    from beats_spark import queries as Q
+    from beats_spark.training.multimodal import probe_media_meta
+
+    planted = spark.createDataFrame(
+        Q._probe_planted_rows(), "pid long, media binary"
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    media = (
+        docs.withColumn("pid", F.col("doc_id") % 48)
+        .join(F.broadcast(planted), "pid")
+        .select(F.col("doc_id").cast("string").alias("key"), "media")
+    )
+    out = probe_media_meta(media)
+    return out.select(
+        F.count("*").alias("n"), F.sum("duration_ms").alias("dur")
+    )
+
+
 EXTRA_PROBES = {
     "q60_winnow_operator": _winnow_op,
+    "q76_probe_operator": _probe_meta_op,
     "q66_png_operator": _media_probe("_png_planted_rows"),
     "q71_jpeg_operator": _media_probe("_jpeg_planted_rows"),
     "q72_gif_operator": _media_probe("_gif_planted_rows", chain="frames"),

@@ -1013,3 +1013,60 @@ def test_webp_anim_planted_corpus_pixel_exact():
                 else:
                     exp = [(37 * d + 11 * b + 53 * c) % 256 for c in range(3)]
                 assert (img[4 * b : 4 * b + 4, :, :3] == exp).all(), (d, fi, b)
+
+
+# --- header probes (no-decode metadata) -----------------------------------------
+
+
+def test_probe_header_all_formats_and_mp3_frame():
+    img = np.zeros((3, 7, 3), dtype=np.uint8)
+    assert mc.probe_header(mc.encode_ppm(img)) == (7, 3, None)
+    assert mc.probe_header(mc.encode_png(img)) == (7, 3, None)
+    assert mc.probe_header(mc.encode_bmp(img)) == (7, 3, None)
+    assert mc.probe_header(mc.encode_jpeg(np.zeros((8, 24, 3), np.uint8))) == (
+        24,
+        8,
+        None,
+    )
+    assert mc.probe_header(mc.encode_webp(img)) == (7, 3, None)
+    anim = mc.encode_webp_anim([img] * 3, durations_ms=[40, 30, 20])
+    assert mc.probe_header(anim) == (7, 3, 90)
+    gif = mc.encode_gif([img] * 2, delays_ms=[70, 30])
+    assert mc.probe_header(gif) == (7, 3, 100)
+    wav = mc.encode_wav(8000, 2, np.zeros(8000, np.int16))
+    assert mc.probe_header(wav) == (None, None, 500)  # 4000 stereo frames
+    # mp3: ID3v2 tag + one MPEG-1 Layer III 128kbps header + payload
+    # bytes -> duration = bytes*8*1000 // 128000
+    tag = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + bytes(10)
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(15996)
+    assert mc.probe_header(tag + frame) == (None, None, 1000)
+    # tag-only (the stub-planted corpus): no audio to measure
+    assert mc.probe_header(b"ID3\x04\x00\x00\x00\x00\x00\x00xx") == (
+        None,
+        None,
+        None,
+    )
+    with pytest.raises(mc.MediaDecodeError, match="unknown magic"):
+        mc.probe_header(b"\x00\x01nothing")
+    with pytest.raises(mc.MediaDecodeError, match="no SOF"):
+        mc.probe_header(b"\xff\xd8\xff\xd9")
+
+
+def test_probe_media_meta_distributed(spark):
+    from beats_spark.training.multimodal import probe_media_meta
+
+    img = np.zeros((2, 5, 3), dtype=np.uint8)
+    rows = [
+        ("png", bytearray(mc.encode_png(img))),
+        ("anim", bytearray(mc.encode_gif([img] * 2, delays_ms=[20, 10]))),
+        ("badpng", bytearray(b"\x89PNG\r\n\x1a\n\x00\x00")),
+        ("blob", bytearray(b"\x00junk")),
+    ]
+    df = spark.createDataFrame(rows, "key string, media binary")
+    out = {r["key"]: r for r in probe_media_meta(df).collect()}
+    assert (out["png"].width, out["png"].height) == (5, 2)
+    assert out["png"].format == "png" and out["png"].probe_error is None
+    assert out["anim"].duration_ms == 30
+    # malformed header for its own magic: per-row error, stage survives
+    assert out["badpng"].width is None and "png" in out["badpng"].probe_error
+    assert out["blob"].format == "unknown" and "magic" in out["blob"].probe_error
