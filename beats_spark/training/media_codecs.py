@@ -7,8 +7,11 @@ chunk list + raw little-endian int16, PNG is zlib + per-scanline
 unfiltering, and baseline JPEG is canonical Huffman + dequant + IDCT —
 numpy + stdlib decode all of them for real — as do GIF (LZW) and
 lossless WebP (VP8L), so EVERY image format the sniff chain knows
-decodes end-to-end. Only the compressed audio formats (mp3/ogg), lossy
-VP8 WebP and video containers still require a registered kernel
+decodes end-to-end. Compressed audio decodes for real too: FLAC
+(Rice-coded fixed/LPC prediction residuals, CRC-8/16 + STREAMINFO MD5
+verified) and IMA ADPCM WAV (4-bit step-table deltas). Only the
+PERCEPTUAL codecs (mp3/ogg psychoacoustic audio, lossy VP8 WebP) and
+video containers still require a registered kernel
 (`multimodal.register_decoder`); the deterministic byte-hash stubs
 remain only as the fallback for those.
 
@@ -155,13 +158,16 @@ def ppm_resize(payload: bytes, w: int, h: int) -> bytes:
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """RIFF/WAVE with PCM16 data → (sample_rate, channels, int16
-    samples, interleaved). Walks the chunk list (fmt may not be the
-    first chunk — LIST/INFO prefixes are common)."""
+    """RIFF/WAVE with PCM16 (fmt 0x01) or IMA ADPCM (fmt 0x11) data →
+    (sample_rate, channels, int16 samples, interleaved). Walks the
+    chunk list (fmt may not be the first chunk — LIST/INFO prefixes
+    are common); a fact chunk bounds the ADPCM frame count (the final
+    block is pad-extended on encode)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise MediaDecodeError("wav: not a RIFF/WAVE payload")
     pos, ln = 12, len(payload)
-    rate = channels = bits = None
+    rate = channels = bits = fmt_tag = None
+    block_align = spb = fact_frames = None
     data: bytes | None = None
     while pos + 8 <= ln:
         cid = payload[pos : pos + 4]
@@ -173,18 +179,35 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             fmt_tag = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if fmt_tag != 1 or bits != 16:
-                raise MediaDecodeError(
-                    f"wav: only PCM16 supported (fmt={fmt_tag}, bits={bits})"
-                )
+            if len(body) >= 20:
+                spb = int.from_bytes(body[18:20], "little")
+        elif cid == b"fact" and size >= 4:
+            fact_frames = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise MediaDecodeError("wav: missing fmt or data chunk")
+    channels = channels or 1
+    if fmt_tag == 0x11:
+        if bits != 4:
+            raise MediaDecodeError(f"wav: IMA ADPCM needs 4-bit nibbles, got {bits}")
+        if not block_align or spb is None:
+            raise MediaDecodeError("wav: ADPCM fmt missing block_align/samples_per_block")
+        if spb != ima_adpcm_samples_per_block(block_align, channels):
+            raise MediaDecodeError("wav: ADPCM samples_per_block inconsistent with block_align")
+        samples = _decode_ima_adpcm(
+            rate, channels, block_align, spb, data, fact_frames
+        )
+        return rate, channels, samples
+    if fmt_tag != 1 or bits != 16:
+        raise MediaDecodeError(
+            f"wav: only PCM16 and IMA ADPCM supported (fmt={fmt_tag}, bits={bits})"
+        )
     samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
-    return rate, channels or 1, samples
+    return rate, channels, samples
 
 
 def encode_wav(rate: int, channels: int, samples: np.ndarray) -> bytes:
@@ -211,25 +234,10 @@ def encode_wav(rate: int, channels: int, samples: np.ndarray) -> bytes:
 def wav_features(payload: bytes) -> list[float]:
     """Integer-exact audio features: [tag, n_samples, rate, channels,
     mean_abs_ppm, peak_abs, zero_cross, 0] with mean_abs_ppm =
-    (1e6 · Σ|s|) // (32768 · n) / 1e6."""
+    (1e6 · Σ|s|) // (32768 · n) / 1e6. Covers PCM16 and IMA ADPCM
+    payloads (decode_wav routes on the fmt tag)."""
     rate, channels, s = decode_wav(payload)
-    n = int(s.size)
-    if n == 0:
-        return [AUDIO_TAG, 0.0, float(rate), float(channels), 0.0, 0.0, 0.0, 0.0]
-    a = np.abs(s.astype(np.int64))
-    mean_abs = float((1_000_000 * int(a.sum())) // (32768 * n)) / 1e6
-    zc = int(np.count_nonzero(np.signbit(s[1:].astype(np.int32))
-                              != np.signbit(s[:-1].astype(np.int32))))
-    return [
-        AUDIO_TAG,
-        float(n),
-        float(rate),
-        float(channels),
-        mean_abs,
-        float(int(a.max())),
-        float(zc),
-        0.0,
-    ]
+    return _pcm16_features(rate, channels, s)
 
 
 # --- BMP (24-bit BI_RGB) -------------------------------------------------------
@@ -2803,6 +2811,752 @@ def webp_resize(payload: bytes, w: int, h: int) -> bytes:
     return encode_webp(bilinear_resize(decode_webp(payload), w, h))
 
 
+# --- FLAC (lossless compressed audio; RFC 9639 subset) ------------------------
+#
+# Pure-Python bit-level codec for the dominant lossless audio format:
+# Rice-coded residuals over constant/verbatim/fixed/LPC predictors,
+# all four stereo decorrelation modes, CRC-8 frame headers, CRC-16
+# frame footers, and the STREAMINFO MD5 of the decoded PCM (verified
+# on decode — an end-to-end integrity channel independent of the
+# entropy coder). The encoder emits fixed-predictor subframes (orders
+# 0-4, per-block best) with optimal single-partition Rice parameters
+# and escape-to-raw when cheaper; the decoder additionally handles
+# LPC subframes, wasted bits, multi-partition residuals and both Rice
+# variants, so it reads streams from standard encoders' default modes
+# too. Every arithmetic step is integer-exact — decode(encode(x)) is
+# bit-identical to x, pinned by MD5.
+
+MAX_DECODE_SAMPLES = 1 << 26  # resource guard, same rationale as MAX_DECODE_PIXELS
+
+
+def _crc_table_msb(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    tbl = []
+    for byte in range(256):
+        c = byte << (width - 8)
+        for _ in range(8):
+            c = ((c << 1) ^ poly) & mask if c & top else (c << 1) & mask
+        tbl.append(c)
+    return tbl
+
+
+_FLAC_CRC8 = _crc_table_msb(0x07, 8)
+_FLAC_CRC16 = _crc_table_msb(0x8005, 16)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC8[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _FLAC_CRC16[((c >> 8) ^ b) & 0xFF] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _MsbWriter:
+    """MSB-first bit writer (FLAC bit order; VP8L's _LsbWriter is the
+    little-endian twin)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def write_unary(self, q: int) -> None:
+        self.write(1, q + 1)  # q zero bits then a terminating 1
+
+    def align(self) -> None:
+        if self.n:
+            self.write(0, 8 - self.n)
+
+
+class _MsbReader:
+    """MSB-first bit reader over a byte window."""
+
+    def __init__(self, data: bytes, bitpos: int = 0) -> None:
+        self.data = data
+        self.bitpos = bitpos
+        self.nbits = 8 * len(data)
+
+    def read(self, k: int) -> int:
+        end = self.bitpos + k
+        if end > self.nbits:
+            raise MediaDecodeError("flac: truncated bitstream")
+        byte0, bit0 = divmod(self.bitpos, 8)
+        byte1 = (end + 7) // 8
+        chunk = int.from_bytes(self.data[byte0:byte1], "big")
+        self.bitpos = end
+        return (chunk >> (8 * (byte1 - byte0) - bit0 - k)) & ((1 << k) - 1)
+
+    def read_signed(self, k: int) -> int:
+        v = self.read(k)
+        return v - (1 << k) if v & (1 << (k - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while True:
+            byte0, bit0 = divmod(self.bitpos, 8)
+            if byte0 >= len(self.data):
+                raise MediaDecodeError("flac: truncated unary code")
+            cur = self.data[byte0] & (0xFF >> bit0)
+            if cur == 0:
+                q += 8 - bit0
+                self.bitpos += 8 - bit0
+                continue
+            zeros = (7 - (cur.bit_length() - 1)) - bit0
+            self.bitpos += zeros + 1
+            return q + zeros
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) if v >= 0 else (-(v << 1) - 1)
+
+
+def _rice_read(rd: _MsbReader, param: int) -> int:
+    q = rd.read_unary()
+    u = (q << param) | rd.read(param) if param else q
+    return (u >> 1) ^ -(u & 1)
+
+
+def _utf8_code(n: int) -> bytes:
+    """FLAC's UTF-8-style coded number (frame/sample index, ≤36 bits)."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes in range(2, 8):
+        cap = 5 * nbytes + 1 if nbytes < 7 else 36
+        if n < (1 << cap):
+            cont = [0x80 | ((n >> (6 * i)) & 0x3F) for i in range(nbytes - 1)]
+            lead_payload = n >> (6 * (nbytes - 1))
+            lead = ((0xFF << (8 - nbytes)) & 0xFF) | lead_payload
+            return bytes([lead] + cont[::-1])
+    raise MediaDecodeError("flac: coded number exceeds 36 bits")
+
+
+def _utf8_decode(rd: _MsbReader) -> int:
+    b0 = rd.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    for i in range(7, -1, -1):
+        if not (b0 >> i) & 1:
+            nbytes = 7 - i
+            break
+    if nbytes < 2 or nbytes > 7:
+        raise MediaDecodeError("flac: bad coded-number lead byte")
+    n = b0 & (0x7F >> nbytes)
+    for _ in range(nbytes - 1):
+        b = rd.read(8)
+        if (b & 0xC0) != 0x80:
+            raise MediaDecodeError("flac: bad coded-number continuation")
+        n = (n << 6) | (b & 0x3F)
+    return n
+
+
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+_FLAC_RATES = {
+    1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+    7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+}
+
+
+def _flac_block_size(code: int, rd: _MsbReader) -> int:
+    if code == 1:
+        return 192
+    if 2 <= code <= 5:
+        return 576 << (code - 2)
+    if code == 6:
+        return rd.read(8) + 1
+    if code == 7:
+        return rd.read(16) + 1
+    if 8 <= code <= 15:
+        return 256 << (code - 8)
+    raise MediaDecodeError("flac: reserved block size code")
+
+
+def _fixed_restore(order: int, warm: list[int], res: "np.ndarray") -> "np.ndarray":
+    """Invert the order-th finite difference given `order` warmup
+    samples (the fixed-predictor reconstruction, vectorized as `order`
+    cumulative integrations)."""
+    if order == 0:
+        return res
+    diffs = [np.asarray(warm, np.int64)]
+    for _ in range(1, order):
+        diffs.append(np.diff(diffs[-1]))
+    out = res
+    for k in range(order - 1, -1, -1):
+        out = int(diffs[k][-1]) + np.cumsum(out)
+    return np.concatenate([np.asarray(warm, np.int64), out])
+
+
+def _flac_subframe(rd: _MsbReader, bs: int, bps: int) -> "np.ndarray":
+    if rd.read(1):
+        raise MediaDecodeError("flac: subframe padding bit set")
+    stype = rd.read(6)
+    wasted = 0
+    if rd.read(1):
+        wasted = 1 + rd.read_unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise MediaDecodeError("flac: wasted bits exceed sample size")
+    if stype == 0:
+        x = np.full(bs, rd.read_signed(eff), dtype=np.int64)
+    elif stype == 1:
+        x = np.fromiter(
+            (rd.read_signed(eff) for _ in range(bs)), np.int64, count=bs
+        )
+    elif 8 <= stype <= 12:
+        order = stype - 8
+        warm = [rd.read_signed(eff) for _ in range(order)]
+        res = _flac_residual(rd, bs, order)
+        x = _fixed_restore(order, warm, res)
+    elif stype >= 32:
+        order = stype - 31
+        warm = [rd.read_signed(eff) for _ in range(order)]
+        prec = rd.read(4) + 1
+        if prec == 16:
+            raise MediaDecodeError("flac: invalid LPC precision code")
+        shift = rd.read_signed(5)
+        if shift < 0:
+            raise MediaDecodeError("flac: negative LPC shift")
+        coefs = [rd.read_signed(prec) for _ in range(order)]
+        res = _flac_residual(rd, bs, order)
+        vals = list(warm)
+        for i in range(order, bs):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * vals[i - 1 - j]
+            vals.append(int(res[i - order]) + (acc >> shift))
+        x = np.asarray(vals, np.int64)
+    else:
+        raise MediaDecodeError(f"flac: reserved subframe type {stype}")
+    return x << wasted
+
+
+def _flac_residual(rd: _MsbReader, bs: int, order: int) -> "np.ndarray":
+    method = rd.read(2)
+    if method > 1:
+        raise MediaDecodeError("flac: reserved residual coding method")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    porder = rd.read(4)
+    nparts = 1 << porder
+    if bs % nparts or bs // nparts <= (order if porder == 0 else 0):
+        raise MediaDecodeError("flac: invalid partition order")
+    out: list[int] = []
+    for p in range(nparts):
+        cnt = bs // nparts - (order if p == 0 else 0)
+        param = rd.read(pbits)
+        if param == escape:
+            raw = rd.read(5)
+            out.extend(
+                rd.read_signed(raw) if raw else 0 for _ in range(cnt)
+            )
+        else:
+            out.extend(_rice_read(rd, param) for _ in range(cnt))
+    return np.asarray(out, np.int64)
+
+
+def decode_flac(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """'fLaC' stream → (sample_rate, channels, bits_per_sample,
+    interleaved int32 samples). Verifies frame-header CRC-8, frame
+    CRC-16, the STREAMINFO sample total and (when present) the
+    STREAMINFO MD5 of the decoded PCM."""
+    import hashlib
+
+    if payload[:4] != b"fLaC":
+        raise MediaDecodeError("flac: bad magic")
+    pos, ln = 4, len(payload)
+    info = None
+    last = False
+    while not last:
+        if pos + 4 > ln:
+            raise MediaDecodeError("flac: truncated metadata header")
+        last = bool(payload[pos] & 0x80)
+        btype = payload[pos] & 0x7F
+        blen = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise MediaDecodeError("flac: truncated metadata block")
+        if btype == 0:
+            if blen != 34:
+                raise MediaDecodeError("flac: STREAMINFO must be 34 bytes")
+            r = _MsbReader(body, bitpos=80)  # skip block/frame size bounds
+            info = {
+                "rate": r.read(20),
+                "channels": r.read(3) + 1,
+                "bps": r.read(5) + 1,
+                "total": r.read(36),
+                "md5": body[18:34],
+            }
+        elif btype == 127:
+            raise MediaDecodeError("flac: invalid metadata block type 127")
+        pos += 4 + blen
+    if info is None:
+        raise MediaDecodeError("flac: missing STREAMINFO")
+    if info["total"] > MAX_DECODE_SAMPLES:
+        raise MediaDecodeError("flac: stream exceeds decode sample cap")
+    nch = info["channels"]
+    chans: list[np.ndarray] = []
+    decoded = 0
+    while pos < ln:
+        rd = _MsbReader(payload, bitpos=8 * pos)
+        if rd.read(14) != 0b11111111111110:
+            raise MediaDecodeError("flac: lost frame sync")
+        if rd.read(1):
+            raise MediaDecodeError("flac: reserved frame bit set")
+        rd.read(1)  # blocking strategy (frame vs sample number)
+        bs_code = rd.read(4)
+        sr_code = rd.read(4)
+        ch_code = rd.read(4)
+        ss_code = rd.read(3)
+        if rd.read(1):
+            raise MediaDecodeError("flac: reserved frame bit set")
+        _utf8_decode(rd)  # frame/sample index (sequential by construction)
+        bs = _flac_block_size(bs_code, rd)
+        if sr_code == 12:
+            rd.read(8)
+        elif sr_code in (13, 14):
+            rd.read(16)
+        elif sr_code == 15:
+            raise MediaDecodeError("flac: invalid sample rate code")
+        elif sr_code and sr_code not in _FLAC_RATES:
+            raise MediaDecodeError("flac: reserved sample rate code")
+        bps = info["bps"] if ss_code == 0 else _FLAC_SAMPLE_SIZES.get(ss_code)
+        if bps is None:
+            raise MediaDecodeError("flac: reserved sample size code")
+        hdr_end = rd.bitpos // 8
+        if rd.read(8) != _crc8(payload[pos:hdr_end]):
+            raise MediaDecodeError("flac: frame header CRC-8 mismatch")
+        if ch_code <= 7:
+            if ch_code + 1 != nch:
+                raise MediaDecodeError("flac: frame channel count mismatch")
+            sub = [_flac_subframe(rd, bs, bps) for _ in range(nch)]
+        elif ch_code in (8, 9, 10):
+            if nch != 2:
+                raise MediaDecodeError("flac: stereo decorrelation needs 2 channels")
+            extra0 = 1 if ch_code == 9 else 0
+            extra1 = 1 if ch_code in (8, 10) else 0
+            a = _flac_subframe(rd, bs, bps + extra0)
+            b = _flac_subframe(rd, bs, bps + extra1)
+            if ch_code == 8:  # left/side
+                sub = [a, a - b]
+            elif ch_code == 9:  # right/side
+                sub = [a + b, b]
+            else:  # mid/side
+                mid2 = (a << 1) | (b & 1)
+                sub = [(mid2 + b) >> 1, (mid2 - b) >> 1]
+        else:
+            raise MediaDecodeError("flac: reserved channel assignment")
+        if rd.bitpos % 8:
+            if rd.read(8 - rd.bitpos % 8):
+                raise MediaDecodeError("flac: nonzero frame padding")
+        foot = rd.bitpos // 8
+        if rd.read(16) != _crc16(payload[pos:foot]):
+            raise MediaDecodeError("flac: frame CRC-16 mismatch")
+        decoded += bs
+        if decoded > MAX_DECODE_SAMPLES:
+            raise MediaDecodeError("flac: stream exceeds decode sample cap")
+        chans.append(np.stack(sub, axis=-1).reshape(-1))
+        pos = rd.bitpos // 8
+    samples = (
+        np.concatenate(chans) if chans else np.empty(0, np.int64)
+    )
+    if info["total"] and decoded != info["total"]:
+        raise MediaDecodeError(
+            f"flac: decoded {decoded} samples, STREAMINFO says {info['total']}"
+        )
+    lim = 1 << (info["bps"] - 1)
+    if samples.size and (samples.min() < -lim or samples.max() >= lim):
+        raise MediaDecodeError("flac: decoded sample exceeds bits-per-sample")
+    if info["md5"] != b"\x00" * 16:
+        width = (info["bps"] + 7) // 8
+        raw = b"".join(
+            int(s).to_bytes(width, "little", signed=True) for s in samples
+        )
+        if hashlib.md5(raw).digest() != info["md5"]:
+            raise MediaDecodeError("flac: PCM MD5 mismatch")
+    return info["rate"], nch, info["bps"], samples.astype(np.int64)
+
+
+def _rice_cost_and_param(zz: "np.ndarray") -> tuple[int, int]:
+    """Optimal single-partition Rice parameter by exact cost scan."""
+    best_cost, best_p = None, 0
+    for p in range(15):
+        cost = int((zz >> p).sum()) + zz.size * (1 + p)
+        if best_cost is None or cost < best_cost:
+            best_cost, best_p = cost, p
+    return best_cost, best_p
+
+
+def _flac_write_residual(
+    wr: _MsbWriter, res: "np.ndarray", bs: int, order: int, porder: int
+) -> None:
+    """Rice-coded residual: per-partition optimal parameter, escape to
+    raw bits when cheaper. `porder` > 0 requires bs divisible by 2^p
+    with a first partition longer than the predictor order."""
+    nparts = 1 << porder
+    if bs % nparts or bs // nparts <= (order if porder == 0 else 0):
+        porder, nparts = 0, 1
+    wr.write(0, 2)  # 4-bit Rice parameters
+    wr.write(porder, 4)
+    off = 0
+    for p in range(nparts):
+        cnt = bs // nparts - (order if p == 0 else 0)
+        part = res[off : off + cnt]
+        off += cnt
+        zz = np.where(part >= 0, part << 1, -(part << 1) - 1).astype(np.int64)
+        rice_cost, param = _rice_cost_and_param(zz)
+        raw_bits = (
+            max(1, int(np.abs(part).max()).bit_length() + 1) if part.size else 1
+        )
+        if 5 + raw_bits * part.size < rice_cost:
+            wr.write(0xF, 4)  # escape
+            wr.write(raw_bits, 5)
+            for v in part:
+                wr.write(int(v), raw_bits)
+        else:
+            wr.write(param, 4)
+            for u in zz:
+                u = int(u)
+                wr.write_unary(u >> param)
+                if param:
+                    wr.write(u, param)
+
+
+_FLAC_FIXED_COEF = [[], [1], [2, -1], [3, -3, 1], [4, -6, 4, -1]]
+
+
+def _flac_write_subframe(
+    wr: _MsbWriter, x: "np.ndarray", bps: int, porder: int = 0
+) -> None:
+    x = x.astype(np.int64)
+    if x.size and (x == x[0]).all():
+        wr.write(0, 1)
+        wr.write(0, 6)  # constant
+        wr.write(0, 1)
+        wr.write(int(x[0]), bps)
+        return
+    best = None
+    diffs = x
+    for order in range(5):
+        if order:
+            diffs = np.diff(diffs)
+        if diffs.size == 0:
+            break
+        zz = np.where(diffs >= 0, diffs << 1, -(diffs << 1) - 1)
+        cost, _ = _rice_cost_and_param(zz.astype(np.int64))
+        cost += order * bps
+        if best is None or cost < best[0]:
+            best = (cost, order, diffs)
+    cost, order, res = best
+    if cost >= x.size * bps:  # verbatim cheaper (incompressible block)
+        wr.write(0, 1)
+        wr.write(1, 6)
+        wr.write(0, 1)
+        for v in x:
+            wr.write(int(v), bps)
+        return
+    wr.write(0, 1)
+    wr.write(8 + order, 6)  # fixed, order 0-4
+    wr.write(0, 1)  # no wasted bits
+    for v in x[:order]:
+        wr.write(int(v), bps)
+    _flac_write_residual(wr, res, x.size, order, porder)
+
+
+_FLAC_CHANNEL_MODES = ("indep", "left_side", "right_side", "mid_side")
+
+
+def encode_flac(
+    rate: int,
+    channels: int,
+    samples: "np.ndarray",
+    block_size: int = 4096,
+    channel_mode: str = "indep",
+    partition_order: int = 0,
+) -> bytes:
+    """int16 interleaved samples → FLAC stream (fixed-predictor
+    subframes, STREAMINFO MD5 of the input PCM). `channel_mode`
+    selects the stereo decorrelation (stereo inputs only);
+    `partition_order` splits each residual into 2^p Rice partitions
+    with independently optimal parameters (auto-demoted to 0 on
+    blocks it doesn't divide)."""
+    import hashlib
+
+    if channel_mode not in _FLAC_CHANNEL_MODES:
+        raise ValueError(f"channel_mode must be one of {_FLAC_CHANNEL_MODES}")
+    if channel_mode != "indep" and channels != 2:
+        raise ValueError("stereo decorrelation modes need channels=2")
+    if not 16 <= block_size <= 65536:
+        raise ValueError("block_size out of range")
+    s = np.asarray(samples, np.int64)
+    if s.size % channels:
+        raise ValueError("sample count not a channel multiple")
+    n_frames = s.size // channels
+    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+    wr = _MsbWriter()
+    wr.write(1, 1)  # last metadata block
+    wr.write(0, 7)  # STREAMINFO
+    wr.write(34, 24)
+    wr.write(block_size, 16)
+    wr.write(block_size, 16)
+    wr.write(0, 24)  # frame size bounds unknown
+    wr.write(0, 24)
+    wr.write(rate, 20)
+    wr.write(channels - 1, 3)
+    wr.write(15, 5)  # bps - 1 = 15
+    wr.write(n_frames, 36)
+    header = bytes(wr.buf) + md5
+    out = bytearray(b"fLaC" + header)
+    deint = [s[c::channels] for c in range(channels)]
+    for fi, off in enumerate(range(0, n_frames, block_size)):
+        bs = min(block_size, n_frames - off)
+        blk = [ch[off : off + bs] for ch in deint]
+        if channel_mode == "left_side":
+            ch_code, subs = 8, [(blk[0], 16), (blk[0] - blk[1], 17)]
+        elif channel_mode == "right_side":
+            ch_code, subs = 9, [(blk[0] - blk[1], 17), (blk[1], 16)]
+        elif channel_mode == "mid_side":
+            ch_code = 10
+            subs = [((blk[0] + blk[1]) >> 1, 16), (blk[0] - blk[1], 17)]
+        else:
+            ch_code = channels - 1
+            subs = [(c, 16) for c in blk]
+        fw = _MsbWriter()
+        fw.write(0b11111111111110, 14)
+        fw.write(0, 1)
+        fw.write(0, 1)  # fixed blocking strategy
+        fw.write(7, 4)  # block size: 16-bit field at header end
+        fw.write(0, 4)  # sample rate: from STREAMINFO
+        fw.write(ch_code, 4)
+        fw.write(0b100, 3)  # 16 bits per sample
+        fw.write(0, 1)
+        for b in _utf8_code(fi):
+            fw.write(b, 8)
+        fw.write(bs - 1, 16)
+        fw.write(_crc8(bytes(fw.buf)), 8)
+        for ch, bps in subs:
+            _flac_write_subframe(fw, ch, bps, porder=partition_order)
+        fw.align()
+        fw.write(_crc16(bytes(fw.buf)), 16)
+        out += fw.buf
+    return bytes(out)
+
+
+def flac_features(payload: bytes) -> list[float]:
+    """Same integer-exact feature layout as wav_features, over the
+    losslessly decoded PCM — a FLAC and a WAV of identical samples
+    yield identical features."""
+    rate, channels, bps, s = decode_flac(payload)
+    if bps != 16:
+        raise MediaDecodeError(f"flac: features need 16-bit PCM, got {bps}")
+    return _pcm16_features(rate, channels, s.astype(np.int16))
+
+
+# --- IMA ADPCM (WAVE format tag 0x11) ------------------------------------------
+#
+# The classic 4-bit compressed-audio WAV codec: per-block predictor +
+# step-index header, nibble deltas against the 89-entry step table.
+# Deterministic integer arithmetic end-to-end — decode is exact given
+# the bytes (the compression itself is lossy). Block layout per the
+# public WAVE_FORMAT_IMA_ADPCM spec: 4-byte header per channel, then
+# 4-byte nibble runs interleaved per channel.
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step_nibble(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    step = _IMA_STEPS[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
+def _ima_encode_sample(pred: int, idx: int, s: int) -> tuple[int, int, int]:
+    step = _IMA_STEPS[idx]
+    delta = s - pred
+    nib = 0
+    if delta < 0:
+        nib = 8
+        delta = -delta
+    if delta >= step:
+        nib |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nib |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nib |= 1
+    pred, idx = _ima_step_nibble(pred, idx, nib)
+    return nib, pred, idx
+
+
+def ima_adpcm_samples_per_block(block_align: int, channels: int) -> int:
+    return (block_align - 4 * channels) * 2 // channels + 1
+
+
+def encode_wav_ima_adpcm(
+    rate: int, channels: int, samples: "np.ndarray", block_align: int | None = None
+) -> bytes:
+    """int16 interleaved samples → RIFF/WAVE with IMA ADPCM (tag 0x11)
+    data, a fact chunk carrying the true frame count (the final block
+    is pad-extended with its last sample)."""
+    if block_align is None:
+        block_align = 256 * channels
+    if (block_align - 4 * channels) % (4 * channels):
+        raise ValueError("block_align must leave whole 4-byte runs per channel")
+    s = np.asarray(samples, np.int64)
+    if s.size % channels:
+        raise ValueError("sample count not a channel multiple")
+    n_frames = s.size // channels
+    spb = ima_adpcm_samples_per_block(block_align, channels)
+    deint = [list(s[c::channels]) for c in range(channels)]
+    data = bytearray()
+    for off in range(0, max(n_frames, 1), spb):
+        chan_nibbles: list[list[int]] = []
+        for c in range(channels):
+            blk = deint[c][off : off + spb]
+            if not blk:
+                blk = [0]
+            blk = blk + [blk[-1]] * (spb - len(blk))
+            pred, idx = int(blk[0]), 0
+            data += int(pred).to_bytes(2, "little", signed=True)
+            # header step index is the INITIAL index (0 here), then a
+            # reserved byte
+            data += bytes([0, 0])
+            nibs = []
+            for v in blk[1:]:
+                nib, pred, idx = _ima_encode_sample(pred, idx, int(v))
+                nibs.append(nib)
+            chan_nibbles.append(nibs)
+        # 4-byte (8-nibble) runs, channels interleaved
+        run_count = (spb - 1 + 7) // 8
+        for r in range(run_count):
+            for c in range(channels):
+                chunk = chan_nibbles[c][8 * r : 8 * r + 8]
+                chunk = chunk + [0] * (8 - len(chunk))
+                for k in range(0, 8, 2):
+                    data.append(chunk[k] | (chunk[k + 1] << 4))
+    spb_bytes = spb.to_bytes(2, "little")
+    fmt = (
+        (0x11).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + ((rate * block_align + spb - 1) // spb).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + spb_bytes
+    )
+    fact = n_frames.to_bytes(4, "little")
+    body = (
+        b"WAVEfmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"fact"
+        + len(fact).to_bytes(4, "little")
+        + fact
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + bytes(data)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_ima_adpcm(
+    rate: int, channels: int, block_align: int, spb: int,
+    data: bytes, n_frames: int | None,
+) -> "np.ndarray":
+    if block_align <= 4 * channels:
+        raise MediaDecodeError("adpcm: block_align too small for headers")
+    frames: list[np.ndarray] = []
+    total = 0
+    for off in range(0, len(data) - block_align + 1, block_align):
+        blk = data[off : off + block_align]
+        chans = []
+        for c in range(channels):
+            pred = int.from_bytes(blk[4 * c : 4 * c + 2], "little", signed=True)
+            idx = blk[4 * c + 2]
+            if idx > 88:
+                raise MediaDecodeError("adpcm: step index out of range")
+            out = [pred]
+            pos = 4 * channels + 4 * c
+            while len(out) < spb and pos < block_align:
+                for byte in blk[pos : pos + 4]:
+                    for nib in (byte & 0xF, byte >> 4):
+                        if len(out) >= spb:
+                            break
+                        pred, idx = _ima_step_nibble(pred, idx, nib)
+                        out.append(pred)
+                pos += 4 * channels
+            if len(out) < spb:
+                raise MediaDecodeError("adpcm: block shorter than samples_per_block")
+            chans.append(np.asarray(out, np.int64))
+        frames.append(np.stack(chans, axis=-1).reshape(-1))
+        total += spb
+        if total > MAX_DECODE_SAMPLES:
+            raise MediaDecodeError("adpcm: stream exceeds decode sample cap")
+    samples = np.concatenate(frames) if frames else np.empty(0, np.int64)
+    if n_frames is not None:
+        if n_frames > samples.size // channels:
+            raise MediaDecodeError("adpcm: fact count exceeds decoded frames")
+        samples = samples[: n_frames * channels]
+    return samples.astype(np.int16)
+
+
+def _pcm16_features(rate: int, channels: int, s: "np.ndarray") -> list[float]:
+    n = int(s.size)
+    if n == 0:
+        return [AUDIO_TAG, 0.0, float(rate), float(channels), 0.0, 0.0, 0.0, 0.0]
+    a = np.abs(s.astype(np.int64))
+    mean_abs = float((1_000_000 * int(a.sum())) // (32768 * n)) / 1e6
+    zc = int(
+        np.count_nonzero(
+            np.signbit(s[1:].astype(np.int32)) != np.signbit(s[:-1].astype(np.int32))
+        )
+    )
+    return [
+        AUDIO_TAG,
+        float(n),
+        float(rate),
+        float(channels),
+        mean_abs,
+        float(int(a.max())),
+        float(zc),
+        0.0,
+    ]
+
+
 # --- header probes (cheap metadata, NO pixel/sample decode) --------------------
 #
 # A media catalog at scale fills width/height/duration from HEADERS —
@@ -2843,9 +3597,29 @@ def probe_header(payload: bytes) -> tuple[int | None, int | None, int | None]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, _ch, n_frames = _wav_header_meta(payload)
         return None, None, (1000 * n_frames) // rate if rate else None
+    if payload[:4] == b"fLaC":
+        return None, None, _flac_header_duration_ms(payload)
     if payload[:3] == b"ID3":
         return None, None, _mp3_header_duration_ms(payload)
     raise MediaDecodeError("probe: unknown magic")
+
+
+def _flac_header_duration_ms(payload: bytes) -> int | None:
+    """STREAMINFO total-samples / sample-rate — 38 header bytes, no
+    frame decode. None when the stream marks the total unknown (0)."""
+    if len(payload) < 8 or (payload[4] & 0x7F) != 0:
+        raise MediaDecodeError("flac: STREAMINFO must be the first metadata block")
+    body = payload[8 : 8 + int.from_bytes(payload[5:8], "big")]
+    if len(body) < 34:
+        raise MediaDecodeError("flac: truncated STREAMINFO")
+    r = _MsbReader(body, bitpos=80)
+    rate = r.read(20)
+    r.read(3)
+    r.read(5)
+    total = r.read(36)
+    if not rate:
+        raise MediaDecodeError("flac: zero sample rate")
+    return (1000 * total) // rate if total else None
 
 
 def _ppm_header(payload: bytes):
@@ -2949,23 +3723,35 @@ def _webp_header_meta(payload: bytes) -> tuple[int, int, int | None]:
 
 
 def _wav_header_meta(payload: bytes) -> tuple[int, int, int]:
-    """(sample_rate, channels, n_frames) from fmt + data chunk sizes."""
+    """(sample_rate, channels, n_frames) from fmt + fact + data chunk
+    sizes. Block-based codecs (IMA ADPCM) count samples_per_block
+    frames per block; a fact chunk overrides (the true frame count,
+    pad samples excluded)."""
     pos = 12
     rate = ch = block = None
-    data_len = None
+    fmt_tag = spb = fact = data_len = None
     while pos + 8 <= len(payload):
         tag = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         if tag == b"fmt " and size >= 16:
             body = payload[pos + 8 : pos + 8 + size]
+            fmt_tag = int.from_bytes(body[0:2], "little")
             ch = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
             block = int.from_bytes(body[12:14], "little")
+            if len(body) >= 20:
+                spb = int.from_bytes(body[18:20], "little")
+        elif tag == b"fact" and size >= 4:
+            fact = int.from_bytes(payload[pos + 8 : pos + 12], "little")
         elif tag == b"data":
             data_len = size
         pos += 8 + size + (size & 1)
     if not rate or not block or data_len is None:
         raise MediaDecodeError("wav: missing fmt or data in header walk")
+    if fact is not None:
+        return rate, ch, fact
+    if fmt_tag == 0x11 and spb:
+        return rate, ch, (data_len // block) * spb
     return rate, ch, data_len // block
 
 

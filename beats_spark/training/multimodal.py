@@ -95,10 +95,13 @@ def _default_image_decode(payload: bytes) -> list[float]:
 
 
 def _default_audio_decode(payload: bytes) -> list[float]:
-    """Real PCM16 decode when the payload is RIFF/WAVE; stub fallback
-    for compressed formats (mp3/ogg need a registered kernel)."""
+    """Real decode for RIFF/WAVE (PCM16 and IMA ADPCM) and FLAC
+    (lossless Rice/predictor streams); stub fallback only for the
+    perceptual codecs (mp3/ogg need a registered kernel)."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return media_codecs.wav_features(payload)
+    if payload[:4] == b"fLaC":
+        return media_codecs.flac_features(payload)
     return _fake_decode(payload)
 
 
@@ -128,6 +131,7 @@ _MAGIC_CHAIN: "list[tuple[bytes, bytes | None, str, str]]" = [
     (b"BM", None, "bmp", "image"),
     (b"RIFF", b"WAVE", "wav", "audio"),
     (b"RIFF", b"WEBP", "webp", "image"),
+    (b"fLaC", None, "flac", "audio"),
     (b"ID3", None, "mp3", "audio"),
     (b"OggS", None, "ogg", "audio"),
 ]

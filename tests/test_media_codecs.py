@@ -1070,3 +1070,237 @@ def test_probe_media_meta_distributed(spark):
     # malformed header for its own magic: per-row error, stage survives
     assert out["badpng"].width is None and "png" in out["badpng"].probe_error
     assert out["blob"].format == "unknown" and "magic" in out["blob"].probe_error
+
+
+# --- FLAC (lossless compressed audio, RFC 9639 subset) -------------------------
+
+
+def _tone(n, period, amp):
+    t = np.arange(n)
+    return np.round(amp * np.sin(2 * np.pi * t / period)).astype(np.int16)
+
+
+def test_flac_round_trip_all_channel_modes_and_block_shapes():
+    mono = _tone(1000, 64, 12000)
+    payload = mc.encode_flac(44100, 1, mono)
+    rate, ch, bps, dec = mc.decode_flac(payload)
+    assert (rate, ch, bps) == (44100, 1, 16)
+    assert (dec == mono).all()
+    # a tonal signal actually compresses (fixed predictors + Rice)
+    assert len(payload) < 2 * mono.size
+    # stereo through every decorrelation mode (incl. the 17-bit side
+    # channel and the mid/side low-bit reconstruction)
+    left = _tone(900, 50, 9000)
+    right = (-left // 3).astype(np.int16)
+    inter = np.stack([left, right], -1).reshape(-1)
+    for mode in ("indep", "left_side", "right_side", "mid_side"):
+        p = mc.encode_flac(8000, 2, inter, block_size=256, channel_mode=mode)
+        _, c, _, dec = mc.decode_flac(p)
+        assert c == 2 and (dec == inter).all(), mode
+    # incompressible noise escapes to verbatim; constant subframes
+    rng = np.random.default_rng(7)
+    noise = rng.integers(-32768, 32768, 300).astype(np.int16)
+    assert (mc.decode_flac(mc.encode_flac(8000, 1, noise))[3] == noise).all()
+    const = np.full(500, -1234, np.int16)
+    assert (mc.decode_flac(mc.encode_flac(8000, 1, const))[3] == const).all()
+    # int16 extremes and a non-block-multiple tail frame
+    edge = np.array([32767, -32768, 0, -1, 1, 32767, -32768, 5] * 7, np.int16)
+    assert (mc.decode_flac(mc.encode_flac(192000, 1, edge, block_size=16))[3] == edge).all()
+    # multi-partition Rice residuals
+    sig = _tone(512, 40, 5000)
+    p = mc.encode_flac(8000, 1, sig, block_size=128, partition_order=2)
+    assert (mc.decode_flac(p)[3] == sig).all()
+
+
+def _flac_stream(subframe_writer, bs, total, rate=8000):
+    """Hand-built single-frame mono 16-bit stream (zeroed MD5 → the
+    decoder skips PCM verification) — exercises decoder paths the
+    fixed-predictor encoder never emits (LPC, wasted bits, 5-bit Rice)."""
+    wr = mc._MsbWriter()
+    wr.write(1, 1)
+    wr.write(0, 7)
+    wr.write(34, 24)
+    wr.write(bs, 16)
+    wr.write(bs, 16)
+    wr.write(0, 24)
+    wr.write(0, 24)
+    wr.write(rate, 20)
+    wr.write(0, 3)
+    wr.write(15, 5)
+    wr.write(total, 36)
+    out = bytearray(b"fLaC" + bytes(wr.buf) + b"\x00" * 16)
+    fw = mc._MsbWriter()
+    fw.write(0b11111111111110, 14)
+    fw.write(0, 1)
+    fw.write(0, 1)
+    fw.write(7, 4)  # block size in 16-bit field at header end
+    fw.write(0, 4)  # rate from STREAMINFO
+    fw.write(0, 4)  # mono
+    fw.write(0b100, 3)  # 16 bps
+    fw.write(0, 1)
+    fw.write(0, 8)  # coded frame index 0
+    fw.write(bs - 1, 16)
+    fw.write(mc._crc8(bytes(fw.buf)), 8)
+    subframe_writer(fw)
+    fw.align()
+    fw.write(mc._crc16(bytes(fw.buf)), 16)
+    return bytes(out + fw.buf)
+
+
+def test_flac_decoder_lpc_wasted_bits_and_5bit_rice():
+    # order-2 LPC, coefs [3,-1] shift 1, 1 wasted bit, residual coding
+    # method 1 (5-bit Rice parameters), param 2
+    def sub(fw):
+        fw.write(0, 1)
+        fw.write(33, 6)  # LPC subframe, order 33-31 = 2
+        fw.write(1, 1)   # wasted-bits flag
+        fw.write_unary(0)  # wasted = 1 -> effective bps 15
+        fw.write(50, 15)
+        fw.write(55, 15)
+        fw.write(3 - 1, 4)  # coefficient precision 3
+        fw.write(1, 5)      # shift 1
+        fw.write(3, 3)
+        fw.write(-1, 3)
+        fw.write(1, 2)      # residual method 1
+        fw.write(0, 4)      # partition order 0
+        fw.write(2, 5)      # Rice param 2
+        for r in (5, -3):
+            u = (r << 1) if r >= 0 else (-(r << 1) - 1)
+            fw.write_unary(u >> 2)
+            fw.write(u, 2)
+
+    rate, ch, bps, dec = mc.decode_flac(_flac_stream(sub, bs=4, total=4))
+    # x2 = 5 + ((3*55 - 50) >> 1) = 62; x3 = -3 + ((3*62 - 55) >> 1) = 62;
+    # all << 1 wasted bit
+    assert (rate, ch, bps) == (8000, 1, 16)
+    assert dec.tolist() == [100, 110, 124, 124]
+
+
+def test_flac_malformed_and_integrity_raises():
+    base = mc.encode_flac(8000, 1, _tone(200, 40, 4000))
+
+    def flip(off):
+        raw = bytearray(base)
+        raw[off] ^= 1
+        return bytes(raw)
+
+    with pytest.raises(mc.MediaDecodeError, match="bad magic"):
+        mc.decode_flac(b"fLaX" + base[4:])
+    # STREAMINFO MD5 byte (offset 8+18=26): decoded PCM no longer matches
+    with pytest.raises(mc.MediaDecodeError, match="MD5 mismatch"):
+        mc.decode_flac(flip(30))
+    # STREAMINFO total-samples low byte (body[13..17] hold the 36-bit total)
+    with pytest.raises(mc.MediaDecodeError, match="STREAMINFO says"):
+        mc.decode_flac(flip(25))
+    # frame-header blocking-strategy bit (sync stays valid) -> CRC-8
+    with pytest.raises(mc.MediaDecodeError, match="CRC-8 mismatch"):
+        mc.decode_flac(flip(43))
+    # frame footer CRC-16 itself
+    with pytest.raises(mc.MediaDecodeError, match="CRC-16 mismatch"):
+        mc.decode_flac(flip(len(base) - 1))
+    with pytest.raises(mc.MediaDecodeError, match="truncated"):
+        mc.decode_flac(base[:-6])
+    # resource guard: hostile STREAMINFO total before any frame decode
+    big = bytearray(base)
+    big[22] |= 0xF0  # total-samples high bits
+    with pytest.raises(mc.MediaDecodeError, match="sample cap"):
+        mc.decode_flac(bytes(big))
+
+
+# --- IMA ADPCM (WAVE format tag 0x11) ------------------------------------------
+
+
+def test_ima_adpcm_step_table_hand_vectors():
+    # hand-stepped against the public IMA/DVI spec arithmetic
+    assert mc._ima_step_nibble(0, 0, 3) == (4, 0)        # step 7: 0+3+1
+    assert mc._ima_step_nibble(4, 0, 0xF) == (-7, 8)     # sign bit, idx +8
+    assert mc._ima_step_nibble(-7, 88, 4) == (32767, 88)  # clamp both
+    assert mc._IMA_STEPS[0] == 7 and mc._IMA_STEPS[88] == 32767
+    assert len(mc._IMA_STEPS) == 89
+
+
+def test_ima_adpcm_round_trip_quality_and_fact_trim():
+    sig = _tone(700, 200, 500)
+    p = mc.encode_wav_ima_adpcm(8000, 1, sig)
+    rate, ch, dec = mc.decode_wav(p)
+    # fact chunk trims the pad-extended final block to the true count
+    assert (rate, ch) == (8000, 1) and dec.size == 700
+    assert dec.dtype == np.int16
+    err = dec.astype(np.int64) - sig
+    snr = 10 * np.log10(
+        np.square(sig.astype(np.int64)).sum() / max(1, int(np.square(err).sum()))
+    )
+    assert snr > 20
+    assert (mc.decode_wav(p)[2] == dec).all()  # decode is deterministic
+    # 4-bit nibbles: under half the PCM16 bytes even with the final
+    # block pad-extended (700 frames -> 2×505-sample blocks)
+    assert len(p) < len(mc.encode_wav(8000, 1, sig)) // 2
+    # stereo interleave round-trips per channel
+    left = np.linspace(0, 2000, 600).astype(np.int16)
+    inter = np.stack([left, (-left).astype(np.int16)], -1).reshape(-1)
+    p2 = mc.encode_wav_ima_adpcm(16000, 2, inter, block_align=128)
+    rate, ch, dec = mc.decode_wav(p2)
+    assert (rate, ch) == (16000, 2) and dec.size == 1200
+    assert np.abs(dec[0::2].astype(np.int64) - left).mean() < 16
+    assert np.abs(dec[1::2].astype(np.int64) + left).mean() < 16
+
+
+def test_ima_adpcm_malformed_raises():
+    p = bytearray(mc.encode_wav_ima_adpcm(8000, 1, np.zeros(16, np.int16)))
+    # fmt body starts at offset 20: [18:20] of the body = samples_per_block
+    spb_off = 20 + 18
+    p[spb_off] ^= 0xFF
+    with pytest.raises(mc.MediaDecodeError, match="samples_per_block"):
+        mc.decode_wav(bytes(p))
+    with pytest.raises(ValueError, match="block_align"):
+        mc.encode_wav_ima_adpcm(8000, 2, np.zeros(8, np.int16), block_align=10)
+
+
+def test_flac_adpcm_features_and_header_probe():
+    s = _tone(800, 100, 3000)
+    # lossless FLAC of the same samples -> identical feature vector
+    assert mc.flac_features(mc.encode_flac(44100, 1, s)) == mc.wav_features(
+        mc.encode_wav(44100, 1, s)
+    )
+    # header-only duration probes (no frame decode)
+    assert mc.probe_header(mc.encode_flac(8000, 1, np.zeros(4000, np.int16))) == (
+        None,
+        None,
+        500,
+    )
+    adpcm = mc.encode_wav_ima_adpcm(8000, 1, np.zeros(700, np.int16))
+    assert mc.probe_header(adpcm) == (None, None, 87)  # fact = 700 frames
+    # features route ADPCM payloads through the block decoder
+    assert mc.wav_features(adpcm)[:4] == [2.0, 700.0, 8000.0, 1.0]
+
+
+def test_flac_sniffed_and_decoded_as_audio(spark):
+    from beats_spark.training.multimodal import extract_features, sniff_media_meta
+
+    s = _tone(64, 16, 2000)
+    rows = [
+        ("flac", bytearray(mc.encode_flac(8000, 1, s))),
+        ("adpcm", bytearray(mc.encode_wav_ima_adpcm(8000, 1, s))),
+    ]
+    df = spark.createDataFrame(rows, "key string, media binary")
+    sniffed_df = sniff_media_meta(df)
+    sniffed = {r["key"]: r for r in sniffed_df.collect()}
+    assert sniffed["flac"].media_meta.format == "flac"
+    assert sniffed["flac"].media_meta.kind == "audio"
+    assert sniffed["adpcm"].media_meta.format == "wav"
+    kinds = sniffed_df.select(
+        "key", "media", sniffed_df.media_meta.kind.alias("kind")
+    )
+    out = {
+        r["key"]: r
+        for r in extract_features(kinds, kind_col="kind").collect()
+    }
+    expect = mc.wav_features(mc.encode_wav(8000, 1, s))
+
+    def ints(feat):
+        return [round(v * 1e6) for v in feat]
+
+    assert ints(out["flac"].feat) == ints(expect)
+    assert out["flac"].decode_error is None
+    assert out["adpcm"].decode_error is None
+    assert ints(out["adpcm"].feat)[:1] == [2_000_000]
