@@ -2101,6 +2101,177 @@ SELECT d AS doc_id,
 FROM t ORDER BY doc_id"""
 
 
+# --- q77: REAL compressed-audio decode (FLAC + IMA ADPCM kernels) ------------
+
+
+def _audio_planted_rows() -> list:
+    """The 48 q77 payloads (driver-side, bounded): deterministic PCM
+    planted through the REAL compressed-audio encoders —
+    d % 3 == 0: mono FLAC, s[i] = ((31d + 73i) % 401) - 200 (jumpy →
+      Rice/verbatim mix), multi-frame (block_size 64), partition
+      order rotating d % 3;
+    d % 3 == 1: stereo FLAC cycling ALL FOUR decorrelation modes by
+      d % 4, left[i] = ((17d + 3i) % 229) - 114,
+      right[i] = ((13d + 7i) % 173) - 86;
+    d % 3 == 2: IMA ADPCM whose samples follow the decoder's own
+      step-table dynamics with all magnitudes ≤ 3 nibble-bits — idx
+      is pinned at 0 (step 7) so decode(encode(x)) == x EXACTLY and
+      the value sequence has the closed form x0 + ⌊i/4⌋·P + S(i%4)
+      the SQL oracle replays (validated exhaustively for all 48 docs).
+    Shared by the q77 gate and the uncapped scale probe."""
+    import numpy as np
+
+    from beats_spark.training import media_codecs
+
+    rows = []
+    for d in range(48):
+        kind = d % 3
+        if kind == 0:
+            n = 96 + 8 * (d % 5)
+            s = np.array(
+                [((d * 31 + i * 73) % 401) - 200 for i in range(n)], np.int16
+            )
+            payload = media_codecs.encode_flac(
+                8000 + 100 * (d % 4), 1, s, block_size=64, partition_order=d % 3
+            )
+        elif kind == 1:
+            fr = 80 + 8 * (d % 3)
+            left = [((17 * d + 3 * i) % 229) - 114 for i in range(fr)]
+            right = [((13 * d + 7 * i) % 173) - 86 for i in range(fr)]
+            inter = (
+                np.stack(
+                    [np.array(left, np.int64), np.array(right, np.int64)], -1
+                )
+                .reshape(-1)
+                .astype(np.int16)
+            )
+            payload = media_codecs.encode_flac(
+                16000,
+                2,
+                inter,
+                channel_mode=media_codecs._FLAC_CHANNEL_MODES[d % 4],
+            )
+        else:
+            n = 120 + 8 * (d % 5)
+            lv = (0, 1, 3, 4)
+            x = [100 * (d % 7) - 300]
+            for j in range(1, n):
+                sgn = 1 if j % 2 == 1 else -1
+                x.append(x[-1] + sgn * lv[(d + 3 * j) % 4])
+            payload = media_codecs.encode_wav_ima_adpcm(
+                11025, 1, np.array(x, np.int16), block_align=64
+            )
+        rows.append((d, bytearray(payload)))
+    return rows
+
+
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 compressed-audio gate (the lossless half of the last
+    stub family): plant real FLAC streams (Rice-coded fixed-predictor
+    residuals, CRC-8/16 + STREAMINFO MD5 verified on decode, all four
+    stereo decorrelation modes) and IMA ADPCM WAVs (4-bit step-table
+    nibbles, fact-chunk frame trim), sniff the container magic
+    natively, then decode through extract_features' REAL kernels and
+    emit integer-exact audio features. The oracle regenerates every
+    PCM sample from the planting arithmetic alone — an entropy
+    decoder, predictor, stereo reconstruction, or block-layout bug
+    diverges. Ref analog: detect_mime_type sniffs these magics
+    (libbeat/processors/actions/detect_mime_type.go); decode depth is
+    the training-pipeline extension."""
+    from beats_spark.training.multimodal import extract_features, sniff_media_meta
+
+    planted = spark.createDataFrame(
+        _audio_planted_rows(), "doc_id long, media binary"
+    )
+    docs = _documents(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
+    media = docs.join(F.broadcast(planted), "doc_id").select(
+        F.col("doc_id").cast("string").alias("key"), "media"
+    )
+    sniffed = sniff_media_meta(media)
+    src = sniffed.select(
+        "key",
+        "media",
+        F.col("media_meta.kind").alias("kind"),
+        F.col("media_meta.format").alias("fmt"),
+    )
+    feats = extract_features(src, kind_col="kind")
+
+    def f(i):
+        return F.element_at("feat", i)
+
+    return (
+        feats.join(src.select("key", "fmt"), "key")
+        .select(
+            F.col("key").cast("long").alias("doc_id"),
+            "fmt",
+            F.round(f(2)).cast("long").alias("n_samples"),
+            F.round(f(3)).cast("long").alias("rate"),
+            F.round(f(4)).cast("long").alias("channels"),
+            F.round(f(5) * 1e6).cast("long").alias("mean_abs_ppm"),
+            F.round(f(6)).cast("long").alias("peak"),
+            F.round(f(7)).cast("long").alias("zero_cross"),
+            F.when(F.col("decode_error").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_audio_decode_oracle() -> str:
+    # ADPCM closed form: term(j) = sign(j) · [0,1,3,4][(d+3j) % 4]
+    # depends only on j % 4 (3·4 ≡ 0 mod 4, sign has period 2), so the
+    # prefix sum is ⌊i/4⌋ · P + S(i % 4) with per-doc constants.
+    def tm(r: int) -> str:
+        sgn = "1" if r % 2 == 1 else "-1"
+        return f"(({sgn}) * ([0,1,3,4][((d + 3 * {r}) % 4) + 1]))"
+
+    t1, t2, t3 = tm(1), tm(2), tm(3)
+    period = f"({tm(0)} + {t1} + {t2} + {t3})"
+    adp = (
+        f"(100 * (d % 7) - 300) + (i // 4) * {period} + "
+        f"(CASE i % 4 WHEN 0 THEN 0 WHEN 1 THEN {t1} "
+        f"WHEN 2 THEN {t1} + {t2} ELSE {t1} + {t2} + {t3} END)"
+    )
+    sample = f"""CASE d % 3
+           WHEN 0 THEN ((d * 31 + i * 73) % 401) - 200
+           WHEN 1 THEN CASE WHEN i % 2 = 0
+                         THEN ((17 * d + 3 * (i // 2)) % 229) - 114
+                         ELSE ((13 * d + 7 * (i // 2)) % 173) - 86 END
+           ELSE {adp} END"""
+    return f"""
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS d
+              FROM documents WHERE doc_id < 48),
+par AS (
+  SELECT d,
+         CASE d % 3 WHEN 0 THEN 96 + 8 * (d % 5)
+                    WHEN 1 THEN 2 * (80 + 8 * (d % 3))
+                    ELSE 120 + 8 * (d % 5) END AS n,
+         CASE d % 3 WHEN 0 THEN 8000 + 100 * (d % 4)
+                    WHEN 1 THEN 16000 ELSE 11025 END AS rate,
+         CASE d % 3 WHEN 1 THEN 2 ELSE 1 END AS ch
+  FROM docs),
+v AS (
+  SELECT d, n, rate, ch,
+         list_transform(range(0, n), i -> CAST({sample} AS BIGINT)) AS vals
+  FROM par)
+SELECT d AS doc_id,
+       CASE d % 3 WHEN 2 THEN 'wav' ELSE 'flac' END AS fmt,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(rate AS BIGINT) AS rate,
+       CAST(ch AS BIGINT) AS channels,
+       CAST((1000000 * list_sum(list_transform(vals, v -> abs(v))))
+            // (32768 * n) AS BIGINT) AS mean_abs_ppm,
+       CAST(list_aggregate(list_transform(vals, v -> abs(v)), 'max')
+            AS BIGINT) AS peak,
+       CAST(list_sum(list_transform(range(1, n), i ->
+            CASE WHEN (vals[i + 1] < 0) <> (vals[i] < 0)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_cross,
+       CAST(1 AS BIGINT) AS ok
+FROM v ORDER BY doc_id"""
+
+
 # --- q67: BM25 relevance top-k (relevance.py) --------------------------------
 
 
@@ -3352,6 +3523,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_webp_decode": q_webp_decode,
         "q75_webp_anim_frames": q_webp_anim_frames,
         "q76_media_probe": q_media_probe,
+        "q77_audio_decode": q_audio_decode,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -3373,6 +3545,7 @@ _WITNESS_FIRST = [
     "q68_anomaly_mad", "q69_theta_overlap", "q70_cooccurrence",
     "q71_jpeg_decode", "q72_gif_frames", "q73_webp_decode",
     "q74_pagerank", "q75_webp_anim_frames", "q76_media_probe",
+    "q77_audio_decode",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -3474,4 +3647,5 @@ def _base_oracles() -> dict[str, str]:
         "q73_webp_decode": q_webp_decode_oracle(),
         "q75_webp_anim_frames": q_webp_anim_frames_oracle(),
         "q76_media_probe": q_media_probe_oracle(),
+        "q77_audio_decode": q_audio_decode_oracle(),
     }
