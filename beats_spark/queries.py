@@ -2272,6 +2272,114 @@ SELECT d AS doc_id,
 FROM v ORDER BY doc_id"""
 
 
+# --- q78: REAL video decode (raw-DIB AVI container kernel) --------------------
+
+
+def _avi_planted_rows() -> list:
+    """The 48 q78 payloads (driver-side, bounded): 8×4 raw-DIB AVIs
+    with F = 2 + d % 3 frames, channel c of frame f at (x, y) =
+    (d·m_c + 13f + x + 2y) % 256 for m = (5, 11, 17) (the q66
+    gradient family, animated), frame timing 10+d%5 ms per frame.
+    Shared by the q78 gate and the uncapped scale probe."""
+    import numpy as np
+
+    from beats_spark.training import media_codecs
+
+    xs = np.arange(8, dtype=np.int64)[None, :]
+    ys = np.arange(4, dtype=np.int64)[:, None]
+    rows = []
+    for d in range(48):
+        nf = 2 + d % 3
+        frames = []
+        for f in range(nf):
+            chans = [
+                ((d * m + 13 * f + xs + 2 * ys) % 256) for m in (5, 11, 17)
+            ]
+            frames.append(
+                np.stack(
+                    [np.broadcast_to(c, (4, 8)) for c in chans], axis=-1
+                ).astype(np.uint8)
+            )
+        payload = media_codecs.encode_avi(
+            frames, us_per_frame=1000 * (10 + d % 5)
+        )
+        rows.append((d, bytearray(payload)))
+    return rows
+
+
+def q_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 VIDEO gate: plant real AVI containers (RIFF hdrl/movi
+    grammar, raw 24-bit 'DIB ' frames — the uncompressed profile every
+    AVI tool plays) and decode them distributed through
+    extract_features' real video kernel: container walk, per-frame
+    bottom-up padded-BGR raster, whole-timeline channel means, frame
+    count and container-timing duration. The oracle recomputes every
+    channel ppm from the planting arithmetic alone (the q66 recipe,
+    summed over the frame axis) — a chunk-walk, stride, frame-order,
+    or BGR bug diverges."""
+    from beats_spark.training.multimodal import extract_features, sniff_media_meta
+
+    planted = spark.createDataFrame(
+        _avi_planted_rows(), "doc_id long, media binary"
+    )
+    docs = _documents(spark, sf_dir).select("doc_id").filter(F.col("doc_id") < 48)
+    media = docs.join(F.broadcast(planted), "doc_id").select(
+        F.col("doc_id").cast("string").alias("key"), "media"
+    )
+    sniffed = sniff_media_meta(media)
+    src = sniffed.select(
+        "key", "media", F.col("media_meta.kind").alias("kind")
+    )
+    feats = extract_features(src, kind_col="kind")
+
+    def f(i):
+        return F.element_at("feat", i)
+
+    return feats.select(
+        F.col("key").cast("long").alias("doc_id"),
+        F.round(f(1)).cast("long").alias("tag"),
+        F.round(f(2)).cast("long").alias("w"),
+        F.round(f(3)).cast("long").alias("h"),
+        F.round(f(4) * 1e6).cast("long").alias("p_r"),
+        F.round(f(5) * 1e6).cast("long").alias("p_g"),
+        F.round(f(6) * 1e6).cast("long").alias("p_b"),
+        F.round(f(7)).cast("long").alias("n_frames"),
+        F.round(f(8)).cast("long").alias("duration_ms"),
+        F.when(F.col("decode_error").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ok"),
+    ).orderBy("doc_id")
+
+
+def q_avi_decode_oracle() -> str:
+    def chsum(m: int) -> str:
+        # Σ over frames and pixels of (d·m + 13f + x + 2y) % 256
+        return (
+            "list_sum(list_transform(range(0, nf), f -> "
+            "list_sum(list_transform(range(0, 32), i -> "
+            f"CAST((d * {m} + 13 * f + i % 8 + 2 * (i // 8)) % 256"
+            " AS BIGINT)))))"
+        )
+
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS BIGINT) AS d, 2 + doc_id % 3 AS nf
+           FROM documents WHERE doc_id < 48),
+s AS (
+  SELECT d, nf, {chsum(5)} AS sr, {chsum(11)} AS sg, {chsum(17)} AS sb
+  FROM t)
+SELECT d AS doc_id,
+       CAST(3 AS BIGINT) AS tag,
+       CAST(8 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
+       CAST((1000000 * sr) // (255 * 32 * nf) AS BIGINT) AS p_r,
+       CAST((1000000 * sg) // (255 * 32 * nf) AS BIGINT) AS p_g,
+       CAST((1000000 * sb) // (255 * 32 * nf) AS BIGINT) AS p_b,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * (10 + d % 5) AS BIGINT) AS duration_ms,
+       CAST(1 AS BIGINT) AS ok
+FROM s ORDER BY doc_id"""
+
+
 # --- q67: BM25 relevance top-k (relevance.py) --------------------------------
 
 
@@ -3524,6 +3632,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_webp_anim_frames": q_webp_anim_frames,
         "q76_media_probe": q_media_probe,
         "q77_audio_decode": q_audio_decode,
+        "q78_avi_decode": q_avi_decode,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -3545,7 +3654,7 @@ _WITNESS_FIRST = [
     "q68_anomaly_mad", "q69_theta_overlap", "q70_cooccurrence",
     "q71_jpeg_decode", "q72_gif_frames", "q73_webp_decode",
     "q74_pagerank", "q75_webp_anim_frames", "q76_media_probe",
-    "q77_audio_decode",
+    "q77_audio_decode", "q78_avi_decode",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -3648,4 +3757,5 @@ def _base_oracles() -> dict[str, str]:
         "q75_webp_anim_frames": q_webp_anim_frames_oracle(),
         "q76_media_probe": q_media_probe_oracle(),
         "q77_audio_decode": q_audio_decode_oracle(),
+        "q78_avi_decode": q_avi_decode_oracle(),
     }

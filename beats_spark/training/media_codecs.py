@@ -9,9 +9,11 @@ numpy + stdlib decode all of them for real — as do GIF (LZW) and
 lossless WebP (VP8L), so EVERY image format the sniff chain knows
 decodes end-to-end. Compressed audio decodes for real too: FLAC
 (Rice-coded fixed/LPC prediction residuals, CRC-8/16 + STREAMINFO MD5
-verified) and IMA ADPCM WAV (4-bit step-table deltas). Only the
-PERCEPTUAL codecs (mp3/ogg psychoacoustic audio, lossy VP8 WebP) and
-video containers still require a registered kernel
+verified) and IMA ADPCM WAV (4-bit step-table deltas). VIDEO decodes
+for real in its uncompressed profile: AVI with raw 'DIB ' BI_RGB
+frames (decode / features / per-frame resize / frame sampling). Only
+the PERCEPTUAL codecs (mp3/ogg psychoacoustic audio, lossy VP8 WebP,
+h264-class compressed video) still require a registered kernel
 (`multimodal.register_decoder`); the deterministic byte-hash stubs
 remain only as the fallback for those.
 
@@ -3557,6 +3559,222 @@ def _pcm16_features(rate: int, channels: int, s: "np.ndarray") -> list[float]:
     ]
 
 
+# --- AVI (RIFF video container, raw 24-bit DIB frames) -------------------------
+#
+# Real end-to-end VIDEO: AVI with the 'DIB ' handler and BI_RGB frames
+# is a genuine, universally playable video format (the uncompressed
+# profile every AVI tool supports), and its frame raster is exactly
+# the 24-bit bottom-up padded-BGR layout the BMP codec already
+# decodes. Container grammar per the public RIFF/AVI spec: hdrl
+# (avih MainAVIHeader + strl with strh 'vids'/'DIB ' and strf
+# BITMAPINFOHEADER), movi with '00db' frame chunks, and an idx1
+# index. Compressed video (mp4/mkv/h264) still needs a registered
+# kernel — the container/raster layer here is the real thing.
+
+VIDEO_TAG = 3.0
+
+
+def _dib_pack(img: np.ndarray) -> bytes:
+    """(h, w, 3) RGB → bottom-up 4-byte-padded BGR rows (the shared
+    BMP/AVI 24-bit BI_RGB raster)."""
+    h, w = img.shape[0], img.shape[1]
+    stride = ((w * 3 + 3) // 4) * 4
+    bgr = img[..., ::-1].astype(np.uint8)
+    pad = b"\x00" * (stride - w * 3)
+    return b"".join(r.tobytes() + pad for r in bgr[::-1])
+
+
+def _dib_unpack(data: bytes, w: int, h: int) -> np.ndarray:
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(data) < stride * h:
+        raise MediaDecodeError("avi: frame chunk shorter than the DIB raster")
+    rows = np.frombuffer(data, np.uint8, count=stride * h).reshape(h, stride)
+    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+
+
+def encode_avi(frames: "list[np.ndarray]", us_per_frame: int = 40000) -> bytes:
+    """Uncompressed 24-bit RGB frames (equal shapes) → RIFF AVI with
+    raw 'DIB ' video: avih/strh/strf headers, '00db' movi chunks,
+    idx1 keyframe index (every raw frame is a keyframe)."""
+    if not frames:
+        raise ValueError("avi: need at least one frame")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("avi: all frames must share one size")
+    nf = len(frames)
+    stride = ((w * 3 + 3) // 4) * 4
+    frame_bytes = stride * h
+
+    def dw(v: int) -> bytes:
+        return int(v).to_bytes(4, "little")
+
+    avih = b"avih" + dw(56) + b"".join(
+        dw(v)
+        for v in (
+            us_per_frame,
+            (frame_bytes * 1_000_000) // max(us_per_frame, 1),
+            0,  # padding granularity
+            0x10,  # AVIF_HASINDEX
+            nf,
+            0,  # initial frames
+            1,  # streams
+            frame_bytes,
+            w,
+            h,
+            0, 0, 0, 0,  # reserved
+        )
+    )
+    strh = (
+        b"strh"
+        + dw(56)
+        + b"vidsDIB "
+        + dw(0)  # flags
+        + (0).to_bytes(2, "little")  # priority
+        + (0).to_bytes(2, "little")  # language
+        + dw(0)  # initial frames
+        + dw(us_per_frame)  # scale
+        + dw(1_000_000)  # rate → fps = rate/scale
+        + dw(0)  # start
+        + dw(nf)  # length in frames
+        + dw(frame_bytes)
+        + dw(0xFFFFFFFF)  # quality (default)
+        + dw(0)  # sample size (varies per chunk)
+        + (0).to_bytes(2, "little") * 2
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+    )
+    strf = (
+        b"strf"
+        + dw(40)
+        + dw(40)
+        + dw(w)
+        + dw(h)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + dw(0)  # BI_RGB
+        + dw(frame_bytes)
+        + dw(2835) * 2
+        + dw(0) * 2
+    )
+    strl = b"LIST" + dw(4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + dw(4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_body = bytearray(b"movi")
+    idx = bytearray()
+    for f in frames:
+        # idx1 offsets point at the chunk id, measured from the first
+        # byte of the 'movi' fourcc (the common muxer convention)
+        idx += b"00db" + dw(0x10) + dw(len(movi_body)) + dw(frame_bytes)
+        movi_body += b"00db" + dw(frame_bytes) + _dib_pack(f)
+    movi = b"LIST" + dw(len(movi_body)) + bytes(movi_body)
+    idx1 = b"idx1" + dw(len(idx)) + bytes(idx)
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + dw(len(body)) + body
+
+
+def decode_avi_frames(payload: bytes) -> "tuple[list[np.ndarray], int]":
+    """RIFF AVI (raw 'DIB ' video) → ([(h, w, 3) RGB frames],
+    us_per_frame). Walks the chunk tree; only the uncompressed 24-bit
+    BI_RGB profile decodes — compressed handlers raise into the
+    per-row decode_error channel (registered-kernel territory)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise MediaDecodeError("avi: not a RIFF/AVI payload")
+    w = h = None
+    us_per_frame = total = None
+    compression = bpp = None
+    chunks: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, us_per_frame, total, compression, bpp
+        pos = lo
+        while pos + 8 <= hi:
+            cid = payload[pos : pos + 4]
+            size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+            body_lo, body_hi = pos + 8, pos + 8 + size
+            if body_hi > hi:
+                raise MediaDecodeError("avi: truncated chunk")
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)
+            elif cid == b"avih":
+                if size < 56:
+                    raise MediaDecodeError("avi: short avih header")
+                vals = [
+                    int.from_bytes(payload[body_lo + 4 * i : body_lo + 4 * i + 4], "little")
+                    for i in range(10)
+                ]
+                us_per_frame, total = vals[0], vals[4]
+                w, h = vals[8], vals[9]
+            elif cid == b"strf" and compression is None:
+                if size < 40:
+                    raise MediaDecodeError("avi: short strf header")
+                bpp = int.from_bytes(payload[body_lo + 14 : body_lo + 16], "little")
+                compression = int.from_bytes(
+                    payload[body_lo + 16 : body_lo + 20], "little"
+                )
+            elif cid[2:4] in (b"db", b"dc"):
+                chunks.append(payload[body_lo:body_hi])
+            pos = body_hi + (size & 1)
+
+    walk(12, min(len(payload), 8 + int.from_bytes(payload[4:8], "little")))
+    if w is None or us_per_frame is None:
+        raise MediaDecodeError("avi: missing avih header")
+    if compression != 0 or bpp != 24:
+        raise MediaDecodeError(
+            f"avi: only raw 24-bit BI_RGB frames supported "
+            f"(bpp={bpp}, compression={compression})"
+        )
+    if w <= 0 or h <= 0 or w * h * max(len(chunks), 1) > MAX_DECODE_PIXELS:
+        raise MediaDecodeError(
+            f"avi: refusing {len(chunks)}x{w}x{h} (decoder pixel cap)"
+        )
+    if total is not None and len(chunks) != total:
+        raise MediaDecodeError(
+            f"avi: {len(chunks)} frame chunks, avih says {total}"
+        )
+    return [_dib_unpack(c, w, h) for c in chunks], us_per_frame
+
+
+def avi_frame_sample(payload: bytes, n_frames: int) -> "list[tuple[int, int, bytes]]":
+    """REAL video frame sampling (gif_frame_sample's container twin):
+    decode the raw-DIB frames, pick index (j·F)//n, timestamp from the
+    container's own microsecond timeline, re-encode as PPM so
+    downstream feature extraction runs the real image kernel."""
+    frames, uspf = decode_avi_frames(payload)
+    nf = len(frames)
+    if nf == 0:
+        raise MediaDecodeError("avi: no frames to sample")
+    out = []
+    for j in range(n_frames):
+        fi = (j * nf) // n_frames
+        out.append((j, (fi * uspf) // 1000, encode_ppm(frames[fi])))
+    return out
+
+
+def avi_features(payload: bytes) -> list[float]:
+    """Integer-exact video features: [tag, w, h, p_r, p_g, p_b,
+    n_frames, duration_ms] with p_c = (1e6 · Σ_c over ALL frames) //
+    (255 · n_px_total) / 1e6 — an AVI of identical stills matches the
+    still's image ppms exactly."""
+    frames, uspf = decode_avi_frames(payload)
+    if not frames:
+        raise MediaDecodeError("avi: no frames")
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    stack = np.stack(frames).astype(np.int64)
+    n_px = stack.shape[0] * h * w
+    ch = [
+        float((1_000_000 * int(stack[..., c].sum())) // (255 * n_px)) / 1e6
+        for c in range(3)
+    ]
+    dur_ms = (len(frames) * uspf) // 1000
+    return [VIDEO_TAG, float(w), float(h), *ch, float(len(frames)), float(dur_ms)]
+
+
+def avi_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Decode → bilinear per frame → re-encode with the original frame
+    timing (the thumbnail-reel step of a video curation pipeline)."""
+    frames, uspf = decode_avi_frames(payload)
+    return encode_avi([bilinear_resize(f, w, h) for f in frames], uspf)
+
+
 # --- header probes (cheap metadata, NO pixel/sample decode) --------------------
 #
 # A media catalog at scale fills width/height/duration from HEADERS —
@@ -3597,11 +3815,36 @@ def probe_header(payload: bytes) -> tuple[int | None, int | None, int | None]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, _ch, n_frames = _wav_header_meta(payload)
         return None, None, (1000 * n_frames) // rate if rate else None
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return _avi_header_meta(payload)
     if payload[:4] == b"fLaC":
         return None, None, _flac_header_duration_ms(payload)
     if payload[:3] == b"ID3":
         return None, None, _mp3_header_duration_ms(payload)
     raise MediaDecodeError("probe: unknown magic")
+
+
+def _avi_header_meta(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, duration_ms) from the avih MainAVIHeader alone
+    (dwMicroSecPerFrame · dwTotalFrames) — no movi walk, no raster."""
+    pos, ln = 12, len(payload)
+    while pos + 8 <= ln:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"LIST":
+            if payload[pos + 8 : pos + 12] == b"hdrl":
+                pos += 12
+                continue
+        elif cid == b"avih":
+            if size < 56 or pos + 8 + 56 > ln:
+                raise MediaDecodeError("avi: short avih header")
+            v = [
+                int.from_bytes(payload[pos + 8 + 4 * i : pos + 12 + 4 * i], "little")
+                for i in range(10)
+            ]
+            return v[8], v[9], (v[0] * v[4]) // 1000
+        pos += 8 + size + (size & 1)
+    raise MediaDecodeError("avi: missing avih header")
 
 
 def _flac_header_duration_ms(payload: bytes) -> int | None:

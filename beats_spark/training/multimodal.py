@@ -4,12 +4,14 @@ metadata; decode/feature-extract as Arrow-batched mapInPandas stages.
 Decode kernels: PPM (P6), 24-bit BMP, PNG (zlib + unfilter), baseline
 JPEG (Huffman + IDCT), GIF (LZW, incl. animation) and lossless WebP
 (VP8L) images — every image format the sniff chain knows — plus PCM16
-WAV audio decode FOR REAL via the pure-numpy codecs in
-media_codecs.py (decode + resize + re-encode); animated GIFs also make
-sample_frames a real frame sampler. The remaining compressed AUDIO
-formats (mp3/ogg), lossy VP8 WebP and video containers still need a
-registered kernel (`register_decoder`, e.g. PIL/torchaudio/ffmpeg in
-a real deployment); for those the deterministic byte-hash stub
+WAV / IMA ADPCM / FLAC audio and raw-DIB AVI video decode FOR REAL
+via the pure-numpy codecs in media_codecs.py (decode + resize +
+re-encode); animated GIFs, animated WebPs and raw-DIB AVIs make
+sample_frames a real frame sampler. The remaining PERCEPTUAL formats
+(mp3/ogg audio, lossy VP8 WebP, h264-class compressed video) still
+need a registered kernel (`register_decoder`, e.g.
+PIL/torchaudio/ffmpeg in a real deployment); for those the
+deterministic byte-hash stub
 remains as the documented fallback so the plumbing — schema,
 partitioning, batch shape, UDF signatures — is exercised for every
 kind.
@@ -105,6 +107,15 @@ def _default_audio_decode(payload: bytes) -> list[float]:
     return _fake_decode(payload)
 
 
+def _default_video_decode(payload: bytes) -> list[float]:
+    """Real decode for AVI with raw DIB frames (the uncompressed video
+    profile); stub fallback for compressed containers (mp4/mkv need a
+    registered kernel)."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return media_codecs.avi_features(payload)
+    return _fake_decode(payload)
+
+
 def _real_decode(kind: str):
     fn = _DECODERS.get(kind)
     if fn is not None:
@@ -114,7 +125,7 @@ def _real_decode(kind: str):
     if kind == "audio":
         return _default_audio_decode
     if kind == "video":
-        return lambda b: _fake_decode(b)
+        return _default_video_decode
     raise NotImplementedError(f"no decoder registered for media kind {kind!r}")
 
 
@@ -131,6 +142,7 @@ _MAGIC_CHAIN: "list[tuple[bytes, bytes | None, str, str]]" = [
     (b"BM", None, "bmp", "image"),
     (b"RIFF", b"WAVE", "wav", "audio"),
     (b"RIFF", b"WEBP", "webp", "image"),
+    (b"RIFF", b"AVI ", "avi", "video"),
     (b"fLaC", None, "flac", "audio"),
     (b"ID3", None, "mp3", "audio"),
     (b"OggS", None, "ogg", "audio"),
@@ -160,11 +172,11 @@ def sniff_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
         fmt = F.when(cond, F.lit(name)) if fmt is None else fmt.when(cond, F.lit(name))
         kinds.setdefault(k, []).append(name)
     fmt = fmt.otherwise(F.lit("unknown"))
-    kind = (
-        F.when(fmt.isin(*kinds["image"]), F.lit("image"))
-        .when(fmt.isin(*kinds["audio"]), F.lit("audio"))
-        .otherwise(F.lit("unknown"))
-    )
+    kind = None
+    for k, names in kinds.items():
+        cond = fmt.isin(*names)
+        kind = F.when(cond, F.lit(k)) if kind is None else kind.when(cond, F.lit(k))
+    kind = kind.otherwise(F.lit("unknown"))
     meta = F.named_struct(
         F.lit("kind"), kind,
         F.lit("format"), fmt,
@@ -281,6 +293,14 @@ def _default_image_resize(payload: bytes, w: int, h: int) -> bytes:
     return _fake_resize(payload, w, h)
 
 
+def _default_video_resize(payload: bytes, w: int, h: int) -> bytes:
+    """Real per-frame bilinear resize for raw-DIB AVI; byte-resample
+    stub fallback for compressed containers."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return media_codecs.avi_resize(payload, w, h)
+    return _fake_resize(payload, w, h)
+
+
 def resize_media(
     df: DataFrame,
     width: int,
@@ -320,7 +340,11 @@ def resize_media(
                 kind = kind_vals[idx] if kind_vals is not None else default_kind
                 keys.append(key_vals[idx])
                 fn = _RESIZERS.get(kind) or (
-                    _default_image_resize if kind == "image" else _fake_resize
+                    _default_image_resize
+                    if kind == "image"
+                    else _default_video_resize
+                    if kind == "video"
+                    else _fake_resize
                 )
                 try:
                     outs.append(fn(payload, width, height))
@@ -366,6 +390,8 @@ def _real_frame_sample(payload: bytes, n_frames: int):
         fn = media_codecs.gif_frame_sample
     if fn is None and fmt == "webp":
         fn = media_codecs.webp_frame_sample
+    if fn is None and fmt == "avi":
+        fn = media_codecs.avi_frame_sample
     return fn(payload, n_frames) if fn is not None else None
 
 

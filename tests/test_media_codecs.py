@@ -1304,3 +1304,129 @@ def test_flac_sniffed_and_decoded_as_audio(spark):
     assert out["flac"].decode_error is None
     assert out["adpcm"].decode_error is None
     assert ints(out["adpcm"].feat)[:1] == [2_000_000]
+
+
+# --- AVI (raw-DIB video container) ----------------------------------------------
+
+
+def test_avi_round_trip_padding_and_timing():
+    rng = np.random.default_rng(11)
+    # width 7 -> 21-byte rows padded to 24 (the 4-byte DIB stride)
+    frames = [rng.integers(0, 256, (5, 7, 3)).astype(np.uint8) for _ in range(4)]
+    p = mc.encode_avi(frames, us_per_frame=33000)
+    dec, uspf = mc.decode_avi_frames(p)
+    assert uspf == 33000 and len(dec) == 4
+    for a, b in zip(frames, dec):
+        assert (a == b).all()
+    # single frame, stride-aligned width
+    one = [np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)]
+    dec, _ = mc.decode_avi_frames(mc.encode_avi(one))
+    assert (dec[0] == one[0]).all()
+
+
+def test_avi_features_probe_and_ppm_parity():
+    img = np.full((4, 8, 3), 51, np.uint8)
+    p = mc.encode_avi([img, img, img], us_per_frame=40000)
+    f = mc.avi_features(p)
+    # stills of one constant image: channel ppms equal the PPM kernel's
+    assert f[:3] == [3.0, 8.0, 4.0]
+    assert f[3:6] == mc.ppm_features(mc.encode_ppm(img))[3:6]
+    assert f[6:] == [3.0, 120.0]  # n_frames, duration_ms
+    assert mc.probe_header(p) == (8, 4, 120)
+
+
+def test_avi_frame_sample_real_pixels_and_timeline():
+    frames = [np.full((2, 3, 3), 40 * k, np.uint8) for k in range(5)]
+    p = mc.encode_avi(frames, us_per_frame=20000)
+    out = mc.avi_frame_sample(p, 3)
+    # nearest sampling picks source frames (j*F)//n = 0, 1, 3; ts =
+    # fi * 20ms on the container timeline; j stays the sample index
+    assert [(j, ts) for j, ts, _ in out] == [(0, 0), (1, 20), (2, 60)]
+    for (_, _, ppm), fi in zip(out, (0, 1, 3)):
+        assert (mc.decode_ppm(ppm) == frames[fi]).all()
+
+
+def test_avi_resize_real_kernel():
+    src = np.zeros((1, 2, 3), dtype=np.uint8)
+    src[0, 1] = 200
+    p = mc.avi_resize(mc.encode_avi([src, src], 12000), 4, 1)
+    dec, uspf = mc.decode_avi_frames(p)
+    assert uspf == 12000 and len(dec) == 2
+    assert dec[0][0, :, 0].tolist() == [0, 50, 150, 200]  # bilinear
+
+
+def test_avi_malformed_raises():
+    img = np.zeros((2, 2, 3), np.uint8)
+    base = mc.encode_avi([img, img], 40000)
+    with pytest.raises(mc.MediaDecodeError, match="not a RIFF/AVI"):
+        mc.decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(mc.MediaDecodeError, match="missing avih"):
+        mc.decode_avi_frames(b"RIFF\x04\x00\x00\x00AVI ")
+    # compressed handler rejected (flip biCompression in strf)
+    comp = bytearray(base)
+    strf_val = comp.index(b"strf")
+    comp[strf_val + 8 + 16] = 1
+    with pytest.raises(mc.MediaDecodeError, match="only raw 24-bit"):
+        mc.decode_avi_frames(bytes(comp))
+    # frame-count mismatch vs avih
+    cut = bytearray(base)
+    avih = cut.index(b"avih")
+    cut[avih + 8 + 16] = 9  # dwTotalFrames
+    with pytest.raises(mc.MediaDecodeError, match="avih says"):
+        mc.decode_avi_frames(bytes(cut))
+    # hostile header: huge dims refused BEFORE any raster work
+    big = bytearray(base)
+    big[avih + 8 + 32 : avih + 8 + 36] = (1 << 20).to_bytes(4, "little")
+    big[avih + 8 + 36 : avih + 8 + 40] = (1 << 20).to_bytes(4, "little")
+    with pytest.raises(mc.MediaDecodeError, match="pixel cap"):
+        mc.decode_avi_frames(bytes(big))
+    # truncated frame chunk
+    with pytest.raises(mc.MediaDecodeError, match="truncated chunk"):
+        mc.decode_avi_frames(base[:-20])
+
+
+def test_avi_sniff_sample_and_resize_distributed(spark):
+    from beats_spark.training.multimodal import (
+        extract_features,
+        probe_media_meta,
+        resize_media,
+        sample_frames,
+        sniff_media_meta,
+    )
+
+    frames = [np.full((2, 3, 3), 60 * k, np.uint8) for k in range(3)]
+    rows = [
+        ("vid", bytearray(mc.encode_avi(frames, us_per_frame=50000))),
+        ("bad", bytearray(b"RIFF\x08\x00\x00\x00AVI zzzz")),
+    ]
+    df = spark.createDataFrame(rows, "key string, media binary")
+    sniffed = sniff_media_meta(df)
+    meta = {r["key"]: r for r in sniffed.collect()}
+    assert meta["vid"].media_meta.kind == "video"
+    assert meta["vid"].media_meta.format == "avi"
+    # probe fills dims + duration from the avih header alone
+    probed = {r["key"]: r for r in probe_media_meta(df).collect()}
+    assert (probed["vid"].width, probed["vid"].height) == (3, 2)
+    assert probed["vid"].duration_ms == 150
+    assert "avih" in probed["bad"].probe_error
+    # real video features through the default video kernel
+    kinds = sniffed.select(
+        "key", "media", sniffed.media_meta.kind.alias("kind")
+    )
+    feats = {r["key"]: r for r in extract_features(kinds, kind_col="kind").collect()}
+    assert [round(v) for v in feats["vid"].feat[:3]] == [3, 3, 2]
+    assert feats["bad"].feat is None and "avih" in feats["bad"].decode_error
+    # real frame sampling: 3 frames with container timestamps
+    samp = (
+        sample_frames(df.filter("key = 'vid'"), 3)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r["ts_ms"] for r in samp] == [0, 50, 100]
+    assert (mc.decode_ppm(bytes(samp[2]["frame"])) == frames[2]).all()
+    # real per-frame resize via the video dispatch
+    rz = resize_media(
+        kinds.filter("key = 'vid'"), 6, 4, kind_col="kind"
+    ).collect()[0]
+    rdec, _ = mc.decode_avi_frames(bytes(rz["media"]))
+    assert len(rdec) == 3 and rdec[0].shape == (4, 6, 3)
