@@ -98,7 +98,8 @@ def _winnow_op(spark: SparkSession, sf_dir: str):
     return dedup.winnow_dup_pairs(docs, k=4, w=4, min_shared=2, portable=True)
 
 
-def _media_probe(builder: str, chain: str = "features"):
+def _media_probe(builder: str, chain: str = "features", kind: str | None = None,
+                 agg_idx: int = 8):
     """q66/q71/q72 cap their gates at 48 planted docs (the oracle's
     bounded driver-side construction), so their catalog α would only
     measure the fixed plant. The probe measures the DISTRIBUTED stage
@@ -131,10 +132,14 @@ def _media_probe(builder: str, chain: str = "features"):
                 F.concat_ws(":", "key", "frame_idx").alias("key"),
                 F.col("frame").alias("media"),
             )
-        feats = extract_features(media, key_col="key")
+        if kind is not None:
+            media = media.withColumn("kind", F.lit(kind))
+            feats = extract_features(media, key_col="key", kind_col="kind")
+        else:
+            feats = extract_features(media, key_col="key")
         return feats.select(
             F.count("*").alias("n"),
-            F.sum(F.element_at("feat", 8)).alias("px"),
+            F.sum(F.element_at("feat", agg_idx)).alias("px"),
         )
 
     return run
@@ -171,6 +176,8 @@ EXTRA_PROBES = {
     "q72_gif_operator": _media_probe("_gif_planted_rows", chain="frames"),
     "q73_webp_operator": _media_probe("_webp_planted_rows"),
     "q75_webp_anim_operator": _media_probe("_webp_anim_planted_rows", chain="frames"),
+    "q77_audio_operator": _media_probe("_audio_planted_rows", kind="audio", agg_idx=2),
+    "q78_avi_operator": _media_probe("_avi_planted_rows", chain="frames"),
 }
 
 
