@@ -2007,9 +2007,10 @@ FROM s ORDER BY doc_id, frame_idx"""
 
 def _probe_planted_rows() -> list:
     """The 48 q76 payloads (driver-side, bounded): one asset per doc
-    rotating through all six real container families with dims /
+    rotating through all EIGHT real container families with dims /
     durations that are pure functions of doc_id — PPM, PNG, JPEG,
-    animated GIF, animated WebP, PCM16 WAV."""
+    animated GIF, animated WebP, PCM16 WAV, raw-DIB AVI, and ISO BMFF
+    MP4 shells (both box-layout versions)."""
     import numpy as np
 
     from beats_spark.training import media_codecs
@@ -2018,7 +2019,7 @@ def _probe_planted_rows() -> list:
     for d in range(48):
         w, h = 3 + d % 5, 2 + d % 4
         img = np.zeros((h, w, 3), dtype=np.uint8)
-        kind = d % 6
+        kind = d % 8
         if kind == 0:
             payload = media_codecs.encode_ppm(img)
         elif kind == 1:
@@ -2038,9 +2039,21 @@ def _probe_planted_rows() -> list:
                 [img] * nf,
                 durations_ms=[10 * (1 + (d + f) % 3) for f in range(nf)],
             )
-        else:
+        elif kind == 5:
             payload = media_codecs.encode_wav(
                 8000, 1, np.zeros(200 * (1 + d % 7), dtype=np.int16)
+            )
+        elif kind == 6:
+            payload = media_codecs.encode_avi(
+                [img] * (2 + d % 3), us_per_frame=1000 * (10 + d % 5)
+            )
+        else:
+            payload = media_codecs.encode_mp4_meta(
+                w,
+                h,
+                100 * (1 + d % 7),
+                timescale=1000 + 89000 * (d % 2),
+                version=(d // 2) % 2,
             )
         rows.append((d, bytearray(payload)))
     return rows
@@ -2051,12 +2064,15 @@ def q_media_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     width/height/duration_ms fields the native sniff leaves NULL by
     parsing ONLY container headers distributed over mapInPandas —
     JPEG marker hops, GIF sub-block skips without LZW, ANMF headers
-    without touching VP8L, WAV fmt/data sizes. This is the catalog
-    pass a 100 TB media lake runs over every asset (a few dozen bytes
-    each); full decode stays in the training job (q19/q40/q66/+).
-    The oracle recomputes every dimension and duration from the
-    planting arithmetic — all six container families covered, pure
-    integers throughout."""
+    without touching VP8L, WAV fmt/data sizes, AVI avih fields, and
+    ISO BMFF mvhd/tkhd box walks (both 32/64-bit layouts — mp4 is the
+    one container whose FRAME decode stays registered-kernel, but its
+    catalog pass is pure public box grammar). This is the pass a
+    100 TB media lake runs over every asset (a few dozen bytes each);
+    full decode stays in the training job (q19/q40/q66/+). The oracle
+    recomputes every dimension and duration from the planting
+    arithmetic — all eight container families covered, pure integers
+    throughout."""
     from beats_spark.training.multimodal import probe_media_meta
 
     planted = spark.createDataFrame(
@@ -2088,14 +2104,17 @@ def q_media_probe_oracle() -> str:
     return f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id < 48)
 SELECT d AS doc_id,
-       CASE d % 6 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
-                  WHEN 3 THEN 'gif' WHEN 4 THEN 'webp' ELSE 'wav' END AS format,
-       CASE WHEN d % 6 = 2 THEN 8 + d % 9
-            WHEN d % 6 = 5 THEN NULL ELSE 3 + d % 5 END AS width,
-       CASE WHEN d % 6 = 2 THEN 8
-            WHEN d % 6 = 5 THEN NULL ELSE 2 + d % 4 END AS height,
-       CASE WHEN d % 6 IN (3, 4) THEN {dur_anim}
-            WHEN d % 6 = 5 THEN 25 * (1 + d % 7)
+       CASE d % 8 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+                  WHEN 3 THEN 'gif' WHEN 4 THEN 'webp' WHEN 5 THEN 'wav'
+                  WHEN 6 THEN 'avi' ELSE 'mp4' END AS format,
+       CASE WHEN d % 8 = 2 THEN 8 + d % 9
+            WHEN d % 8 = 5 THEN NULL ELSE 3 + d % 5 END AS width,
+       CASE WHEN d % 8 = 2 THEN 8
+            WHEN d % 8 = 5 THEN NULL ELSE 2 + d % 4 END AS height,
+       CASE WHEN d % 8 IN (3, 4) THEN {dur_anim}
+            WHEN d % 8 = 5 THEN 25 * (1 + d % 7)
+            WHEN d % 8 = 6 THEN (2 + d % 3) * (10 + d % 5)
+            WHEN d % 8 = 7 THEN 100 * (1 + d % 7)
             ELSE NULL END AS duration_ms,
        CAST(1 AS BIGINT) AS ok
 FROM t ORDER BY doc_id"""

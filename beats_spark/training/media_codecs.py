@@ -3775,6 +3775,154 @@ def avi_resize(payload: bytes, w: int, h: int) -> bytes:
     return encode_avi([bilinear_resize(f, w, h) for f in frames], uspf)
 
 
+# --- MP4 / ISO BMFF (header-level: the catalog-pass container) ------------------
+#
+# The dominant real-world video container. Frame DECODE is
+# registered-kernel territory (the samples are h264-class perceptual
+# codecs), but the catalog pass — dims and duration — is pure box
+# walking per the public ISO 14496-12 grammar: moov/mvhd carries
+# timescale+duration, trak/tkhd carries 16.16 fixed-point
+# presentation width/height. encode_mp4_meta plants structurally
+# valid shells (ftyp + moov + empty mdat, no media samples) so the
+# probe path is exercised against real box layouts, both box-header
+# widths and both mvhd/tkhd versions.
+
+
+def encode_mp4_meta(
+    w: int, h: int, duration_ms: int, timescale: int = 1000, version: int = 0
+) -> bytes:
+    """Structurally valid ISO BMFF shell: ftyp('isom') + moov(mvhd +
+    trak(tkhd)) + empty mdat. version selects 32-bit (0) or 64-bit (1)
+    mvhd/tkhd layouts. Carries NO media samples — this plants the
+    header-probe surface, not a decodable video."""
+    if version not in (0, 1):
+        raise ValueError("mp4: version must be 0 or 1")
+    dur = (duration_ms * timescale) // 1000
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return (8 + len(body)).to_bytes(4, "big") + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + (0).to_bytes(4, "big") + b"isomiso2mp41")
+    if version:
+        mvhd_body = (
+            b"\x01\x00\x00\x00"
+            + (0).to_bytes(8, "big") * 2  # creation/modification
+            + timescale.to_bytes(4, "big")
+            + dur.to_bytes(8, "big")
+        )
+        tkhd_fixed = (
+            b"\x01\x00\x00\x07"
+            + (0).to_bytes(8, "big") * 2
+            + (1).to_bytes(4, "big")  # track id
+            + (0).to_bytes(4, "big")
+            + dur.to_bytes(8, "big")
+        )
+    else:
+        mvhd_body = (
+            b"\x00\x00\x00\x00"
+            + (0).to_bytes(4, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + dur.to_bytes(4, "big")
+        )
+        tkhd_fixed = (
+            b"\x00\x00\x00\x07"
+            + (0).to_bytes(4, "big") * 2
+            + (1).to_bytes(4, "big")
+            + (0).to_bytes(4, "big")
+            + dur.to_bytes(4, "big")
+        )
+    mvhd_body += (
+        (0x00010000).to_bytes(4, "big")  # rate 1.0
+        + (0x0100).to_bytes(2, "big")  # volume 1.0
+        + bytes(10)  # reserved
+        + _MP4_UNITY_MATRIX
+        + bytes(24)  # pre_defined
+        + (2).to_bytes(4, "big")  # next track id
+    )
+    tkhd_body = (
+        tkhd_fixed
+        + bytes(8)  # reserved
+        + bytes(2) * 2  # layer, alternate_group
+        + bytes(2)  # volume (video track: 0)
+        + bytes(2)  # reserved
+        + _MP4_UNITY_MATRIX
+        + (w << 16).to_bytes(4, "big")
+        + (h << 16).to_bytes(4, "big")
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd_body) + box(b"trak", box(b"tkhd", tkhd_body)))
+    return ftyp + moov + box(b"mdat", b"")
+
+
+_MP4_UNITY_MATRIX = (
+    (0x00010000).to_bytes(4, "big")
+    + bytes(4) * 2
+    + bytes(4)
+    + (0x00010000).to_bytes(4, "big")
+    + bytes(4)
+    + bytes(4) * 2
+    + (0x40000000).to_bytes(4, "big")
+)
+
+
+def _mp4_boxes(payload: bytes, lo: int, hi: int):
+    """Yield (type, body_lo, box_hi) walking ISO BMFF boxes in
+    [lo, hi) — 32-bit sizes, size==1 → 64-bit largesize, size==0 →
+    to end of enclosing box."""
+    pos = lo
+    while pos + 8 <= hi:
+        size = int.from_bytes(payload[pos : pos + 4], "big")
+        btype = payload[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > hi:
+                raise MediaDecodeError("mp4: truncated largesize box")
+            size = int.from_bytes(payload[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:
+            size = hi - pos
+        if size < 8 or pos + size > hi:
+            raise MediaDecodeError("mp4: bad box size")
+        yield btype, body, pos + size
+        pos += size
+
+
+def _mp4_header_meta(payload: bytes) -> tuple[int | None, int | None, int | None]:
+    """(width, height, duration_ms) from moov/mvhd + the first
+    trak/tkhd — box walking only, no sample data touched."""
+    moov = None
+    for t, lo, hi in _mp4_boxes(payload, 0, len(payload)):
+        if t == b"moov":
+            moov = (lo, hi)
+            break
+    if moov is None:
+        raise MediaDecodeError("mp4: missing moov box")
+    w = h = dur_ms = None
+    for t, lo, hi in _mp4_boxes(payload, *moov):
+        if t == b"mvhd":
+            ver = payload[lo]
+            if ver == 1:
+                ts = int.from_bytes(payload[lo + 20 : lo + 24], "big")
+                dur = int.from_bytes(payload[lo + 24 : lo + 32], "big")
+            else:
+                ts = int.from_bytes(payload[lo + 12 : lo + 16], "big")
+                dur = int.from_bytes(payload[lo + 16 : lo + 20], "big")
+            if not ts:
+                raise MediaDecodeError("mp4: zero mvhd timescale")
+            dur_ms = (1000 * dur) // ts
+        elif t == b"trak" and w is None:
+            for t2, lo2, _hi2 in _mp4_boxes(payload, lo, hi):
+                if t2 == b"tkhd":
+                    ver = payload[lo2]
+                    base = lo2 + (88 if ver == 1 else 76)
+                    if base + 8 > hi:
+                        raise MediaDecodeError("mp4: truncated tkhd box")
+                    w = int.from_bytes(payload[base : base + 4], "big") >> 16
+                    h = int.from_bytes(payload[base + 4 : base + 8], "big") >> 16
+    if dur_ms is None:
+        raise MediaDecodeError("mp4: missing mvhd box")
+    return w, h, dur_ms
+
+
 # --- header probes (cheap metadata, NO pixel/sample decode) --------------------
 #
 # A media catalog at scale fills width/height/duration from HEADERS —
@@ -3817,6 +3965,8 @@ def probe_header(payload: bytes) -> tuple[int | None, int | None, int | None]:
         return None, None, (1000 * n_frames) // rate if rate else None
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         return _avi_header_meta(payload)
+    if payload[4:8] == b"ftyp":
+        return _mp4_header_meta(payload)
     if payload[:4] == b"fLaC":
         return None, None, _flac_header_duration_ms(payload)
     if payload[:3] == b"ID3":

@@ -134,18 +134,22 @@ def _real_decode(kind: str):
 # (_sniff_one), so a format added to one cannot silently drift from the
 # other (the two used to disagree on the PNG prefix length). Entries:
 # (prefix, RIFF form type at bytes 9-12 or None, format, kind).
-_MAGIC_CHAIN: "list[tuple[bytes, bytes | None, str, str]]" = [
-    (b"\x89PNG\r\n\x1a\n", None, "png", "image"),
-    (b"\xff\xd8\xff", None, "jpeg", "image"),
-    (b"GIF8", None, "gif", "image"),
-    (b"P6", None, "ppm", "image"),
-    (b"BM", None, "bmp", "image"),
-    (b"RIFF", b"WAVE", "wav", "audio"),
-    (b"RIFF", b"WEBP", "webp", "image"),
-    (b"RIFF", b"AVI ", "avi", "video"),
-    (b"fLaC", None, "flac", "audio"),
-    (b"ID3", None, "mp3", "audio"),
-    (b"OggS", None, "ogg", "audio"),
+_MAGIC_CHAIN: "list[tuple[bytes, int, bytes | None, str, str]]" = [
+    # (magic bytes, magic offset, RIFF form at 8:12 or None, format, kind)
+    (b"\x89PNG\r\n\x1a\n", 0, None, "png", "image"),
+    (b"\xff\xd8\xff", 0, None, "jpeg", "image"),
+    (b"GIF8", 0, None, "gif", "image"),
+    (b"P6", 0, None, "ppm", "image"),
+    (b"BM", 0, None, "bmp", "image"),
+    (b"RIFF", 0, b"WAVE", "wav", "audio"),
+    (b"RIFF", 0, b"WEBP", "webp", "image"),
+    (b"RIFF", 0, b"AVI ", "avi", "video"),
+    (b"fLaC", 0, None, "flac", "audio"),
+    (b"ID3", 0, None, "mp3", "audio"),
+    (b"OggS", 0, None, "ogg", "audio"),
+    # ISO BMFF: the box TYPE at bytes 4-8 is the signature (bytes 0-4
+    # are the ftyp box size, which varies)
+    (b"ftyp", 4, None, "mp4", "video"),
 ]
 
 
@@ -157,16 +161,16 @@ def sniff_media_meta(df: DataFrame, media_col: str = "media") -> DataFrame:
     every webp)."""
     b = F.col(media_col)
 
-    def magic(sig: bytes) -> "F.Column":
+    def magic(sig: bytes, off: int) -> "F.Column":
         # compare hex of the binary prefix — a string cast would mangle
         # non-UTF8 magic bytes
-        return F.hex(F.substring(b, 1, len(sig))) == sig.hex().upper()
+        return F.hex(F.substring(b, off + 1, len(sig))) == sig.hex().upper()
 
     riff_form = F.hex(F.substring(b, 9, 4))
     fmt = None
     kinds = {}
-    for prefix, form, name, k in _MAGIC_CHAIN:
-        cond = magic(prefix)
+    for prefix, off, form, name, k in _MAGIC_CHAIN:
+        cond = magic(prefix, off)
         if form is not None:
             cond = cond & (riff_form == form.hex().upper())
         fmt = F.when(cond, F.lit(name)) if fmt is None else fmt.when(cond, F.lit(name))
@@ -398,8 +402,8 @@ def _real_frame_sample(payload: bytes, n_frames: int):
 def _sniff_one(payload: bytes) -> str:
     """Python-side twin of sniff_media_meta (worker-side dispatch for
     registered samplers) — driven by the SAME _MAGIC_CHAIN table."""
-    for prefix, form, name, _kind in _MAGIC_CHAIN:
-        if payload[: len(prefix)] == prefix and (
+    for prefix, off, form, name, _kind in _MAGIC_CHAIN:
+        if payload[off : off + len(prefix)] == prefix and (
             form is None or payload[8:12] == form
         ):
             return name

@@ -1430,3 +1430,59 @@ def test_avi_sniff_sample_and_resize_distributed(spark):
     ).collect()[0]
     rdec, _ = mc.decode_avi_frames(bytes(rz["media"]))
     assert len(rdec) == 3 and rdec[0].shape == (4, 6, 3)
+
+
+# --- MP4 / ISO BMFF header probe -------------------------------------------------
+
+
+def test_mp4_header_probe_both_versions_and_largesize():
+    for ver in (0, 1):
+        p = mc.encode_mp4_meta(640, 360, 5400, timescale=90000, version=ver)
+        assert mc.probe_header(p) == (640, 360, 5400), ver
+    # non-integer-ms duration floors like the planting arithmetic
+    p = mc.encode_mp4_meta(8, 4, 333, timescale=1000)
+    assert mc.probe_header(p) == (8, 4, 333)
+    # 64-bit largesize box header on the moov path
+    p = bytearray(mc.encode_mp4_meta(12, 7, 250))
+    moov = p.index(b"moov") - 4
+    size = int.from_bytes(p[moov : moov + 4], "big")
+    big = (
+        bytes(p[:moov])
+        + (1).to_bytes(4, "big")
+        + b"moov"
+        + (size + 8).to_bytes(8, "big")
+        + bytes(p[moov + 8 : moov + size])
+        + bytes(p[moov + size :])
+    )
+    assert mc.probe_header(big) == (12, 7, 250)
+
+
+def test_mp4_malformed_raises():
+    base = mc.encode_mp4_meta(4, 4, 100)
+    ftyp_len = int.from_bytes(base[0:4], "big")
+    with pytest.raises(mc.MediaDecodeError, match="missing moov"):
+        mc.probe_header(base[:ftyp_len])
+    bad = bytearray(base)
+    mvhd = bad.index(b"mvhd") + 4
+    bad[mvhd + 12 : mvhd + 16] = (0).to_bytes(4, "big")  # timescale 0
+    with pytest.raises(mc.MediaDecodeError, match="zero mvhd timescale"):
+        mc.probe_header(bytes(bad))
+    with pytest.raises(mc.MediaDecodeError, match="bad box size"):
+        mc.probe_header(base[: ftyp_len + 12])  # truncated moov
+
+
+def test_mp4_sniffed_and_probed_distributed(spark):
+    from beats_spark.training.multimodal import probe_media_meta, sniff_media_meta
+
+    rows = [
+        ("clip", bytearray(mc.encode_mp4_meta(1920, 1080, 60000, version=1))),
+        ("badmp4", bytearray(b"\x00\x00\x00\x14ftypisom" + bytes(12))),
+    ]
+    df = spark.createDataFrame(rows, "key string, media binary")
+    meta = {r["key"]: r for r in sniff_media_meta(df).collect()}
+    assert meta["clip"].media_meta.format == "mp4"
+    assert meta["clip"].media_meta.kind == "video"
+    probed = {r["key"]: r for r in probe_media_meta(df).collect()}
+    assert (probed["clip"].width, probed["clip"].height) == (1920, 1080)
+    assert probed["clip"].duration_ms == 60000
+    assert "moov" in probed["badmp4"].probe_error
