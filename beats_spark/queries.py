@@ -2052,8 +2052,10 @@ def _probe_planted_rows() -> list:
                 w,
                 h,
                 100 * (1 + d % 7),
-                timescale=1000 + 89000 * (d % 2),
-                version=(d // 2) % 2,
+                # mp4 docs are d % 8 == 7 (always odd), so the
+                # version/timescale rotations must run on d // 8
+                timescale=1000 + 89000 * ((d // 8) % 2),
+                version=(d // 16) % 2,
             )
         rows.append((d, bytearray(payload)))
     return rows
@@ -2128,7 +2130,7 @@ def _audio_planted_rows() -> list:
     planted through the REAL compressed-audio encoders —
     d % 3 == 0: mono FLAC, s[i] = ((31d + 73i) % 401) - 200 (jumpy →
       Rice/verbatim mix), multi-frame (block_size 64), partition
-      order rotating d % 3;
+      order rotating (d//3) % 3 (d % 3 is constant on this branch);
     d % 3 == 1: stereo FLAC cycling ALL FOUR decorrelation modes by
       d % 4, left[i] = ((17d + 3i) % 229) - 114,
       right[i] = ((13d + 7i) % 173) - 86;
@@ -2151,7 +2153,13 @@ def _audio_planted_rows() -> list:
                 [((d * 31 + i * 73) % 401) - 200 for i in range(n)], np.int16
             )
             payload = media_codecs.encode_flac(
-                8000 + 100 * (d % 4), 1, s, block_size=64, partition_order=d % 3
+                8000 + 100 * (d % 4),
+                1,
+                s,
+                block_size=64,
+                # kind-0 docs all have d % 3 == 0, so the rotation must
+                # run on d // 3 or every plant would get order 0
+                partition_order=(d // 3) % 3,
             )
         elif kind == 1:
             fr = 80 + 8 * (d % 3)

@@ -3055,7 +3055,10 @@ def _flac_residual(rd: _MsbReader, bs: int, order: int) -> "np.ndarray":
     pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
     porder = rd.read(4)
     nparts = 1 << porder
-    if bs % nparts or bs // nparts <= (order if porder == 0 else 0):
+    # RFC 9639: bs must divide evenly AND (bs >> porder) must exceed
+    # the predictor order (the FIRST partition carries bs/2^p - order
+    # residuals, which must stay positive at every porder, not just 0)
+    if bs % nparts or bs // nparts <= order:
         raise MediaDecodeError("flac: invalid partition order")
     out: list[int] = []
     for p in range(nparts):
@@ -3185,9 +3188,16 @@ def decode_flac(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
         raise MediaDecodeError("flac: decoded sample exceeds bits-per-sample")
     if info["md5"] != b"\x00" * 16:
         width = (info["bps"] + 7) // 8
-        raw = b"".join(
-            int(s).to_bytes(width, "little", signed=True) for s in samples
-        )
+        # vectorized little-endian serialization (a per-sample
+        # int.to_bytes loop is an O(n) Python loop in the hot decode
+        # path); width 3 slices the low bytes of the int32 lanes
+        if width in (1, 2, 4):
+            raw = samples.astype(f"<i{width}").tobytes()
+        else:
+            le32 = np.frombuffer(
+                samples.astype("<i4").tobytes(), np.uint8
+            ).reshape(-1, 4)
+            raw = le32[:, :3].tobytes()
         if hashlib.md5(raw).digest() != info["md5"]:
             raise MediaDecodeError("flac: PCM MD5 mismatch")
     return info["rate"], nch, info["bps"], samples.astype(np.int64)
@@ -3210,7 +3220,9 @@ def _flac_write_residual(
     raw bits when cheaper. `porder` > 0 requires bs divisible by 2^p
     with a first partition longer than the predictor order."""
     nparts = 1 << porder
-    if bs % nparts or bs // nparts <= (order if porder == 0 else 0):
+    # same RFC 9639 constraint as the decoder: demote whenever the
+    # first partition would not keep a positive residual count
+    if bs % nparts or bs // nparts <= order:
         porder, nparts = 0, 1
     wr.write(0, 2)  # 4-bit Rice parameters
     wr.write(porder, 4)
@@ -3503,9 +3515,15 @@ def _decode_ima_adpcm(
         raise MediaDecodeError("adpcm: block_align too small for headers")
     frames: list[np.ndarray] = []
     total = 0
-    for off in range(0, len(data) - block_align + 1, block_align):
+    for off in range(0, len(data), block_align):
         blk = data[off : off + block_align]
+        is_final = off + block_align >= len(data)
+        if len(blk) < 4 * channels:
+            if is_final:
+                break  # trailing fragment below one header: no samples
+            raise MediaDecodeError("adpcm: block shorter than its headers")
         chans = []
+        got = None
         for c in range(channels):
             pred = int.from_bytes(blk[4 * c : 4 * c + 2], "little", signed=True)
             idx = blk[4 * c + 2]
@@ -3513,7 +3531,7 @@ def _decode_ima_adpcm(
                 raise MediaDecodeError("adpcm: step index out of range")
             out = [pred]
             pos = 4 * channels + 4 * c
-            while len(out) < spb and pos < block_align:
+            while len(out) < spb and pos + 4 <= len(blk):
                 for byte in blk[pos : pos + 4]:
                     for nib in (byte & 0xF, byte >> 4):
                         if len(out) >= spb:
@@ -3521,11 +3539,17 @@ def _decode_ima_adpcm(
                         pred, idx = _ima_step_nibble(pred, idx, nib)
                         out.append(pred)
                 pos += 4 * channels
-            if len(out) < spb:
+            # the spec permits a SHORT FINAL block carrying only the
+            # remaining samples; mid-stream blocks are full by
+            # construction of the fixed-stride walk
+            if len(out) < spb and not is_final:
                 raise MediaDecodeError("adpcm: block shorter than samples_per_block")
+            if got is not None and len(out) != got:
+                raise MediaDecodeError("adpcm: ragged final block across channels")
+            got = len(out)
             chans.append(np.asarray(out, np.int64))
         frames.append(np.stack(chans, axis=-1).reshape(-1))
-        total += spb
+        total += got
         if total > MAX_DECODE_SAMPLES:
             raise MediaDecodeError("adpcm: stream exceeds decode sample cap")
     samples = np.concatenate(frames) if frames else np.empty(0, np.int64)
@@ -3584,12 +3608,15 @@ def _dib_pack(img: np.ndarray) -> bytes:
     return b"".join(r.tobytes() + pad for r in bgr[::-1])
 
 
-def _dib_unpack(data: bytes, w: int, h: int) -> np.ndarray:
+def _dib_unpack(data: bytes, w: int, h: int, top_down: bool = False) -> np.ndarray:
     stride = ((w * 3 + 3) // 4) * 4
     if len(data) < stride * h:
         raise MediaDecodeError("avi: frame chunk shorter than the DIB raster")
     rows = np.frombuffer(data, np.uint8, count=stride * h).reshape(h, stride)
-    return rows[:, : w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy()
+    img = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        img = img[::-1]
+    return img[:, :, ::-1].copy()
 
 
 def encode_avi(frames: "list[np.ndarray]", us_per_frame: int = 40000) -> bytes:
@@ -3681,10 +3708,13 @@ def decode_avi_frames(payload: bytes) -> "tuple[list[np.ndarray], int]":
     w = h = None
     us_per_frame = total = None
     compression = bpp = None
+    top_down = False
+    cur_stream = None
     chunks: list[bytes] = []
 
     def walk(lo: int, hi: int) -> None:
         nonlocal w, h, us_per_frame, total, compression, bpp
+        nonlocal top_down, cur_stream
         pos = lo
         while pos + 8 <= hi:
             cid = payload[pos : pos + 4]
@@ -3703,9 +3733,18 @@ def decode_avi_frames(payload: bytes) -> "tuple[list[np.ndarray], int]":
                 ]
                 us_per_frame, total = vals[0], vals[4]
                 w, h = vals[8], vals[9]
-            elif cid == b"strf" and compression is None:
+            elif cid == b"strh":
+                cur_stream = payload[body_lo : body_lo + 4]
+            elif cid == b"strf" and cur_stream == b"vids" and compression is None:
+                # only the VIDEO stream's strf is a BITMAPINFOHEADER —
+                # an audio-first stream list would otherwise misread a
+                # WAVEFORMATEX as bitmap fields
                 if size < 40:
                     raise MediaDecodeError("avi: short strf header")
+                bih_h = int.from_bytes(
+                    payload[body_lo + 8 : body_lo + 12], "little", signed=True
+                )
+                top_down = bih_h < 0  # negative biHeight = top-down raster
                 bpp = int.from_bytes(payload[body_lo + 14 : body_lo + 16], "little")
                 compression = int.from_bytes(
                     payload[body_lo + 16 : body_lo + 20], "little"
@@ -3730,7 +3769,7 @@ def decode_avi_frames(payload: bytes) -> "tuple[list[np.ndarray], int]":
         raise MediaDecodeError(
             f"avi: {len(chunks)} frame chunks, avih says {total}"
         )
-    return [_dib_unpack(c, w, h) for c in chunks], us_per_frame
+    return [_dib_unpack(c, w, h, top_down) for c in chunks], us_per_frame
 
 
 def avi_frame_sample(payload: bytes, n_frames: int) -> "list[tuple[int, int, bytes]]":
@@ -3909,15 +3948,22 @@ def _mp4_header_meta(payload: bytes) -> tuple[int | None, int | None, int | None
             if not ts:
                 raise MediaDecodeError("mp4: zero mvhd timescale")
             dur_ms = (1000 * dur) // ts
-        elif t == b"trak" and w is None:
-            for t2, lo2, _hi2 in _mp4_boxes(payload, lo, hi):
+        elif t == b"trak":
+            for t2, lo2, hi2 in _mp4_boxes(payload, lo, hi):
                 if t2 == b"tkhd":
                     ver = payload[lo2]
                     base = lo2 + (88 if ver == 1 else 76)
-                    if base + 8 > hi:
+                    if base + 8 > hi2:  # bound by the tkhd box itself
                         raise MediaDecodeError("mp4: truncated tkhd box")
-                    w = int.from_bytes(payload[base : base + 4], "big") >> 16
-                    h = int.from_bytes(payload[base + 4 : base + 8], "big") >> 16
+                    tw = int.from_bytes(payload[base : base + 4], "big") >> 16
+                    th = int.from_bytes(payload[base + 4 : base + 8], "big") >> 16
+                    # audio/hint tracks carry 0x0 presentation size —
+                    # the first VISUAL track's dims win; fall back to
+                    # the first track seen when no track has any
+                    if (tw or th) and (w is None or (w, h) == (0, 0)):
+                        w, h = tw, th
+                    elif w is None:
+                        w, h = tw, th
     if dur_ms is None:
         raise MediaDecodeError("mp4: missing mvhd box")
     return w, h, dur_ms

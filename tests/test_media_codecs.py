@@ -1486,3 +1486,108 @@ def test_mp4_sniffed_and_probed_distributed(spark):
     assert (probed["clip"].width, probed["clip"].height) == (1920, 1080)
     assert probed["clip"].duration_ms == 60000
     assert "moov" in probed["badmp4"].probe_error
+
+
+# --- review-pass regressions (session 2 findings) ---------------------------------
+
+
+def test_flac_partition_order_demotes_on_short_tail_blocks():
+    # RFC 9639: bs >> porder must exceed the predictor order at EVERY
+    # porder. A 16-sample tail block at partition_order=3 leaves
+    # 16/8 - order <= 0 for order >= 2 — the encoder must demote, not
+    # emit a stream that desyncs its own CRC.
+    edge = np.array([32767, -32768, 0, -1, 1, 32767, -32768, 5] * 7, np.int16)
+    for po in (1, 2, 3):
+        p = mc.encode_flac(192000, 1, edge, block_size=16, partition_order=po)
+        assert (mc.decode_flac(p)[3] == edge).all(), po
+    # tail-block case: 4096 + 24 samples, porder 3 on the 24-sample tail
+    sig = _tone(4096 + 24, 64, 9000)
+    p = mc.encode_flac(8000, 1, sig, block_size=4096, partition_order=3)
+    assert (mc.decode_flac(p)[3] == sig).all()
+
+
+def test_avi_top_down_raster_and_audio_first_strf():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    base = bytearray(mc.encode_avi([img], 40000))
+    # negative biHeight = top-down rows: the stored raster (bottom-up
+    # of img) must now be read as-is, i.e. decode == img flipped
+    strf = base.index(b"strf")
+    h_off = strf + 8 + 8
+    base[h_off : h_off + 4] = (-2).to_bytes(4, "little", signed=True)
+    dec, _ = mc.decode_avi_frames(bytes(base))
+    assert (dec[0] == img[::-1]).all()
+    # an audio strl BEFORE the video strl: its strf (WAVEFORMATEX-like)
+    # must not be parsed as a BITMAPINFOHEADER
+    raw = mc.encode_avi([img], 40000)
+    hdrl = raw.index(b"hdrl")
+    hdrl_lo = hdrl - 8
+    hdrl_size = int.from_bytes(raw[hdrl - 4 : hdrl], "little")
+    strl = raw.index(b"strl") - 8
+    wave_fmt = (1).to_bytes(2, "little") * 2 + (8000).to_bytes(4, "little") + bytes(8)
+    auds = (
+        b"strh" + (56).to_bytes(4, "little") + b"auds" + bytes(52)
+        + b"strf" + len(wave_fmt).to_bytes(4, "little") + wave_fmt
+    )
+    auds_strl = b"LIST" + (4 + len(auds)).to_bytes(4, "little") + b"strl" + auds
+    new_hdrl_body = raw[hdrl + 4 : strl] + auds_strl + raw[strl : hdrl + 4 + hdrl_size - 4]
+    new_hdrl = b"LIST" + (4 + len(new_hdrl_body)).to_bytes(4, "little") + b"hdrl" + new_hdrl_body
+    body = raw[12:hdrl_lo] + new_hdrl + raw[hdrl_lo + 8 + hdrl_size :]
+    rebuilt = b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"AVI " + body
+    dec, uspf = mc.decode_avi_frames(rebuilt)
+    assert uspf == 40000 and (dec[0] == img).all()
+
+
+def test_adpcm_short_final_block_decodes():
+    # spec-legal foreign layout: the final block carries only the
+    # remaining samples instead of being pad-extended. 130 samples at
+    # block_align 64 (spb=121): full block + 8-byte block (1 header
+    # sample + one 4-byte run = 9 samples).
+    sig = np.linspace(-900, 900, 242).astype(np.int16)
+    full = mc.encode_wav_ima_adpcm(8000, 1, sig, block_align=64)
+    data_at = full.index(b"data")
+    data = full[data_at + 8 : data_at + 8 + 128]
+    short = data[:64] + data[64:72]
+    fact = (130).to_bytes(4, "little")
+    fmt_at = full.index(b"fmt ")
+    fmt_chunk = full[fmt_at : fmt_at + 8 + 20]
+    body = (
+        b"WAVE" + fmt_chunk
+        + b"fact" + (4).to_bytes(4, "little") + fact
+        + b"data" + len(short).to_bytes(4, "little") + short
+    )
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    rate, ch, dec = mc.decode_wav(wav)
+    assert (rate, ch, dec.size) == (8000, 1, 130)
+    # identical prefix to the pad-extended stream's first 130 samples
+    assert (dec == mc.decode_wav(full)[2][:130]).all()
+    # a short MID-STREAM fragment is still an error (fact 260 > frames)
+    bad_fact = (260).to_bytes(4, "little")
+    body = (
+        b"WAVE" + fmt_chunk
+        + b"fact" + (4).to_bytes(4, "little") + bad_fact
+        + b"data" + len(short).to_bytes(4, "little") + short
+    )
+    with pytest.raises(mc.MediaDecodeError, match="fact count exceeds"):
+        mc.decode_wav(b"RIFF" + len(body).to_bytes(4, "little") + body)
+
+
+def test_mp4_audio_first_trak_dims():
+    p = mc.encode_mp4_meta(64, 32, 500)
+    trak_at = p.index(b"trak") - 4
+    trak_size = int.from_bytes(p[trak_at : trak_at + 4], "big")
+    trak = p[trak_at : trak_at + trak_size]
+    trak0 = bytearray(trak)
+    trak0[-8:] = bytes(8)  # an audio/hint track: 0x0 presentation size
+    moov_at = p.index(b"moov") - 4
+    moov_size = int.from_bytes(p[moov_at : moov_at + 4], "big")
+    new_body = (
+        p[moov_at + 8 : trak_at] + bytes(trak0) + trak
+        + p[trak_at + trak_size : moov_at + moov_size]
+    )
+    rebuilt = (
+        p[:moov_at]
+        + (8 + len(new_body)).to_bytes(4, "big") + b"moov" + new_body
+        + p[moov_at + moov_size :]
+    )
+    # dims come from the first VISUAL trak, not the 0x0 audio one
+    assert mc.probe_header(rebuilt) == (64, 32, 500)
