@@ -672,13 +672,14 @@ WHERE rank <= 5 ORDER BY query_id, rank"""
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payloads synthesized from documents
-    text (MP3 magic planted — compressed audio is the one sniffable
+    text (MP3 magic planted — PERCEPTUAL audio is the one sniffable
     format family the kernel registry still STUBS, so this query
     exercises the deterministic fallback path; every sniffable IMAGE
-    format now decodes for REAL and is gated by q66/q71/q72/q73
-    instead — a payload carrying a real codec's magic must be
-    well-formed or it lands in decode_error), feature-extracted via
-    mapInPandas (training/multimodal.extract_features).
+    format decodes for REAL and is gated by q66/q71/q72/q73, lossless
+    compressed audio by q77, raw-DIB video by q78 — a payload
+    carrying a real codec's magic must be well-formed or it lands in
+    decode_error), feature-extracted via mapInPandas
+    (training/multimodal.extract_features).
 
     Oracle-checked (round-3 verdict item 1): the checksum is the
     engine-portable poly fold (acc*31+b) mod 2^31-1 and the feat
