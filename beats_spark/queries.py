@@ -2008,10 +2008,11 @@ FROM s ORDER BY doc_id, frame_idx"""
 
 def _probe_planted_rows() -> list:
     """The 48 q76 payloads (driver-side, bounded): one asset per doc
-    rotating through all EIGHT real container families with dims /
+    rotating through all NINE real container families with dims /
     durations that are pure functions of doc_id — PPM, PNG, JPEG,
-    animated GIF, animated WebP, PCM16 WAV, raw-DIB AVI, and ISO BMFF
-    MP4 shells (both box-layout versions)."""
+    animated GIF, animated WebP, PCM16 WAV, raw-DIB AVI, ISO BMFF MP4
+    shells (both box-layout versions), and Ogg/Vorbis (CRC-verified
+    pages, duration from the final granule position)."""
     import numpy as np
 
     from beats_spark.training import media_codecs
@@ -2020,7 +2021,7 @@ def _probe_planted_rows() -> list:
     for d in range(48):
         w, h = 3 + d % 5, 2 + d % 4
         img = np.zeros((h, w, 3), dtype=np.uint8)
-        kind = d % 8
+        kind = d % 9
         if kind == 0:
             payload = media_codecs.encode_ppm(img)
         elif kind == 1:
@@ -2048,15 +2049,20 @@ def _probe_planted_rows() -> list:
             payload = media_codecs.encode_avi(
                 [img] * (2 + d % 3), us_per_frame=1000 * (10 + d % 5)
             )
-        else:
+        elif kind == 7:
             payload = media_codecs.encode_mp4_meta(
                 w,
                 h,
                 100 * (1 + d % 7),
-                # mp4 docs are d % 8 == 7 (always odd), so the
-                # version/timescale rotations must run on d // 8
-                timescale=1000 + 89000 * ((d // 8) % 2),
-                version=(d // 16) % 2,
+                # mp4 docs are d % 9 == 7, so the version/timescale
+                # rotations must run on d // 9 (d % k rotations are
+                # constant or correlated on a d % 9 residue class)
+                timescale=1000 + 89000 * ((d // 9) % 2),
+                version=(d // 18) % 2,
+            )
+        else:
+            payload = media_codecs.encode_ogg_vorbis_meta(
+                8000, 1 + d % 2, 400 * (1 + d % 6), n_audio_pages=1 + (d // 9) % 3
             )
         rows.append((d, bytearray(payload)))
     return rows
@@ -2107,17 +2113,18 @@ def q_media_probe_oracle() -> str:
     return f"""
 WITH t AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id < 48)
 SELECT d AS doc_id,
-       CASE d % 8 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
+       CASE d % 9 WHEN 0 THEN 'ppm' WHEN 1 THEN 'png' WHEN 2 THEN 'jpeg'
                   WHEN 3 THEN 'gif' WHEN 4 THEN 'webp' WHEN 5 THEN 'wav'
-                  WHEN 6 THEN 'avi' ELSE 'mp4' END AS format,
-       CASE WHEN d % 8 = 2 THEN 8 + d % 9
-            WHEN d % 8 = 5 THEN NULL ELSE 3 + d % 5 END AS width,
-       CASE WHEN d % 8 = 2 THEN 8
-            WHEN d % 8 = 5 THEN NULL ELSE 2 + d % 4 END AS height,
-       CASE WHEN d % 8 IN (3, 4) THEN {dur_anim}
-            WHEN d % 8 = 5 THEN 25 * (1 + d % 7)
-            WHEN d % 8 = 6 THEN (2 + d % 3) * (10 + d % 5)
-            WHEN d % 8 = 7 THEN 100 * (1 + d % 7)
+                  WHEN 6 THEN 'avi' WHEN 7 THEN 'mp4' ELSE 'ogg' END AS format,
+       CASE WHEN d % 9 = 2 THEN 8 + d % 9
+            WHEN d % 9 IN (5, 8) THEN NULL ELSE 3 + d % 5 END AS width,
+       CASE WHEN d % 9 = 2 THEN 8
+            WHEN d % 9 IN (5, 8) THEN NULL ELSE 2 + d % 4 END AS height,
+       CASE WHEN d % 9 IN (3, 4) THEN {dur_anim}
+            WHEN d % 9 = 5 THEN 25 * (1 + d % 7)
+            WHEN d % 9 = 6 THEN (2 + d % 3) * (10 + d % 5)
+            WHEN d % 9 = 7 THEN 100 * (1 + d % 7)
+            WHEN d % 9 = 8 THEN 50 * (1 + d % 6)
             ELSE NULL END AS duration_ms,
        CAST(1 AS BIGINT) AS ok
 FROM t ORDER BY doc_id"""

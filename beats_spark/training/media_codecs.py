@@ -3969,6 +3969,119 @@ def _mp4_header_meta(payload: bytes) -> tuple[int | None, int | None, int | None
     return w, h, dur_ms
 
 
+# --- Ogg/Vorbis (header-level: pages + id header, no audio decode) --------------
+#
+# Vorbis DECODE is registered-kernel territory (MDCT psychoacoustics),
+# but the catalog pass is public container grammar: the first page
+# carries the Vorbis identification header (sample rate, channels)
+# and the final page's granule position IS the total PCM sample count.
+# Pages carry a real CRC-32 (poly 0x04c11db7, unreflected, computed
+# with the crc field zeroed) which the walker verifies — a truncated
+# or corrupted stream lands in probe_error, not in a wrong duration.
+
+_OGG_CRC = _crc_table_msb(0x04C11DB7, 32)
+
+
+def _ogg_crc(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = (_OGG_CRC[((c >> 24) ^ b) & 0xFF] ^ (c << 8)) & 0xFFFFFFFF
+    return c
+
+
+def encode_ogg_vorbis_meta(
+    rate: int, channels: int, total_samples: int, n_audio_pages: int = 2
+) -> bytes:
+    """Structurally valid Ogg stream: page 0 = Vorbis identification
+    header, then n_audio_pages filler pages with monotone granule
+    positions, the last flagged end-of-stream with granule ==
+    total_samples. Carries NO decodable audio packets — this plants
+    the header-probe surface (the q76/encode_mp4_meta convention)."""
+    ident = (
+        b"\x01vorbis"
+        + (0).to_bytes(4, "little")
+        + channels.to_bytes(1, "little")
+        + rate.to_bytes(4, "little")
+        + (0).to_bytes(12, "little")  # bitrate bounds unset
+        + bytes([0xB8])  # blocksizes 2^8 / 2^11
+        + b"\x01"  # framing bit
+    )
+
+    def page(seq: int, granule: int, htype: int, data: bytes) -> bytes:
+        lacing = []
+        rem = len(data)
+        while rem >= 255:
+            lacing.append(255)
+            rem -= 255
+        lacing.append(rem)  # terminal <255 lace closes the packet
+        hdr = (
+            b"OggS\x00"
+            + bytes([htype])
+            + granule.to_bytes(8, "little", signed=True)
+            + (0x5EA7).to_bytes(4, "little")  # serial
+            + seq.to_bytes(4, "little")
+            + bytes(4)  # crc placeholder
+            + bytes([len(lacing)])
+            + bytes(lacing)
+        )
+        full = hdr + data
+        crc = _ogg_crc(full)
+        return full[:22] + crc.to_bytes(4, "little") + full[26:]
+
+    out = bytearray(page(0, 0, 0x02, ident))  # beginning-of-stream
+    for k in range(n_audio_pages):
+        last = k == n_audio_pages - 1
+        granule = total_samples if last else (total_samples * (k + 1)) // (
+            n_audio_pages
+        )
+        out += page(
+            k + 1, granule, 0x04 if last else 0x00, bytes(17 + 13 * k)
+        )
+    return bytes(out)
+
+
+def _ogg_header_meta(payload: bytes) -> tuple[None, None, int]:
+    """(None, None, duration_ms) from the Vorbis id header's rate and
+    the final page's granule position — page walking only, every
+    page CRC verified."""
+    rate = None
+    granule = None
+    pos, ln = 0, len(payload)
+    while pos + 27 <= ln:
+        if payload[pos : pos + 4] != b"OggS":
+            raise MediaDecodeError("ogg: lost page sync")
+        nseg = payload[pos + 26]
+        lace_end = pos + 27 + nseg
+        if lace_end > ln:
+            raise MediaDecodeError("ogg: truncated lacing table")
+        body = sum(payload[pos + 27 : lace_end])
+        page_end = lace_end + body
+        if page_end > ln:
+            raise MediaDecodeError("ogg: truncated page body")
+        want = int.from_bytes(payload[pos + 22 : pos + 26], "little")
+        zeroed = (
+            payload[pos : pos + 22] + bytes(4) + payload[pos + 26 : page_end]
+        )
+        if _ogg_crc(zeroed) != want:
+            raise MediaDecodeError("ogg: page CRC mismatch")
+        if rate is None:
+            data = payload[lace_end:page_end]
+            if data[:7] != b"\x01vorbis":
+                raise MediaDecodeError("ogg: first packet is not a vorbis id header")
+            if len(data) < 16:
+                raise MediaDecodeError("ogg: truncated vorbis id header")
+            rate = int.from_bytes(data[12:16], "little")
+            if not rate:
+                raise MediaDecodeError("ogg: zero sample rate")
+        g = int.from_bytes(payload[pos + 6 : pos + 14], "little", signed=True)
+        if g >= 0:
+            granule = g
+        pos = page_end
+    if rate is None:
+        raise MediaDecodeError("ogg: no complete page")
+    return None, None, (1000 * granule) // rate if granule else None
+
+
 # --- header probes (cheap metadata, NO pixel/sample decode) --------------------
 #
 # A media catalog at scale fills width/height/duration from HEADERS —
@@ -4017,6 +4130,8 @@ def probe_header(payload: bytes) -> tuple[int | None, int | None, int | None]:
         return None, None, _flac_header_duration_ms(payload)
     if payload[:3] == b"ID3":
         return None, None, _mp3_header_duration_ms(payload)
+    if payload[:4] == b"OggS":
+        return _ogg_header_meta(payload)
     raise MediaDecodeError("probe: unknown magic")
 
 

@@ -1591,3 +1591,50 @@ def test_mp4_audio_first_trak_dims():
     )
     # dims come from the first VISUAL trak, not the 0x0 audio one
     assert mc.probe_header(rebuilt) == (64, 32, 500)
+
+
+# --- Ogg/Vorbis header probe -------------------------------------------------------
+
+
+def test_ogg_header_probe_and_crc():
+    p = mc.encode_ogg_vorbis_meta(44100, 2, 441000)
+    assert mc.probe_header(p) == (None, None, 10000)
+    # multi-page: duration comes from the FINAL granule, not a middle one
+    p3 = mc.encode_ogg_vorbis_meta(8000, 1, 12000, n_audio_pages=3)
+    assert mc.probe_header(p3) == (None, None, 1500)
+    # real page CRC (0x04c11db7, unreflected): any flipped bit is caught
+    bad = bytearray(p)
+    bad[40] ^= 1
+    with pytest.raises(mc.MediaDecodeError, match="CRC mismatch"):
+        mc.probe_header(bytes(bad))
+    with pytest.raises(mc.MediaDecodeError, match="truncated page body"):
+        mc.probe_header(p[:-3])
+    # a stream whose first packet is not a vorbis id header
+    hdr = bytearray(p)
+    idp = hdr.index(b"\x01vorbis")
+    hdr[idp] = 0x03
+    # re-CRC the tampered first page so only the GRAMMAR check fires
+    nseg = hdr[26]
+    page_end = 27 + nseg + sum(hdr[27 : 27 + nseg])
+    hdr[22:26] = bytes(4)
+    hdr[22:26] = mc._ogg_crc(bytes(hdr[:page_end])).to_bytes(4, "little")
+    with pytest.raises(mc.MediaDecodeError, match="not a vorbis id header"):
+        mc.probe_header(bytes(hdr))
+    # id-only stream: rate known, no granule -> unknown duration
+    assert mc.probe_header(
+        mc.encode_ogg_vorbis_meta(8000, 1, 0, n_audio_pages=1)
+    ) == (None, None, None)
+
+
+def test_ogg_probed_distributed(spark):
+    from beats_spark.training.multimodal import probe_media_meta
+
+    rows = [
+        ("song", bytearray(mc.encode_ogg_vorbis_meta(48000, 2, 96000))),
+        ("badogg", bytearray(b"OggS\x00\x00" + bytes(30))),
+    ]
+    df = spark.createDataFrame(rows, "key string, media binary")
+    out = {r["key"]: r for r in probe_media_meta(df).collect()}
+    assert out["song"].format == "ogg" and out["song"].duration_ms == 2000
+    assert out["song"].width is None
+    assert "ogg" in out["badogg"].probe_error
