@@ -2136,17 +2136,22 @@ FROM t ORDER BY doc_id"""
 def _audio_planted_rows() -> list:
     """The 48 q77 payloads (driver-side, bounded): deterministic PCM
     planted through the REAL compressed-audio encoders —
-    d % 3 == 0: mono FLAC, s[i] = ((31d + 73i) % 401) - 200 (jumpy →
+    d % 5 == 0: mono FLAC, s[i] = ((31d + 73i) % 401) - 200 (jumpy →
       Rice/verbatim mix), multi-frame (block_size 64), partition
-      order rotating (d//3) % 3 (d % 3 is constant on this branch);
-    d % 3 == 1: stereo FLAC cycling ALL FOUR decorrelation modes by
+      order rotating (d//5) % 3 (d % 5 is constant on this branch);
+    d % 5 == 1: stereo FLAC cycling ALL FOUR decorrelation modes by
       d % 4, left[i] = ((17d + 3i) % 229) - 114,
       right[i] = ((13d + 7i) % 173) - 86;
-    d % 3 == 2: IMA ADPCM whose samples follow the decoder's own
+    d % 5 == 2: IMA ADPCM whose samples follow the decoder's own
       step-table dynamics with all magnitudes ≤ 3 nibble-bits — idx
       is pinned at 0 (step 7) so decode(encode(x)) == x EXACTLY and
       the value sequence has the closed form x0 + ⌊i/4⌋·P + S(i%4)
-      the SQL oracle replays (validated exhaustively for all 48 docs).
+      the SQL oracle replays (validated exhaustively for all 48 docs);
+    d % 5 == 3: G.711 mu-law with samples ON the companding grid —
+      s[i] = ±(((8m + 132) << e) − 132), e = (i+d)%8, m = (7i+d)%16 —
+      so nearest-grid encode ∘ segment decode is EXACT;
+    d % 5 == 4: G.711 A-law on-grid — s[i] = ±((m<<4)+8) at e = 0,
+      ±(((m<<4)+264) << (e−1)) otherwise, e = (3i+d)%8, m = (5i+d)%16.
     Shared by the q77 gate and the uncapped scale probe."""
     import numpy as np
 
@@ -2154,9 +2159,9 @@ def _audio_planted_rows() -> list:
 
     rows = []
     for d in range(48):
-        kind = d % 3
+        kind = d % 5
         if kind == 0:
-            n = 96 + 8 * (d % 5)
+            n = 96 + 8 * ((d // 5) % 5)
             s = np.array(
                 [((d * 31 + i * 73) % 401) - 200 for i in range(n)], np.int16
             )
@@ -2165,9 +2170,9 @@ def _audio_planted_rows() -> list:
                 1,
                 s,
                 block_size=64,
-                # kind-0 docs all have d % 3 == 0, so the rotation must
-                # run on d // 3 or every plant would get order 0
-                partition_order=(d // 3) % 3,
+                # kind-0 docs all have d % 5 == 0, so the rotation must
+                # run on d // 5 or every plant would get order 0
+                partition_order=(d // 5) % 3,
             )
         elif kind == 1:
             fr = 80 + 8 * (d % 3)
@@ -2186,8 +2191,8 @@ def _audio_planted_rows() -> list:
                 inter,
                 channel_mode=media_codecs._FLAC_CHANNEL_MODES[d % 4],
             )
-        else:
-            n = 120 + 8 * (d % 5)
+        elif kind == 2:
+            n = 120 + 8 * ((d // 5) % 5)
             lv = (0, 1, 3, 4)
             x = [100 * (d % 7) - 300]
             for j in range(1, n):
@@ -2195,6 +2200,26 @@ def _audio_planted_rows() -> list:
                 x.append(x[-1] + sgn * lv[(d + 3 * j) % 4])
             payload = media_codecs.encode_wav_ima_adpcm(
                 11025, 1, np.array(x, np.int16), block_align=64
+            )
+        elif kind == 3:
+            n = 100 + 4 * (d % 6)
+            x = []
+            for i in range(n):
+                e, m = (i + d) % 8, (7 * i + d) % 16
+                v = ((8 * m + 132) << e) - 132
+                x.append(v if i % 2 == 0 else -v)
+            payload = media_codecs.encode_wav_g711(
+                8000, 1, np.array(x, np.int16), law="ulaw"
+            )
+        else:
+            n = 104 + 4 * ((d // 5) % 5)
+            x = []
+            for i in range(n):
+                e, m = (3 * i + d) % 8, (5 * i + d) % 16
+                v = (m << 4) + 8 if e == 0 else ((m << 4) + 264) << (e - 1)
+                x.append(v if i % 2 == 0 else -v)
+            payload = media_codecs.encode_wav_g711(
+                8000, 1, np.array(x, np.int16), law="alaw"
             )
         rows.append((d, bytearray(payload)))
     return rows
@@ -2204,8 +2229,10 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 compressed-audio gate (the lossless half of the last
     stub family): plant real FLAC streams (Rice-coded fixed-predictor
     residuals, CRC-8/16 + STREAMINFO MD5 verified on decode, all four
-    stereo decorrelation modes) and IMA ADPCM WAVs (4-bit step-table
-    nibbles, fact-chunk frame trim), sniff the container magic
+    stereo decorrelation modes), IMA ADPCM WAVs (4-bit step-table
+    nibbles, fact-chunk frame trim) and G.711 mu-law/A-law WAVs
+    (segment-expansion decode, on-grid plants so the companding
+    round-trip is exact), sniff the container magic
     natively, then decode through extract_features' REAL kernels and
     emit integer-exact audio features. The oracle regenerates every
     PCM sample from the planting arithmetic alone — an entropy
@@ -2269,30 +2296,46 @@ def q_audio_decode_oracle() -> str:
         f"(CASE i % 4 WHEN 0 THEN 0 WHEN 1 THEN {t1} "
         f"WHEN 2 THEN {t1} + {t2} ELSE {t1} + {t2} + {t3} END)"
     )
-    sample = f"""CASE d % 3
+    sgn_i = "(CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)"
+    ulaw = (
+        f"{sgn_i} * ((8 * ((7 * i + d) % 16) + 132) "
+        f"* (1 << ((i + d) % 8)) - 132)"
+    )
+    alaw = (
+        f"{sgn_i} * (CASE WHEN (3 * i + d) % 8 = 0 "
+        f"THEN ((5 * i + d) % 16) * 16 + 8 "
+        f"ELSE (((5 * i + d) % 16) * 16 + 264) "
+        f"* (1 << ((3 * i + d) % 8 - 1)) END)"
+    )
+    sample = f"""CASE d % 5
            WHEN 0 THEN ((d * 31 + i * 73) % 401) - 200
            WHEN 1 THEN CASE WHEN i % 2 = 0
                          THEN ((17 * d + 3 * (i // 2)) % 229) - 114
                          ELSE ((13 * d + 7 * (i // 2)) % 173) - 86 END
-           ELSE {adp} END"""
+           WHEN 2 THEN {adp}
+           WHEN 3 THEN {ulaw}
+           ELSE {alaw} END"""
     return f"""
 WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS d
               FROM documents WHERE doc_id < 48),
 par AS (
   SELECT d,
-         CASE d % 3 WHEN 0 THEN 96 + 8 * (d % 5)
+         CASE d % 5 WHEN 0 THEN 96 + 8 * ((d // 5) % 5)
                     WHEN 1 THEN 2 * (80 + 8 * (d % 3))
-                    ELSE 120 + 8 * (d % 5) END AS n,
-         CASE d % 3 WHEN 0 THEN 8000 + 100 * (d % 4)
-                    WHEN 1 THEN 16000 ELSE 11025 END AS rate,
-         CASE d % 3 WHEN 1 THEN 2 ELSE 1 END AS ch
+                    WHEN 2 THEN 120 + 8 * ((d // 5) % 5)
+                    WHEN 3 THEN 100 + 4 * (d % 6)
+                    ELSE 104 + 4 * ((d // 5) % 5) END AS n,
+         CASE d % 5 WHEN 0 THEN 8000 + 100 * (d % 4)
+                    WHEN 1 THEN 16000
+                    WHEN 2 THEN 11025 ELSE 8000 END AS rate,
+         CASE d % 5 WHEN 1 THEN 2 ELSE 1 END AS ch
   FROM docs),
 v AS (
   SELECT d, n, rate, ch,
          list_transform(range(0, n), i -> CAST({sample} AS BIGINT)) AS vals
   FROM par)
 SELECT d AS doc_id,
-       CASE d % 3 WHEN 2 THEN 'wav' ELSE 'flac' END AS fmt,
+       CASE WHEN d % 5 >= 2 THEN 'wav' ELSE 'flac' END AS fmt,
        CAST(n AS BIGINT) AS n_samples,
        CAST(rate AS BIGINT) AS rate,
        CAST(ch AS BIGINT) AS channels,
@@ -2413,6 +2456,74 @@ SELECT d AS doc_id,
        CAST(nf * (10 + d % 5) AS BIGINT) AS duration_ms,
        CAST(1 AS BIGINT) AS ok
 FROM s ORDER BY doc_id"""
+
+
+# --- q79: product-quantization ADC top-k (similarity.pq_topk) ----------------
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN — the memory-bound tier (FAISS IndexPQ shape): encode
+    the corpus to 8 codeword ids (scan-stage argmax over 16 ±1 mixer
+    codewords per subspace, no shuffle), then score queries against
+    the CODES table via per-query ADC lookup arrays — float vectors
+    never move after encode; at 100 TB the codes table is ~32× smaller
+    than the float corpus and is the thing that actually fits. Oracle
+    replays codebooks from integer arithmetic, the same sequential
+    dot folds, first-max tie-breaks (list_position == array_position
+    equality semantics), and the rounded-then-ranked ADC ordering."""
+    from beats_spark.training import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = embs.filter(F.col("vec_id") < 3)
+    return similarity.pq_topk(
+        embs, queries_df, dim=64, k=5, m_sub=8, k_codes=16
+    ).orderBy("query_id", "rank")
+
+
+def q_pq_topk_oracle() -> str:
+    from beats_spark.training.similarity import _PQ_OFFSET, mix_sign_sql
+
+    dsub, m, kc = 8, 8, 16
+
+    def fold(vec: str, s_expr: str, c_expr: str) -> str:
+        sign = mix_sign_sql(
+            f"{_PQ_OFFSET} + (({s_expr}) * {kc} + ({c_expr})) * {dsub} + i - 1"
+        )
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}), "
+            f"i -> CAST({vec}[({s_expr}) * {dsub} + i] AS DOUBLE) * "
+            f"(CASE WHEN {sign} = 1 THEN CAST(1 AS DOUBLE) "
+            f"ELSE CAST(-1 AS DOUBLE) END))), (acc, x) -> acc + x)"
+        )
+
+    dots = f"list_transform(range(0, {kc}), c -> {fold('embedding', 's', 'c')})"
+    code = (
+        f"list_transform(range(0, {m}), s -> "
+        f"CAST(list_position({dots}, list_aggregate({dots}, 'max')) - 1 AS INT))"
+    )
+    adc = (
+        f"list_transform(range(0, {m * kc}), "
+        f"j -> {fold('embedding', f'j // {kc}', f'j % {kc}')})"
+    )
+    # fixed s=0..7 summation order — same left-assoc chain Spark builds
+    score = " + ".join(
+        f"q.adc[{s * kc} + x.pq_code[{s + 1}] + 1]" for s in range(m)
+    )
+    return f"""
+WITH codes AS (
+  SELECT vec_id, {code} AS pq_code FROM embeddings),
+q AS (
+  SELECT vec_id AS query_id, {adc} AS adc FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         round({score}, 4) AS adc_score
+  FROM q, codes x WHERE x.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, adc_score, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank"""
 
 
 # --- q67: BM25 relevance top-k (relevance.py) --------------------------------
@@ -3668,6 +3779,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_media_probe": q_media_probe,
         "q77_audio_decode": q_audio_decode,
         "q78_avi_decode": q_avi_decode,
+        "q79_pq_topk": q_pq_topk,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -3689,7 +3801,7 @@ _WITNESS_FIRST = [
     "q68_anomaly_mad", "q69_theta_overlap", "q70_cooccurrence",
     "q71_jpeg_decode", "q72_gif_frames", "q73_webp_decode",
     "q74_pagerank", "q75_webp_anim_frames", "q76_media_probe",
-    "q77_audio_decode", "q78_avi_decode",
+    "q77_audio_decode", "q78_avi_decode", "q79_pq_topk",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -3793,4 +3905,5 @@ def _base_oracles() -> dict[str, str]:
         "q76_media_probe": q_media_probe_oracle(),
         "q77_audio_decode": q_audio_decode_oracle(),
         "q78_avi_decode": q_avi_decode_oracle(),
+        "q79_pq_topk": q_pq_topk_oracle(),
     }

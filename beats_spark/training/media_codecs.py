@@ -204,9 +204,18 @@ def decode_wav(payload: bytes) -> tuple[int, int, np.ndarray]:
             rate, channels, block_align, spb, data, fact_frames
         )
         return rate, channels, samples
+    if fmt_tag in (0x06, 0x07):
+        if bits != 8:
+            raise MediaDecodeError(f"wav: G.711 needs 8-bit samples, got {bits}")
+        n = len(data) if fact_frames is None else min(
+            len(data), fact_frames * channels
+        )
+        samples = g711_decode(data[:n], "alaw" if fmt_tag == 0x06 else "ulaw")
+        return rate, channels, samples
     if fmt_tag != 1 or bits != 16:
         raise MediaDecodeError(
-            f"wav: only PCM16 and IMA ADPCM supported (fmt={fmt_tag}, bits={bits})"
+            f"wav: only PCM16, IMA ADPCM and G.711 supported "
+            f"(fmt={fmt_tag}, bits={bits})"
         )
     samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2")
     return rate, channels, samples
@@ -4337,3 +4346,103 @@ def _mp3_header_duration_ms(payload: bytes) -> int | None:
         return None
     bitrate = _MP3_BITRATES[br_idx] * 1000
     return (len(payload) - pos) * 8 * 1000 // bitrate
+
+
+# --- G.711 mu-law / A-law (WAVE format tags 0x07 / 0x06) -------------------------
+#
+# ITU-T G.711 companded telephony audio: 8 bits/sample logarithmic, a
+# 2:1 compressed real-world voice format (the classic RTP payloads 0
+# and 8). Decode is the closed-form segment expansion; encode is
+# nearest-grid quantization against the 256-entry decode table, so
+# encode(decode(b)) == b for every byte and on-grid samples round-trip
+# EXACTLY (the q77 oracle property). Mu-law range is +/-32124 with two
+# codes for zero (0xFF canonical, 0x7F negative zero); A-law range is
+# 8..32256 per sign with no zero (silence byte 0xD5 decodes to +8).
+
+
+def _ulaw_decode_byte(u: int) -> int:
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 132
+    t <<= (u & 0x70) >> 4
+    return 132 - t if u & 0x80 else t - 132
+
+
+def _alaw_decode_byte(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = t + 8 if seg == 0 else (t + 0x108) << (seg - 1)
+    # G.711 A-law sign bit SET means positive
+    return t if a & 0x80 else -t
+
+
+def _g711_tables(law: str) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """(decode_table[256], sorted_values, byte_for_sorted_value) for
+    nearest-grid encoding. Mu-law's duplicate zero (0x7F) canonicalizes
+    to 0xFF (what standard encoders emit for non-negative zero)."""
+    dec_fn = _ulaw_decode_byte if law == "ulaw" else _alaw_decode_byte
+    table = np.array([dec_fn(b) for b in range(256)], np.int64)
+    order = np.argsort(table, kind="stable")
+    vals, bytes_ = table[order], order.astype(np.int64)
+    if law == "ulaw":
+        # two zeros (0x7F, 0xFF): keep 0xFF as the encode target
+        keep = np.ones(vals.size, bool)
+        zero_bytes = bytes_[vals == 0]
+        if zero_bytes.size == 2:
+            keep[np.where((vals == 0) & (bytes_ != 0xFF))[0]] = False
+        vals, bytes_ = vals[keep], bytes_[keep]
+    return table, vals, bytes_
+
+
+_G711 = {law: _g711_tables(law) for law in ("ulaw", "alaw")}
+
+
+def g711_decode(data: bytes, law: str) -> "np.ndarray":
+    table = _G711[law][0]
+    return table[np.frombuffer(data, np.uint8)].astype(np.int16)
+
+
+def g711_encode(samples: "np.ndarray", law: str) -> bytes:
+    """Nearest-grid quantizer (ties toward the lower grid value —
+    deterministic; G.711 thresholds are grid midpoints so off-tie
+    inputs match standard encoders, and on-grid inputs are exact)."""
+    _, vals, bytes_ = _G711[law]
+    s = np.clip(np.asarray(samples, np.int64), int(vals[0]), int(vals[-1]))
+    hi = np.clip(np.searchsorted(vals, s, side="left"), 0, vals.size - 1)
+    lo = np.maximum(hi - 1, 0)
+    pick_lo = (s - vals[lo]) <= (vals[hi] - s)
+    idx = np.where(pick_lo & (hi > 0), lo, hi)
+    return bytes_[idx].astype(np.uint8).tobytes()
+
+
+def encode_wav_g711(
+    rate: int, channels: int, samples: "np.ndarray", law: str = "ulaw"
+) -> bytes:
+    """int16 interleaved samples → RIFF/WAVE with G.711 data (fmt tag
+    7 = mu-law, 6 = A-law, 8 bits/sample) plus the fact chunk non-PCM
+    formats require (frame count)."""
+    data = g711_encode(samples, law)
+    n_frames = len(data) // channels
+    tag = 0x07 if law == "ulaw" else 0x06
+    fmt = (
+        tag.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels).to_bytes(4, "little")
+        + channels.to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+        + (0).to_bytes(2, "little")  # cbSize: present for non-PCM tags
+    )
+    fact = n_frames.to_bytes(4, "little")
+    body = (
+        b"WAVEfmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"fact"
+        + len(fact).to_bytes(4, "little")
+        + fact
+        + b"data"
+        + len(data).to_bytes(4, "little")
+        + data
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body

@@ -983,3 +983,171 @@ def cosine_dup_pairs(
         pairs.select("id_a", "id_b", F.round(sim, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+# --- product quantization (PQ) -----------------------------------------------
+#
+# The memory-bound ANN tier: at 100 TB of float32 embeddings (64-dim =
+# 256 B/vector) the corpus doesn't fit executor memory as floats, but
+# PQ codes (m_sub bytes/vector, 32x smaller) do.  pq_encode is a pure
+# scan-stage map (one codegen'd projection, no shuffle); pq_topk scans
+# ONLY the codes table and scores each row with m_sub array lookups
+# against per-query ADC tables computed once from the query vector --
+# the FAISS IndexPQ search shape (Jegou, Douze, Schmid: "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011).
+#
+# Codebooks are deterministic +/-1 mixer directions (same recipe as
+# ivf_centroids / the hamming planes) so the DuckDB oracle regenerates
+# them from integer arithmetic alone; a real deployment swaps in
+# k-means-per-subspace codebooks via the `codebooks` parameter without
+# changing the plan shape.
+
+_PQ_OFFSET = 2_500_000_011  # mixer domain: idx * M1 must stay < 2^63
+
+
+def pq_codebooks(
+    dim: int, m_sub: int, k_codes: int
+) -> list[list[list[float]]]:
+    """codebooks[s][c] = +/-1 direction for subspace s, codeword c.
+    With +/-1 entries, ||x - cb||^2 = ||x||^2 - 2 x.cb + d_sub, so
+    nearest-codeword == argmax dot -- the assignment the oracle can
+    replay without any float subtraction."""
+    assert dim % m_sub == 0
+    dsub = dim // m_sub
+    return [
+        [
+            [
+                1.0
+                if _mix_sign_bit(_PQ_OFFSET + (s * k_codes + c) * dsub + i)
+                else -1.0
+                for i in range(dsub)
+            ]
+            for c in range(k_codes)
+        ]
+        for s in range(m_sub)
+    ]
+
+
+def _pq_sub_dot(vec: Column, s: int, dsub: int, signs: list[float]) -> Column:
+    """Sequential fold of subvector s against one +/-1 codeword --
+    same summation order as the oracle's list_reduce."""
+    lits = F.array(*[F.lit(x) for x in signs])
+    return F.aggregate(
+        F.zip_with(
+            F.slice(vec, s * dsub + 1, dsub),
+            lits,
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_code_col(vec: Column, s: int, dsub: int, book: list[list[float]]) -> Column:
+    """Codeword index (0-based) for subspace s: argmax dot with ties
+    broken toward the smallest index (array_position returns the FIRST
+    max, and the max is bit-identical to an array element, so the
+    equality probe is exact)."""
+    dots = F.array(*[_pq_sub_dot(vec, s, dsub, cw) for cw in book])
+    return (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    dim: int,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Vector -> array<int> of m_sub codeword ids.  One scan-stage
+    projection per vector (m_sub * k_codes short folds), no shuffle;
+    the output is the compressed corpus representation (m_sub small
+    ints per vector) that downstream ADC scans read INSTEAD of the
+    float embeddings."""
+    books = codebooks if codebooks is not None else pq_codebooks(dim, m_sub, k_codes)
+    dsub = dim // m_sub
+    vec = F.col(vec_col)
+    return df.select(
+        F.col(id_col),
+        F.array(
+            *[_pq_code_col(vec, s, dsub, books[s]) for s in range(m_sub)]
+        ).alias("pq_code"),
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: score(q, x) ~= sum_s T_q[s][code_s(x)]
+    where T_q[s][c] = dot(q_sub_s, codebook[s][c]) is computed ONCE per
+    query and broadcast as DATA (a flattened m_sub*k_codes array), so
+    the corpus-side cost is m_sub element_at lookups per row over the
+    codes table -- no float vectors move, no per-row trig/sqrt, and the
+    only shuffle is the per-query top-k of (query_id, neighbor_id,
+    score) triples through a WindowGroupLimit.
+
+    Pass `codes_df` (a persisted pq_encode output) to skip re-encoding
+    -- the intended shape at scale: encode once at ingest, store the
+    codes table, serve queries from it."""
+    from pyspark.sql.window import Window
+
+    books = codebooks if codebooks is not None else pq_codebooks(dim, m_sub, k_codes)
+    dsub = dim // m_sub
+    codes = (
+        codes_df
+        if codes_df is not None
+        else pq_encode(
+            df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+            dim,
+            m_sub,
+            k_codes,
+            id_col=id_col,
+            vec_col=vec_col,
+            codebooks=books,
+        )
+    )
+    qvec = F.col(vec_col)
+    # flattened ADC table: entry s*k_codes+c = dot(q_sub_s, books[s][c]);
+    # computed once per QUERY ROW (data, not plan literals beyond the
+    # +/-1 signs, same plan-size discipline as q26's centroids)
+    adc = F.array(
+        *[
+            _pq_sub_dot(qvec, s, dsub, books[s][c])
+            for s in range(m_sub)
+            for c in range(k_codes)
+        ]
+    )
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"), adc.alias("adc")
+    )
+    score = None
+    for s in range(m_sub):
+        term = F.element_at(
+            "adc", (F.lit(s * k_codes) + F.element_at("pq_code", s + 1) + 1).cast("int")
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.col("neighbor_id")
+    )
+    return (
+        codes.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(score, 4).alias("adc_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1638,3 +1638,65 @@ def test_ogg_probed_distributed(spark):
     assert out["song"].format == "ogg" and out["song"].duration_ms == 2000
     assert out["song"].width is None
     assert "ogg" in out["badogg"].probe_error
+
+
+def test_g711_anchors_and_byte_round_trip():
+    # ITU-T G.711 well-known anchors: silence bytes, extremes
+    assert mc._ulaw_decode_byte(0xFF) == 0
+    assert mc._ulaw_decode_byte(0x00) == -32124
+    assert mc._ulaw_decode_byte(0x80) == 32124
+    assert mc._alaw_decode_byte(0xD5) == 8
+    assert mc._alaw_decode_byte(0x55) == -8
+    assert mc._alaw_decode_byte(0xAA) == 32256
+    assert mc._alaw_decode_byte(0x2A) == -32256
+    for law in ("ulaw", "alaw"):
+        for b in range(256):
+            d = mc.g711_decode(bytes([b]), law)
+            e = mc.g711_encode(d, law)[0]
+            if law == "ulaw" and b == 0x7F:
+                # negative zero canonicalizes to 0xFF
+                assert e == 0xFF
+            else:
+                assert e == b, (law, b, int(d[0]), e)
+
+
+def test_g711_nearest_grid_quantizer():
+    rng = np.random.default_rng(11)
+    x = rng.integers(-32768, 32768, 4000)
+    for law in ("ulaw", "alaw"):
+        d = mc.g711_decode(mc.g711_encode(x, law), law).astype(np.int64)
+        grid = np.sort(mc._G711[law][0])
+        xc = np.clip(x, grid[0], grid[-1])
+        pos = np.searchsorted(grid, xc)
+        lo = grid[np.maximum(pos - 1, 0)]
+        hi = grid[np.minimum(pos, grid.size - 1)]
+        best = np.minimum(np.abs(xc - lo), np.abs(hi - xc))
+        assert np.all(np.abs(d - xc) <= best), law
+
+
+def test_g711_wav_end_to_end_and_probe():
+    # on-grid samples round-trip EXACTLY through the WAV container
+    e = np.arange(240) % 8
+    m = (7 * np.arange(240)) % 16
+    v = ((8 * m + 132) << e) - 132
+    sig = np.where(np.arange(240) % 2 == 0, v, -v).astype(np.int16)
+    p = mc.encode_wav_g711(8000, 1, sig, law="ulaw")
+    rate, ch, out = mc.decode_wav(p)
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(out.astype(np.int64), sig.astype(np.int64))
+    # header probe: fact chunk gives the frame count without decode
+    assert mc.probe_header(p) == (None, None, 30)  # 240 frames / 8000 Hz → 30 ms
+    # A-law stereo: interleaved, block_align == channels
+    a = np.where(np.arange(200) % 2 == 0, 8, -8).astype(np.int16)
+    p2 = mc.encode_wav_g711(16000, 2, a, law="alaw")
+    rate2, ch2, out2 = mc.decode_wav(p2)
+    assert (rate2, ch2) == (16000, 2)
+    assert np.array_equal(out2.astype(np.int64), a.astype(np.int64))
+    assert mc.wav_features(p)[:4] == [2.0, 240.0, 8000.0, 1.0]
+
+
+def test_g711_malformed_raises():
+    p = bytearray(mc.encode_wav_g711(8000, 1, np.zeros(16, np.int16)))
+    p[34] = 16  # bits 8 → 16 in the fmt chunk
+    with pytest.raises(mc.MediaDecodeError):
+        mc.decode_wav(bytes(p))
