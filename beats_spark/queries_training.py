@@ -998,6 +998,7 @@ def catalog():
         "q38_quality_funnel": q_quality_funnel,
         "q39_vocab": q_vocab,
         "q74_pagerank": q_pagerank,
+        "q80_triangles": q_triangles,
     }
 
 
@@ -1010,6 +1011,7 @@ def oracles():
         "q15_multiline": q_multiline_oracle(),
         "q60_winnow": q_winnow_oracle(),
         "q74_pagerank": q_pagerank_oracle(),
+        "q80_triangles": q_triangles_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1091,3 +1093,78 @@ c3 AS (SELECT dst, CAST(SUM(t * w) AS BIGINT) AS s
 r3 AS (SELECT id, CAST(54 * 360 * 360 + 17 * COALESCE(s, 0) AS BIGINT) AS t
        FROM nodes LEFT JOIN c3 ON id = dst)
 SELECT id AS doc_id, t AS pr_scaled FROM r3 ORDER BY doc_id"""
+
+
+# --- q80: triangle counts (degree-oriented, curation link signal) ------------
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle participation over the q74 citation
+    family treated UNDIRECTED, plus a planted K12 clique on doc_id
+    < 12 so the gate is non-vacuous at every scale (each clique
+    member closes ≥ C(11,2) = 55 triangles; the organic family adds
+    data-dependent ones on top). Exercises cluster.triangle_counts —
+    degree orientation bounds the wedge volume at O(m^1.5) however
+    skewed the degree distribution (see its docstring)."""
+    from beats_spark.training import cluster
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    targets = F.array(
+        (F.col("doc_id") * 7 + 1) % n,
+        (F.col("doc_id") * 13 + 5) % n,
+        (F.col("doc_id") * 29 + 11) % n,
+    )
+    base = docs.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    ids = spark.range(12).select(F.col("id"))
+    clique = (
+        ids.alias("l")
+        .join(ids.alias("r"), F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+    )
+    edges = base.unionAll(clique)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return (
+        cluster.triangle_counts(edges, nodes)
+        .select(F.col("node").alias("doc_id"), "n_tri")
+        .orderBy("doc_id")
+    )
+
+
+def q_triangles_oracle() -> str:
+    return """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+base AS (
+  SELECT id AS src, dst
+  FROM nodes, nn,
+       UNNEST([(id*7 + 1) % n, (id*13 + 5) % n, (id*29 + 11) % n]) AS t(dst)),
+clique AS (
+  SELECT l.id AS src, r.id AS dst FROM nodes l JOIN nodes r ON l.id < r.id
+  WHERE l.id < 12 AND r.id < 12),
+canon AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (SELECT src, dst FROM base UNION ALL SELECT src, dst FROM clique)
+  WHERE src <> dst),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT a AS node FROM canon UNION ALL SELECT b AS node FROM canon)
+  GROUP BY node),
+orient AS (
+  SELECT CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.a ELSE c.b END AS u,
+         CASE WHEN (da.d, c.a) < (db.d, c.b) THEN c.b ELSE c.a END AS v
+  FROM canon c JOIN deg da ON da.node = c.a JOIN deg db ON db.node = c.b),
+wedges AS (
+  SELECT e1.u AS apex, e1.v AS x, e2.v AS y
+  FROM orient e1 JOIN orient e2 ON e1.u = e2.u AND e1.v < e2.v),
+tris AS (
+  SELECT w.apex, w.x, w.y
+  FROM wedges w JOIN canon c ON c.a = w.x AND c.b = w.y),
+per_node AS (
+  SELECT node, COUNT(*) AS n_tri
+  FROM tris, UNNEST([apex, x, y]) AS m(node) GROUP BY node)
+SELECT id AS doc_id, CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri
+FROM nodes LEFT JOIN per_node ON node = id
+ORDER BY doc_id"""

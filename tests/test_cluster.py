@@ -95,3 +95,37 @@ def test_nonconvergence_guard(spark):
     df = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
     with pytest.raises(RuntimeError):
         cluster.connected_components(df, max_rounds=0)
+
+
+def test_triangle_counts_hand_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3), plus a pendant
+    # node 5 and an isolated node 6; edges arrive directed, with
+    # duplicates and a self-loop to exercise canonicalization
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (4, 5), (5, 5)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], ["node"])
+    out = {r.node: r.n_tri for r in cluster.triangle_counts(e, nodes).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0, 6: 0}
+    spark.catalog.clearCache()
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    # deterministic pseudo-random graph vs an itertools brute force
+    import itertools
+
+    n = 40
+    edges = [((i * 7 + 1) % n, (i * 13 + 5) % n) for i in range(n)]
+    edges += [((i * 3 + 2) % n, (i * 11 + 7) % n) for i in range(n)]
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    expect = {i: 0 for i in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if {(a, b), (a, c), (b, c)} <= und:
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    out = {r.node: r.n_tri for r in cluster.triangle_counts(e, nodes).collect()}
+    assert out == expect
+    spark.catalog.clearCache()
