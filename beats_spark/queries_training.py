@@ -999,6 +999,7 @@ def catalog():
         "q39_vocab": q_vocab,
         "q74_pagerank": q_pagerank,
         "q80_triangles": q_triangles,
+        "q81_bloom_decontaminate": q_bloom_decontaminate,
     }
 
 
@@ -1012,6 +1013,7 @@ def oracles():
         "q60_winnow": q_winnow_oracle(),
         "q74_pagerank": q_pagerank_oracle(),
         "q80_triangles": q_triangles_oracle(),
+        "q81_bloom_decontaminate": q_bloom_decontaminate_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1168,3 +1170,60 @@ per_node AS (
 SELECT id AS doc_id, CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri
 FROM nodes LEFT JOIN per_node ON node = id
 ORDER BY doc_id"""
+
+
+# --- q81: Bloom-filter decontamination (constant-size broadcast) --------------
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31's decontamination semantics through curate.bloom_
+    contamination: the benchmark gram set compresses to a 2^18-bit /
+    k=4 Bloom filter (32 KB broadcast regardless of benchmark size —
+    the shape that still works when the eval battery's distinct grams
+    no longer fit a broadcast hash relation). Membership — including
+    the deterministic false positives of the md5 double-hash scheme —
+    is replayed bit-for-bit by the DuckDB twin, which joins each
+    gram's 4 positions against the set-bit table and demands all 4
+    match. Planted contaminated docs (bench texts re-issued as corpus
+    ids +300000, the q14 twin recipe) keep the gate non-vacuous at
+    every scale — the natural corpus yields only a handful of hits."""
+    from beats_spark.training import curate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 17 == 3)
+    planted = bench.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id", "text"
+    ).unionByName(planted)
+    return curate.bloom_contamination(
+        corpus, bench, n=5, m_bits=1 << 18, k=4
+    ).orderBy("doc_id")
+
+
+def q_bloom_decontaminate_oracle() -> str:
+    from beats_spark.training import curate
+
+    g5 = curate.ngram_sql(5)
+    pos = curate.bloom_positions_sql("g", 1 << 18, 4)
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+g AS (SELECT doc_id, unnest({g5}) AS g FROM w),
+bench_pos AS (
+  SELECT DISTINCT unnest({pos}) AS p
+  FROM (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 3)),
+corpus AS (
+  SELECT doc_id, g FROM g WHERE doc_id % 17 <> 3
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, g FROM g
+  WHERE doc_id % 17 = 3 AND doc_id < 100),
+cp AS (
+  SELECT doc_id, g, unnest({pos}) AS p FROM corpus),
+gm AS (
+  SELECT doc_id, g, count(*) AS ok
+  FROM cp JOIN bench_pos USING (p) GROUP BY doc_id, g)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM gm WHERE ok = 4
+GROUP BY doc_id ORDER BY doc_id"""

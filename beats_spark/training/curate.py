@@ -385,3 +385,128 @@ def temperature_mix_weights(
     out = {s: r[s] / peak for s in nonzero}
     # empty sources contribute no documents: weight 0, never a crash
     return {s: out.get(s, 0.0) for s in counts}
+
+
+# --- Bloom-filter decontamination (the 100 TB membership path) ---------------
+#
+# `contamination` broadcasts the exact benchmark gram SET — fine while
+# the distinct grams fit a broadcast hash relation (10^6-ish). At a
+# 100 TB corpus vs a large eval battery the exact set can reach tens
+# of GB; a Bloom filter (Bloom, CACM 1970) compresses it to m bits at
+# a false-POSITIVE rate (1 - e^(-kn/m))^k — over-removal by epsilon,
+# never under-removal, which is the safe direction for
+# decontamination. Hashing is Kirsch-Mitzenmacher double hashing
+# (h1 + j*h2, "Less Hashing, Same Performance", ESA 2006) over
+# md5-60bit values, so the bit positions — and therefore the exact
+# false-positive set — are reproducible in any engine: the DuckDB
+# oracle replays membership bit-for-bit.
+
+
+def bloom_positions(gram: Column, m_bits: int, k: int) -> Column:
+    """array<long> of k bit positions for one gram. h1/h2 are
+    md5-60bit (< 2^60); h1 + (k-1)*h2 stays < 2^63 for k <= 8, so the
+    arithmetic is overflow-safe in engines that trap (DuckDB) and ones
+    that wrap (JVM) alike. h2 is forced odd so the probe sequence
+    cycles the full power-of-two bit space."""
+    assert k <= 8, "k > 8 risks int64 overflow in h1 + j*h2"
+    h1 = F.conv(F.substring(F.md5(gram.cast("binary")), 1, 15), 16, 10).cast("long")
+    h2 = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bloom2:"), gram).cast("binary")), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseOR(F.lit(1))
+    )
+    return F.array(*[(h1 + F.lit(j) * h2) % F.lit(m_bits) for j in range(k)])
+
+
+def bloom_positions_sql(gram_expr: str, m_bits: int, k: int) -> str:
+    """DuckDB twin of bloom_positions (a list expression)."""
+    h1 = f"('0x' || substring(md5({gram_expr}), 1, 15))::BIGINT"
+    h2 = f"(('0x' || substring(md5('bloom2:' || {gram_expr}), 1, 15))::BIGINT | 1)"
+    terms = ", ".join(f"({h1} + {j} * {h2}) % {m_bits}" for j in range(k))
+    return f"[{terms}]"
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark word n-grams → a ONE-ROW DataFrame holding the filter
+    as array<long> `bloom_words` (32 bits used per word — the sign bit
+    never set, so the same values are exact BIGINTs in any engine).
+    m_bits/4 bytes of broadcast data regardless of benchmark size."""
+    assert m_bits % 32 == 0
+    n_words = m_bits // 32
+    pos = (
+        benchmark.select(F.explode(word_ngrams(F.col(text_col), n)).alias("g"))
+        .distinct()
+        .select(F.explode(bloom_positions(F.col("g"), m_bits, k)).alias("p"))
+        .distinct()
+    )
+    per_word = pos.groupBy(F.shiftright("p", 5).alias("wid")).agg(
+        F.expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").alias("bits")
+    )
+    return per_word.agg(
+        F.map_from_entries(F.collect_list(F.struct("wid", "bits"))).alias("wm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.lit(n_words - 1).cast("long")),
+            lambda i: F.coalesce(F.try_element_at("wm", i), F.lit(0).cast("long")),
+        ).alias("bloom_words")
+    )
+
+
+def bloom_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """(id_col, n_hits) for corpus docs with >= 1 distinct word n-gram
+    whose k filter bits are all set — `contamination` semantics with a
+    constant-size broadcast. The probe is one whole-stage scan: per
+    doc, filter its distinct-gram array through the bit test; no
+    explode, no join key, no shuffle until the caller aggregates.
+    False positives are a deterministic function of (benchmark, salt)
+    and are reproduced exactly by the SQL twin.
+
+    Known trade (plan-read): Catalyst pushes the n_hits >= 1 filter
+    into the broadcast-join condition, so the gram+md5 chain evaluates
+    twice per row — 2x codegen'd scan CPU. The alternative (a
+    repartition/persist barrier) adds a full-corpus exchange, which
+    loses at 100 TB (the q42 put_fields lesson: zero extra shuffle
+    wins)."""
+    filt = bloom_build(benchmark, text_col, n, m_bits, k)
+
+    def bit_set(p: Column) -> Column:
+        word = F.element_at("bloom_words", F.shiftright(p, 5).cast("int") + 1)
+        return (
+            F.call_function("shiftright", word, (p % 32).cast("int"))
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
+
+    def gram_hits(g: Column) -> Column:
+        return F.forall(bloom_positions(g, m_bits, k), bit_set)
+
+    return (
+        corpus.join(F.broadcast(filt))
+        .select(
+            F.col(id_col),
+            F.size(F.filter(word_ngrams(F.col(text_col), n), gram_hits)).alias(
+                "n_hits"
+            ),
+        )
+        .filter(F.col("n_hits") >= 1)
+    )

@@ -276,3 +276,75 @@ def test_weighted_sample_matches_python_and_is_calibrated(spark):
     ew = sum((i % 100) / 100.0 for i in range(n))
     sd = math.sqrt(sum((i % 100) / 100.0 * (1 - (i % 100) / 100.0) for i in range(n)))
     assert abs(len(kept) - ew) < 4 * sd
+
+
+def test_bloom_contamination_superset_of_exact(spark):
+    # corpus doc 1 quotes a benchmark passage; doc 2 is clean
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "noise alpha beta gamma delta epsilon more noise words here"),
+            (2, "totally unrelated text with many distinct words present okay"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r.doc_id: r.n_hits
+        for r in curate.contamination(corpus, bench, n=5).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_hits
+        for r in curate.bloom_contamination(
+            corpus, bench, n=5, m_bits=1 << 14, k=4
+        ).collect()
+    }
+    # Bloom can only over-report (false positives), never miss
+    assert set(exact) <= set(bloom)
+    for d, n in exact.items():
+        assert bloom[d] >= n
+    assert exact == {1: 1}
+    # at this m/n the filter is far from saturation: no false positive
+    assert bloom == {1: 1}
+
+
+def test_bloom_false_positives_match_pure_python_twin(spark):
+    # tiny m forces collisions; the exact false-positive set must be
+    # the deterministic function of the md5 double-hash arithmetic
+    # that a pure-Python replay predicts
+    def positions(gram: str, m: int, k: int) -> list[int]:
+        h1 = int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+        h2 = int(hashlib.md5(f"bloom2:{gram}".encode()).hexdigest()[:15], 16) | 1
+        return [(h1 + j * h2) % m for j in range(k)]
+
+    def grams(text: str, n: int = 5) -> list[str]:
+        ws = text.split()
+        return sorted({" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)})
+
+    bench_txt = "one two three four five six seven eight nine ten"
+    docs = [
+        (1, "completely different content with plenty of words to probe"),
+        (2, "another unrelated document probing the tiny filter for hits"),
+        (3, "one two three four five quoted verbatim from the benchmark"),
+    ]
+    m, k = 64, 3
+    bits = set()
+    for g in grams(bench_txt):
+        bits.update(positions(g, m, k))
+    expect = {}
+    for d, t in docs:
+        n = sum(1 for g in grams(t) if all(p in bits for p in positions(g, m, k)))
+        if n:
+            expect[d] = n
+    bench = spark.createDataFrame([(9, bench_txt)], ["doc_id", "text"])
+    corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r.doc_id: r.n_hits
+        for r in curate.bloom_contamination(
+            corpus, bench, n=5, m_bits=m, k=k
+        ).collect()
+    }
+    assert out == expect
+    assert 3 in out  # the true contamination is always flagged
