@@ -360,3 +360,92 @@ def theta_overlap_matrix(
         .cast("long")
         .alias("n_either"),
     )
+
+
+def _cms_bucket(key: Column, r: int, width: int) -> Column:
+    """Row-r hash bucket: md5-60bit of the salted key string, mod
+    width — the portable-hash recipe (identical in every engine, so
+    COLLISIONS, and therefore the exact overestimates, replay in the
+    SQL twin)."""
+    h = F.md5(F.concat(F.lit(f"cms{r}:"), key.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(width)
+
+
+def cms_table(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Pre-aggregated FREQUENCY table: one count-min sketch (Cormode &
+    Muthukrishnan, J.Alg 2005) of `value_col` per fine-grain key — the
+    third mergeable-sketch family next to HLL (distincts, q63) and KLL
+    (quantiles, q65): heavy-hitter counts without per-value state.
+    Output rows are (keys..., cms_r, cms_b, cms_c): depth×width
+    bounded counters per grain. ONE fact scan, a bounded ×depth
+    explode, then a map-side-combined groupBy — at 100 TB every
+    coarser grain and every point estimate is answered from this
+    dimension-sized table, never the facts.
+
+    Accuracy contract: estimate = min over rows ≥ true count, with
+    overshoot ≤ 2·N/width at confidence 1-2^-depth (N = grain total).
+    The arithmetic is integer end-to-end and the hash is engine-
+    portable, so estimates — including collision overshoot — are
+    bit-reproducible cross-engine."""
+    positions = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("cms_r"),
+                _cms_bucket(F.col(value_col), r, width).alias("cms_b"),
+            )
+            for r in range(depth)
+        ]
+    )
+    return (
+        df.select(*keys, F.explode(positions).alias("p"))
+        .groupBy(*keys, "p.cms_r", "p.cms_b")
+        .agg(F.count(F.lit(1)).alias("cms_c"))
+    )
+
+
+def cms_rollup(sketch_df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Merge a cms_table to a coarser grain: counters SUM cellwise
+    (the defining mergeability of linear sketches) — merged ==
+    single-pass bit-for-bit, pinned in tests. Moves dimension-sized
+    counter rows, never facts."""
+    return sketch_df.groupBy(*keys, "cms_r", "cms_b").agg(
+        F.sum("cms_c").alias("cms_c")
+    )
+
+
+def cms_estimate(
+    sketch_df: DataFrame,
+    keys_df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point estimates for the values in keys_df against a (possibly
+    rolled-up, grain-free) sketch: min over the depth counters. An
+    equi-join of |keys|·depth probe rows against the bounded counter
+    table — the facts are long gone."""
+    probes = keys_df.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("cms_r"),
+                        _cms_bucket(F.col(value_col), r, width).alias("cms_b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(value_col, "p.cms_r", "p.cms_b")
+    return (
+        probes.join(sketch_df.select("cms_r", "cms_b", "cms_c"), ["cms_r", "cms_b"])
+        .groupBy(value_col)
+        .agg(F.min("cms_c").alias("est_n"))
+    )

@@ -2526,6 +2526,71 @@ SELECT query_id, neighbor_id, adc_score, rank FROM ranked
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
 
+# --- q82: count-min heavy hitters (mergeable frequency sketches) -------------
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequencies answered from COUNT-MIN SKETCHES —
+    the third mergeable-sketch rollup next to q63 (HLL distincts) and
+    q65 (KLL quantiles): build one day-grain counter table in a single
+    fact scan, SUM-merge it to the all-days grain (linear sketches
+    merge cellwise), then point-estimate every observed user from the
+    merged counters. The oracle computes the sketch single-pass over
+    all events — it hash-matches precisely BECAUSE merge == direct for
+    linear sketches, so the gate itself proves mergeability; the
+    portable md5 bucket hash makes every collision overestimate
+    reproduce bit-for-bit. exact_n/overcount columns expose the
+    CMS error profile (overcount >= 0 always)."""
+    from beats_spark.metrics import cms_estimate, cms_rollup, cms_table
+
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    d = F.lit(86_400_000_000)
+    day_idx = ((us - F.pmod(us, d)) / d).cast("long")
+    ev = _events(spark, sf_dir).select(day_idx.alias("day_idx"), "user_id")
+    # cached: the estimate probe and nothing else re-reads it; both
+    # harnesses clearCache per query
+    sk = cms_table(ev, ["day_idx"], "user_id", depth=4, width=512).cache()
+    merged = cms_rollup(sk, [])
+    keys = ev.select("user_id").distinct()
+    est = cms_estimate(merged, keys, "user_id", depth=4, width=512)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            F.col("est_n").cast("long").alias("est_n"),
+            F.col("exact_n").cast("long").alias("exact_n"),
+            (F.col("est_n") - F.col("exact_n")).cast("long").alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_cms_heavy_hitters_oracle() -> str:
+    b = (
+        "('0x' || substring(md5('cms' || r || ':' || CAST(user_id AS VARCHAR)), "
+        "1, 15))::BIGINT % 512"
+    )
+    return f"""
+WITH pos AS (
+  SELECT user_id, r, {b} AS cms_b
+  FROM events, range(0, 4) AS t(r)),
+ctr AS (
+  SELECT r, cms_b, count(*) AS c FROM pos GROUP BY r, cms_b),
+keys AS (SELECT DISTINCT user_id FROM events),
+kpos AS (
+  SELECT user_id, r, {b} AS cms_b
+  FROM keys, range(0, 4) AS t(r)),
+est AS (
+  SELECT user_id, min(c) AS est_n
+  FROM kpos JOIN ctr USING (r, cms_b) GROUP BY user_id),
+exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY user_id)
+SELECT user_id, CAST(est_n AS BIGINT) AS est_n,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(est_n - exact_n AS BIGINT) AS overcount
+FROM est JOIN exact USING (user_id) ORDER BY user_id"""
+
+
 # --- q67: BM25 relevance top-k (relevance.py) --------------------------------
 
 
@@ -3780,6 +3845,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_audio_decode": q_audio_decode,
         "q78_avi_decode": q_avi_decode,
         "q79_pq_topk": q_pq_topk,
+        "q82_cms_heavy_hitters": q_cms_heavy_hitters,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -3802,7 +3868,7 @@ _WITNESS_FIRST = [
     "q71_jpeg_decode", "q72_gif_frames", "q73_webp_decode",
     "q74_pagerank", "q75_webp_anim_frames", "q76_media_probe",
     "q77_audio_decode", "q78_avi_decode", "q79_pq_topk", "q80_triangles",
-    "q81_bloom_decontaminate",
+    "q81_bloom_decontaminate", "q82_cms_heavy_hitters",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -3907,4 +3973,5 @@ def _base_oracles() -> dict[str, str]:
         "q77_audio_decode": q_audio_decode_oracle(),
         "q78_avi_decode": q_avi_decode_oracle(),
         "q79_pq_topk": q_pq_topk_oracle(),
+        "q82_cms_heavy_hitters": q_cms_heavy_hitters_oracle(),
     }

@@ -362,3 +362,45 @@ def test_kll_label_collision_raises(spark):
 
     with pytest.raises(ValueError, match="colliding"):
         rollup_quantiles(sk, [], quantiles=(0.899, 0.9))
+
+
+def test_cms_merge_equals_single_pass_and_python_twin(spark):
+    import hashlib
+
+    from beats_spark.metrics import cms_estimate, cms_rollup, cms_table
+
+    rows = [(i % 7, f"u{i % 23}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["day", "uid"])
+    depth, width = 3, 32  # tiny width forces collisions
+    fine = cms_table(df, ["day"], "uid", depth=depth, width=width)
+    merged = cms_rollup(fine, [])
+    single = cms_table(df.select("uid"), [], "uid", depth=depth, width=width)
+    # linear sketches: merged counters == single-pass counters, cell-exact
+    m = {(r.cms_r, r.cms_b): r.cms_c for r in merged.collect()}
+    s = {(r.cms_r, r.cms_b): r.cms_c for r in single.collect()}
+    assert m == s
+    # point estimates match a pure-Python CMS with the same hash
+    def bucket(uid: str, r: int) -> int:
+        return int(hashlib.md5(f"cms{r}:{uid}".encode()).hexdigest()[:15], 16) % width
+
+    ctr: dict = {}
+    for _, uid in rows:
+        for r in range(depth):
+            k = (r, bucket(uid, r))
+            ctr[k] = ctr.get(k, 0) + 1
+    expect = {}
+    exact: dict = {}
+    for _, uid in rows:
+        exact[uid] = exact.get(uid, 0) + 1
+    for uid in exact:
+        expect[uid] = min(ctr[(r, bucket(uid, r))] for r in range(depth))
+    keys = spark.createDataFrame([(u,) for u in exact], ["uid"])
+    est = {
+        r.uid: r.est_n
+        for r in cms_estimate(merged, keys, "uid", depth=depth, width=width).collect()
+    }
+    assert est == expect
+    # CMS never undercounts
+    assert all(est[u] >= exact[u] for u in exact)
+    # the tiny width really collided (the estimate-vs-exact gap exists)
+    assert any(est[u] > exact[u] for u in exact)
