@@ -81,6 +81,12 @@ PROBE_QUERIES = [
     "q70_cooccurrence",
     # round-5: iterative link-graph rank (consumes documents)
     "q74_pagerank",
+    # round-5 session 3: PQ ANN (embeddings), triangles + bloom
+    # (documents), CMS heavy hitters (events)
+    "q79_pq_topk",
+    "q80_triangles",
+    "q81_bloom_decontaminate",
+    "q82_cms_heavy_hitters",
 ]
 
 
