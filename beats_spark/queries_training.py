@@ -417,6 +417,69 @@ SELECT count(*) AS n_windows, CAST(sum(n_docs) AS BIGINT) AS sum_docs,
 FROM grouped"""
 
 
+def q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q83: exact-substring dedup spans (Lee et al. 2022) over the
+    BASELINE token arrays — merged per-doc token ranges covered by
+    8-token windows shared across >= 2 documents, i.e. exactly the
+    ranges the removal pass would cut. Checksums pin every span's
+    (doc, start, end) triple, so the island merge arithmetic itself
+    is oracle-verified."""
+    from beats_spark.datagen import load_token_events
+    from beats_spark.training.dedup import substring_dup_spans
+
+    df = load_token_events(spark, sf_dir)
+    spans = substring_dup_spans(df, k=8, min_docs=2)
+    dkey = F.substring("id", 5, 12).cast("long")
+    span_hash = F.pmod(
+        dkey * 1000003 + F.col("span_start") * 97 + F.col("span_end"),
+        F.lit(2147483647),
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.count_distinct("id").alias("n_docs"),
+        F.sum("span_len").alias("removed_tokens"),
+        F.sum(span_hash).alias("hash_check"),
+    )
+
+
+def q_substring_spans_oracle() -> str:
+    from beats_spark.datagen import token_events_sql
+
+    return f"""
+WITH events AS ({token_events_sql('duckdb')}),
+wins AS (
+  SELECT doc_id, pos,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), tokens[pos + 1 : pos + 8]),
+                     (acc, x) -> (acc * 31 + x) % 2147483647) AS wh
+  FROM (SELECT doc_id, tokens,
+               unnest(range(0, len(tokens) - 8 + 1)) AS pos
+        FROM events WHERE len(tokens) >= 8)),
+dup AS (
+  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+hits AS (
+  SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (wh)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos > lag(pos) OVER w + 8 THEN 1 ELSE 0 END AS brk
+  FROM hits
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM marked),
+spans AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM isl GROUP BY doc_id, g)
+SELECT count(*) AS n_spans,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(e - s + 1) AS BIGINT) AS removed_tokens,
+       CAST(sum((CAST(doc_id[5:] AS BIGINT) * 1000003 + s * 97 + e)
+                % 2147483647) AS BIGINT) AS hash_check
+FROM spans"""
+
+
 # --- q25: quality scoring (C4/Gopher-style filter) ---------------------------
 
 
@@ -1000,6 +1063,7 @@ def catalog():
         "q74_pagerank": q_pagerank,
         "q80_triangles": q_triangles,
         "q81_bloom_decontaminate": q_bloom_decontaminate,
+        "q83_substring_spans": q_substring_spans,
     }
 
 
@@ -1014,6 +1078,7 @@ def oracles():
         "q74_pagerank": q_pagerank_oracle(),
         "q80_triangles": q_triangles_oracle(),
         "q81_bloom_decontaminate": q_bloom_decontaminate_oracle(),
+        "q83_substring_spans": q_substring_spans_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),

@@ -503,6 +503,83 @@ def token_window_dup_groups(
     )
 
 
+def substring_dup_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring dedup spans (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    range covered by k-token windows that appear in >= min_docs
+    DISTINCT documents. This is the removal-side twin of
+    token_window_dup_groups — q24 tells you WHICH windows repeat;
+    this tells you WHAT to cut from each document: overlapping or
+    adjacent duplicated windows [pos, pos+k-1] merge into one span
+    (gaps-and-islands over sorted starts — windows all have length k,
+    so the running max end is just lag(pos)+k-1 and a lag() suffices).
+
+    Scale shape: the token fan-out stays in whole-stage codegen
+    (posexplode + k-1 window leads building the polynomial hash — the
+    q24 lesson; array-HOF folds evaluate interpreted at 2x cost).
+    Shuffled rows are long triples (id, pos, wh), never token arrays.
+    Per-doc window dedup of (id, wh) rides the id partitioning from
+    the lead() exchange (subset-key clustering — no new exchange);
+    the distinct-doc count groups on wh; hit positions equi-join the
+    duplicated-hash set on wh (AQE broadcasts it when small, SMJ
+    otherwise — never a theta join); the island merge re-keys on id.
+    Matching windows are hash-equal (mod 2^31-1, base 31) — the same
+    candidate semantics as q24; within-doc self-repeats are NOT spans
+    (repetition_features / q34 owns those).
+
+    Returns (id, span_start, span_end, span_len) — token positions,
+    0-based inclusive.
+    """
+    from pyspark.sql.window import Window
+
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens_col).alias("pos", "t")
+    )
+    win = Window.partitionBy("id").orderBy("pos")
+    toks = [F.col("t")] + [F.lead("t", i).over(win) for i in range(1, k)]
+    h: Column = F.lit(0).cast("long")
+    for t in toks:
+        h = F.pmod(h * _TW_BASE + t, F.lit(_P))
+    wins = (
+        ex.select("id", "pos", h.alias("wh"), toks[-1].alias("__l__"))
+        .filter(F.col("__l__").isNotNull())  # full k-windows only
+        .drop("__l__")
+    )
+    dup = (
+        wins.dropDuplicates(["id", "wh"])  # id-clustered: no exchange
+        .groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("wh")
+    )
+    hits = wins.join(dup, "wh").select("id", "pos")
+    lag_pos = F.lag("pos").over(win)
+    brk = F.when(lag_pos.isNull() | (F.col("pos") > lag_pos + k), 1).otherwise(0)
+    isl = F.sum(brk).over(
+        win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hits.withColumn("__g__", isl)
+        .groupBy("id", "__g__")  # id-clustered after the window: no exchange
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
 # --- SimHash -----------------------------------------------------------------
 
 

@@ -230,6 +230,73 @@ def test_token_window_dedup_finds_planted_dups(spark):
     assert all(g.keep_id == 1 for g in groups)  # overlap is docs 1+2
 
 
+def test_substring_dup_spans_vs_bruteforce(spark):
+    """substring_dup_spans (q83 operator) vs a pure-Python twin: hash
+    every k-window, find hashes in >=2 distinct docs, merge
+    overlapping-or-adjacent [pos, pos+k-1] ranges per doc. Docs plant
+    two disjoint shared regions in doc 1 (the merge must NOT bridge
+    the gap), an adjacent-window chain, and a doc with internal
+    repetition only (self-repeats are not spans)."""
+    from pyspark.sql import types as T
+
+    from beats_spark.training.dedup import substring_dup_spans
+
+    k = 6
+    rows = [
+        (1, list(range(100, 112)) + [7, 8, 9] + list(range(300, 312))),
+        (2, [41, 42] + list(range(100, 112)) + [55]),   # shares 100..111
+        (3, list(range(300, 312)) + [61, 62]),          # shares 300..311
+        (4, list(range(900, 906)) * 3),                 # self-repeat only
+        (5, [1, 2, 3]),                                 # shorter than k
+    ]
+
+    def py_spans():
+        P, B = 2147483647, 31
+        wins = {}  # wh -> {doc: [pos]}
+        for did, toks in rows:
+            for p in range(len(toks) - k + 1):
+                h = 0
+                for x in toks[p : p + k]:
+                    h = (h * B + x) % P
+                wins.setdefault(h, {}).setdefault(did, []).append(p)
+        hits = {}
+        for h, docs in wins.items():
+            if len(docs) >= 2:
+                for did, ps in docs.items():
+                    hits.setdefault(did, set()).update(ps)
+        out = set()
+        for did, ps in hits.items():
+            cur = None
+            for p in sorted(ps):
+                if cur and p <= cur[1] - k + 1 + k:  # p <= lag + k
+                    cur = (cur[0], max(cur[1], p + k - 1))
+                else:
+                    if cur:
+                        out.add((did, *cur))
+                    cur = (p, p + k - 1)
+            if cur:
+                out.add((did, *cur))
+        return out
+
+    df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]),
+    )
+    got = {
+        (r.id, r.span_start, r.span_end)
+        for r in substring_dup_spans(df, k=k, min_docs=2).collect()
+    }
+    exp = py_spans()
+    assert got == exp
+    # doc 1's two shared regions stay separate (gap of 3 < k tokens
+    # between them is NOT covered by any duplicated window)
+    assert (1, 0, 11) in got and (1, 15, 26) in got
+    assert not any(d == 4 for d, _, _ in got)  # self-repeat excluded
+
+
 def test_hamming_topk_recall_vs_bruteforce(spark):
     """q18's operator: 256-bit hamming-sketch pre-filter + exact
     re-rank must reach recall@5 >= 0.9 against the exact top-k at
