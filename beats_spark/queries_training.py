@@ -480,6 +480,54 @@ SELECT count(*) AS n_spans,
 FROM spans"""
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q84: DSIR importance selection (Xie et al. NeurIPS'23) — rank
+    the raw documents corpus by hashed-unigram+bigram importance
+    toward the src0 target slice; top-20 with exact integer micro
+    scores. The oracle replays the identical bucket hash, add-one
+    smoothed ln-ratio, and per-bucket 1e6 rounding."""
+    from beats_spark.training.curate import dsir_topk
+
+    docs = _docs(spark, sf_dir)
+    target = docs.filter(F.col("source") == "src0")
+    return dsir_topk(docs, target, k=20, n_buckets=1024)
+
+
+def q_dsir_select_oracle() -> str:
+    from beats_spark.training.curate import dsir_bucket_sql, ngram_all_sql
+
+    uni = ngram_all_sql(1)
+    bi = ngram_all_sql(2)
+    bucket = dsir_bucket_sql("gram", 1024)
+    return f"""
+WITH ws_t AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+           w -> w != '') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, source, {bucket} AS bucket
+  FROM (SELECT doc_id, source,
+               unnest(list_concat({uni}, {bi})) AS gram FROM ws_t)),
+rc AS (SELECT bucket, count(*) AS rc FROM g GROUP BY bucket),
+tc AS (SELECT bucket, count(*) AS tc FROM g WHERE source = 'src0'
+       GROUP BY bucket),
+tot AS (SELECT (SELECT CAST(sum(rc) AS BIGINT) FROM rc) AS R,
+               (SELECT CAST(sum(tc) AS BIGINT) FROM tc) AS T),
+w AS (
+  SELECT rc.bucket,
+         CAST(round((ln(COALESCE(tc.tc, 0) + 1) - ln(T + 1024)
+                     - ln(rc.rc + 1) + ln(R + 1024)) * 1e6) AS BIGINT) AS wm
+  FROM rc LEFT JOIN tc USING (bucket), tot),
+s AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         CAST(sum(w.wm) AS BIGINT) AS score_micro
+  FROM g JOIN w USING (bucket) GROUP BY g.doc_id)
+SELECT doc_id, n_grams, score_micro FROM s
+ORDER BY score_micro DESC, doc_id LIMIT 20"""
+
+
 # --- q25: quality scoring (C4/Gopher-style filter) ---------------------------
 
 
@@ -1064,6 +1112,7 @@ def catalog():
         "q80_triangles": q_triangles,
         "q81_bloom_decontaminate": q_bloom_decontaminate,
         "q83_substring_spans": q_substring_spans,
+        "q84_dsir_select": q_dsir_select,
     }
 
 
@@ -1079,6 +1128,7 @@ def oracles():
         "q80_triangles": q_triangles_oracle(),
         "q81_bloom_decontaminate": q_bloom_decontaminate_oracle(),
         "q83_substring_spans": q_substring_spans_oracle(),
+        "q84_dsir_select": q_dsir_select_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),

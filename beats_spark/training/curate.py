@@ -510,3 +510,120 @@ def bloom_contamination(
         )
         .filter(F.col("n_hits") >= 1)
     )
+
+
+# --- DSIR importance selection ------------------------------------------------
+
+
+def dsir_bucket(gram: Column, n_buckets: int) -> Column:
+    """Hashed-feature bucket for one gram occurrence: md5-60bit of the
+    salted gram mod n_buckets — portable (DuckDB twin below), and the
+    same 60-bit-safe construction as bloom_positions."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("dsir:"), gram).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def dsir_bucket_sql(gram_expr: str, n_buckets: int) -> str:
+    """DuckDB twin of dsir_bucket."""
+    return (
+        f"(('0x' || substring(md5('dsir:' || {gram_expr}), 1, 15))::BIGINT"
+        f" % {n_buckets})"
+    )
+
+
+def _dsir_grams(col: Column) -> Column:
+    """DSIR's feature stream: every unigram AND bigram occurrence
+    (multiplicity kept — the feature vector counts occurrences)."""
+    return F.concat(word_ngrams_all(col, 1), word_ngrams_all(col, 2))
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR data selection (Xie et al., NeurIPS 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the log importance ratio of a hashed-n-gram bag-of-
+    features model fit on a small TARGET corpus vs the raw corpus.
+    Per-doc log weight = sum over gram occurrences of
+    ln p_target[b] - ln p_raw[b] with add-one smoothing over the
+    n_buckets hashed features.
+
+    Scale shape: the two distribution fits reduce each corpus scan to
+    an n_buckets-row counter table (map-side combined groupBy on the
+    bucket — the CMS/q82 shape), so the model is a <= n_buckets-row
+    broadcast no matter how large either corpus is. Scoring is ONE
+    raw-corpus scan: explode grams -> bucket hash (codegen) ->
+    broadcast-join the weight table -> per-doc sum riding the scan's
+    partitioning (map-side partial agg). Nothing row-proportional
+    ever shuffles except (id, score) pairs.
+
+    Determinism: per-bucket weights collapse the four ln() terms to
+    ONE rounded micro-int (x1e6) before any per-doc summation, so doc
+    scores are exact int64 arithmetic; ln IEEE parity across engines
+    on the count inputs is the q67/q48 recipe, pinned by the 3-scale
+    gate. Returns (id_col, n_grams, score_micro).
+    """
+    grams = _dsir_grams(F.col(text_col))
+    b = dsir_bucket(F.col("gram"), n_buckets)
+    r_ex = df.select(F.explode(grams).alias("gram")).select(b.alias("bucket"))
+    t_ex = target.select(F.explode(grams).alias("gram")).select(b.alias("bucket"))
+    rc = r_ex.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tc = t_ex.groupBy("bucket").agg(F.count(F.lit(1)).alias("tc"))
+    totals = rc.agg(F.sum("rc").alias("R")).crossJoin(
+        tc.agg(F.sum("tc").alias("T"))
+    )
+    # target buckets are a subset of raw buckets (target ⊆ feature
+    # space actually hit by ANY corpus; docs can only score on buckets
+    # their own grams occupy, which raw counts by construction)
+    w = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(F.coalesce(F.col("tc"), F.lit(0)) + 1)
+                    - F.log(F.col("T") + n_buckets)
+                    - F.log(F.col("rc") + 1)
+                    + F.log(F.col("R") + n_buckets)
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    scored = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .select(id_col, b.alias("bucket"))
+        .join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w_micro").alias("score_micro"),
+        )
+    )
+    return scored
+
+
+def dsir_topk(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Top-k raw docs by DSIR importance (deterministic id tiebreak).
+    orderBy().limit(k) — TakeOrderedAndProject, never a global-window
+    single partition (the q55 global-top-k lesson)."""
+    s = dsir_scores(df, target, text_col, id_col, n_buckets)
+    return s.orderBy(F.col("score_micro").desc(), F.col(id_col).asc()).limit(k)

@@ -348,3 +348,74 @@ def test_bloom_false_positives_match_pure_python_twin(spark):
     }
     assert out == expect
     assert 3 in out  # the true contamination is always flagged
+
+
+def test_dsir_scores_match_pure_python_twin(spark):
+    """dsir_scores (q84 operator) vs an independent Python
+    implementation of the hashed-ngram importance model: identical
+    bucket hash (md5-60bit), add-one smoothing, per-bucket 1e6
+    rounding, per-doc integer sums. Also the behavioral property:
+    raw docs written in the target's vocabulary outrank docs from a
+    disjoint vocabulary."""
+    import hashlib
+    import math
+
+    from beats_spark.training.curate import dsir_scores
+
+    B = 64
+    raw = [
+        ("r1", "cat sat on the mat with a cat"),
+        ("r2", "dog ran over the hill fast dog dog"),
+        ("r3", "cat purred near the warm mat"),
+        ("r4", "stock market index fell two points"),
+    ]
+    tgt = [
+        ("t1", "the cat and the mat"),
+        ("t2", "a cat sat on a mat"),
+    ]
+
+    def bucket(g):
+        h = int(hashlib.md5(("dsir:" + g).encode()).hexdigest()[:15], 16)
+        return h % B
+
+    def grams(text):
+        ws = [w for w in text.strip().split() if w]
+        return ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+
+    rc, tc = {}, {}
+    for _, t in raw:
+        for g in grams(t):
+            rc[bucket(g)] = rc.get(bucket(g), 0) + 1
+    for _, t in tgt:
+        for g in grams(t):
+            tc[bucket(g)] = tc.get(bucket(g), 0) + 1
+    R, T = sum(rc.values()), sum(tc.values())
+    w = {
+        b: int(
+            round(
+                (
+                    math.log(tc.get(b, 0) + 1)
+                    - math.log(T + B)
+                    - math.log(rc[b] + 1)
+                    + math.log(R + B)
+                )
+                * 1e6
+            )
+        )
+        for b in rc
+    }
+    exp = {
+        did: (len(grams(t)), sum(w[bucket(g)] for g in grams(t)))
+        for did, t in raw
+    }
+
+    raw_df = spark.createDataFrame(raw, ["doc_id", "text"])
+    tgt_df = spark.createDataFrame(tgt, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.score_micro)
+        for r in dsir_scores(raw_df, tgt_df, n_buckets=B).collect()
+    }
+    assert got == exp
+    # cat-vocabulary docs outrank dog/finance docs toward the cat target
+    scores = {d: s for d, (_, s) in got.items()}
+    assert min(scores["r1"], scores["r3"]) > max(scores["r2"], scores["r4"])
