@@ -985,6 +985,90 @@ def cosine_dup_pairs(
     )
 
 
+def semdedup_removed(
+    df: DataFrame,
+    threshold: float = 0.5,
+    dim: int = 64,
+    cells: int | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): hard-assign every
+    embedding to its nearest coarse cell (k-means cluster; n_probe=1,
+    unlike the multi-probe candidate generators), then inside each
+    cell remove every member of a near-dup pair (cos >= threshold)
+    EXCEPT the one farthest from the centroid — the paper's
+    keep-the-outlier rule (keeping low centroid-similarity members
+    preserves intra-cluster diversity). Keep-priority is
+    (round(cos_to_centroid, 6) asc, id asc): a vector is removed iff
+    some same-cell vector with strictly higher priority is
+    >= threshold similar to it. Identical twins tie on centroid
+    similarity, so exactly the min-id twin survives.
+
+    Scale shape (the q41 audit carries over): assignment is a
+    scan-stage projection; the centroid table is a broadcast (cells
+    rows — centroid similarity comes from a broadcast join, never a
+    k-branch CASE over the whole scan); candidates are an equi-join
+    on cell id with per-cell volume s² held constant by
+    recommended_cells(n) = max(16, n//128); removal ids dedupe
+    map-side on the join's cell clustering. All similarity math is
+    sequential double folds rounded at 6dp — the cross-engine recipe
+    every embedding oracle here uses.
+
+    Returns (id, cell, cent_sim) rows for REMOVED vectors.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else train_centroids(df, dim, cells or 16, id_col=id_col, vec_col=vec_col)
+    )
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.element_at(_cell_assign(F.col(vec_col), cents, n_probe=1), 1).alias(
+            "cell"
+        ),
+    )
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(ci, [float(x) for x in c]) for ci, c in enumerate(cents)],
+        "cell int, cent array<double>",
+    )
+    mem = assigned.join(F.broadcast(cent_df), "cell").select(
+        "cell",
+        "id",
+        "vec",
+        F.round(cosine(F.col("vec"), F.col("cent")), 6).alias("cent_sim"),
+    )
+    a = mem.select(
+        "cell",
+        F.col("id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("cent_sim").alias("cs_a"),
+    )
+    b = mem.select(
+        "cell",
+        F.col("id").alias("id_b"),
+        F.col("vec").alias("vb"),
+        F.col("cent_sim").alias("cs_b"),
+    )
+    keeps_b = (F.col("cs_b") < F.col("cs_a")) | (
+        (F.col("cs_b") == F.col("cs_a")) & (F.col("id_b") < F.col("id_a"))
+    )
+    return (
+        a.join(b, "cell")
+        .filter(
+            (F.col("id_a") != F.col("id_b"))
+            & (F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+            & keeps_b
+        )
+        .select("cell", F.col("id_a").alias("id"), F.col("cs_a").alias("cent_sim"))
+        .dropDuplicates(["id"])
+    )
+
+
 # --- product quantization (PQ) -----------------------------------------------
 #
 # The memory-bound ANN tier: at 100 TB of float32 embeddings (64-dim =

@@ -1000,3 +1000,36 @@ def test_pagerank_scaled_exact_against_python_oracle(spark):
     )
     with _pytest.raises(ValueError, match="out-degree"):
         pagerank_scaled(fat, nd, iterations=1).collect()
+
+
+def test_semdedup_keeps_the_outlier(spark):
+    """semdedup_removed (q85 operator): within a cell, an epsilon-ball
+    keeps exactly the member FARTHEST from the centroid (Abbas et al.
+    keep-the-outlier rule); identical twins tie and keep the min id;
+    dissimilar members and other cells are untouched."""
+    from beats_spark.training.similarity import semdedup_removed
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    rows = [
+        # cell 0: a tight trio along +x with decreasing centroid cosine
+        (1, [1.0, 0.0]),        # cs = 1.0      (closest to centroid)
+        (2, [1.0, 0.05]),       # cs ~ 0.99875
+        (3, [1.0, 0.12]),       # cs ~ 0.99287  (farthest -> the keeper)
+        # cell 0: similar only to nothing (cos to trio ~ 0.7 < 0.9)
+        (4, [1.0, 1.0]),
+        # cell 1: identical twins -> min id 10 survives
+        (10, [0.0, 2.0]),
+        (11, [0.0, 2.0]),
+        # cell 1: lone member (cos to the twins = 1/sqrt(1.36) ~ 0.857 < 0.9)
+        (12, [0.6, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rem = {
+        r.id: r.cell
+        for r in semdedup_removed(
+            df, threshold=0.9, dim=2, centroids=cents
+        ).collect()
+    }
+    # trio: 1 and 2 removed (3 is farthest from centroid), 4 kept;
+    # twins: 11 removed (tie -> min id keeps), 12 kept
+    assert rem == {1: 0, 2: 0, 11: 1}
