@@ -528,6 +528,53 @@ SELECT doc_id, n_grams, score_micro FROM s
 ORDER BY score_micro DESC, doc_id LIMIT 20"""
 
 
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q86: unigram-LM perplexity quality filter (CCNet, Wenzek et
+    al. 2020) over the BASELINE token table: fit the token unigram
+    model in one map-side-combined count, score every doc's mean NLL
+    in one scan via a broadcast weight join, then histogram docs into
+    quarter-nat perplexity bands per source — the CCNet head/middle/
+    tail partition generalized to exact integer bands."""
+    from beats_spark.datagen import load_token_events
+    from beats_spark.training.pack import unigram_nll
+
+    df = load_token_events(spark, sf_dir)
+    nll = unigram_nll(df, keep_cols=("source",))
+    return (
+        nll.groupBy(
+            "source", F.expr("mean_nll_micro div 250000").alias("band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tok"),
+            F.sum(F.pmod(F.col("nll_micro_sum"), F.lit(1000003))).alias(
+                "nll_check"
+            ),
+        )
+        .orderBy("source", "band")
+    )
+
+
+def q_perplexity_filter_oracle() -> str:
+    from beats_spark.datagen import token_events_sql
+
+    return f"""
+WITH events AS ({token_events_sql('duckdb')}),
+ex AS (SELECT doc_id, source, unnest(tokens) AS t FROM events),
+cnt AS (SELECT t, count(*) AS c FROM ex GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM cnt),
+w AS (SELECT t, CAST(round((ln(N) - ln(c)) * 1e6) AS BIGINT) AS nll_micro
+      FROM cnt, tot),
+per AS (
+  SELECT doc_id, source, count(*) AS n_tok,
+         CAST(sum(nll_micro) AS BIGINT) AS s
+  FROM ex JOIN w USING (t) GROUP BY doc_id, source)
+SELECT source, CAST((s // n_tok) // 250000 AS BIGINT) AS band,
+       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+       CAST(sum(s % 1000003) AS BIGINT) AS nll_check
+FROM per GROUP BY source, band ORDER BY source, band"""
+
+
 # --- q25: quality scoring (C4/Gopher-style filter) ---------------------------
 
 
@@ -1113,6 +1160,7 @@ def catalog():
         "q81_bloom_decontaminate": q_bloom_decontaminate,
         "q83_substring_spans": q_substring_spans,
         "q84_dsir_select": q_dsir_select,
+        "q86_perplexity_filter": q_perplexity_filter,
     }
 
 
@@ -1129,6 +1177,7 @@ def oracles():
         "q81_bloom_decontaminate": q_bloom_decontaminate_oracle(),
         "q83_substring_spans": q_substring_spans_oracle(),
         "q84_dsir_select": q_dsir_select_oracle(),
+        "q86_perplexity_filter": q_perplexity_filter_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),

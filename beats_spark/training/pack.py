@@ -204,3 +204,54 @@ def vocab_stats(
         .cast("long")
         .alias("coverage_ppm"),
     )
+
+
+def unigram_nll(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document unigram-LM negative log likelihood — the
+    perplexity quality filter (CCNet, Wenzek et al. 2020: docs whose
+    LM perplexity is an outlier get down-weighted or cut; the unigram
+    fit is the deterministic, oracle-reproducible stand-in for the
+    KenLM 5-gram and keeps the identical pipeline shape).
+
+    Scale shape: the LM fit is one map-side-combined token count
+    (≤ |vocab| rows out — a broadcast no matter the corpus size, the
+    q84 DSIR model shape); scoring is ONE corpus scan: explode →
+    broadcast-join token nll weights → per-doc integer sums riding
+    the scan partitioning. Per-token nll collapses to a rounded
+    micro-int (×1e6) before summation, so doc scores are exact int64
+    arithmetic; ln IEEE parity across engines is the q67/q84 recipe.
+
+    Returns (id_col, n_tok, nll_micro_sum, mean_nll_micro) where
+    mean uses integer `div` (both corpora are positive, so trunc ==
+    floor in both engines).
+    """
+    ex = df.select(
+        F.col(id_col), *(F.col(c) for c in keep_cols), F.explode(tokens_col).alias("t")
+    )
+    cnt = ex.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("N"))
+    w = (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.round((F.log(F.col("N")) - F.log(F.col("c"))) * 1e6)
+            .cast("long")
+            .alias("nll_micro"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(w), "t")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("nll_micro").alias("nll_micro_sum"),
+        )
+        .withColumn(
+            "mean_nll_micro", F.expr("nll_micro_sum div n_tok")
+        )
+    )
