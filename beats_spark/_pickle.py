@@ -25,6 +25,7 @@ def ensure_udf_portable() -> None:
         import cloudpickle  # type: ignore[no-redef]
     import beats_spark.dissect as _dissect
     import beats_spark.streaming as _streaming
+    import beats_spark.training.bpe as _bpe
     import beats_spark.training.media_codecs as _media_codecs
     import beats_spark.training.multimodal as _multimodal
 
@@ -34,7 +35,9 @@ def ensure_udf_portable() -> None:
     # streaming registers because its stateful handlers share the
     # module-level _merged_chunks helper — a by-reference global in
     # every applyInPandasWithState closure
-    for mod in (_dissect, _streaming, _media_codecs, _multimodal):
+    # bpe registers because bpe_encode_words' pandas UDF calls the
+    # module-level bpe_apply — a by-reference global in the closure
+    for mod in (_dissect, _streaming, _bpe, _media_codecs, _multimodal):
         try:
             cloudpickle.register_pickle_by_value(mod)
         except Exception:  # pragma: no cover

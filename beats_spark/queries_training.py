@@ -575,6 +575,91 @@ SELECT source, CAST((s // n_tok) // 250000 AS BIGINT) AS band,
 FROM per GROUP BY source, band ORDER BY source, band"""
 
 
+_BPE_MERGES_N = 24
+
+
+def _bpe_demo_merges() -> list[tuple[str, str]]:
+    """The q87 tokenizer artifact: a merge table trained once, pure
+    Python, on the static document vocabulary with unit counts — both
+    the Spark query and the oracle generator call this, so the table
+    is a shared deterministic constant (a stand-in for the
+    tokenizer.json a production encode consumes)."""
+    from beats_spark.datagen import _DOC_VOCAB
+    from beats_spark.training.bpe import bpe_train
+
+    return bpe_train({w: 1 for w in _DOC_VOCAB}, _BPE_MERGES_N)
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q87: distributed BPE tokenization (Sennrich et al. 2016) of the
+    documents corpus with a fixed merge table: encode each DISTINCT
+    word once through the Arrow-batched pandas UDF (vocabulary-bounded
+    Python work — the corpus never enters Python), broadcast-join the
+    (word → tokens) map back to the occurrence stream, aggregate
+    per-source token counts + a tokenization checksum. The oracle
+    replays the encode as one rank-ordered list_reduce sweep per merge
+    (exact equivalence lemma + property test in training/bpe.py)."""
+    from beats_spark.training import bpe
+    from beats_spark.training.text import words
+
+    merges = _bpe_demo_merges()
+    docs = _docs(spark, sf_dir)
+    occ = docs.select(
+        "source", F.explode(words(F.col("text"))).alias("word")
+    )
+    enc = bpe.bpe_encode_words(occ.select("word").distinct(), merges)
+    enc = enc.select(
+        "word",
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join("bpe_tokens", "|").cast("binary")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1000003),
+        ).alias("tok_h"),
+    )
+    return (
+        occ.join(F.broadcast(enc), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_bpe").alias("sum_bpe_tokens"),
+            F.sum("tok_h").alias("tok_check"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_bpe_encode_oracle() -> str:
+    from beats_spark.training.bpe import bpe_tokens_sql_ctes
+
+    merges = _bpe_demo_merges()
+    ctes = bpe_tokens_sql_ctes("dwords", merges)
+    return f"""
+WITH ws_t AS (
+  SELECT source,
+         list_filter(string_split_regex(
+           regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'),
+           w -> w != '') AS ws
+  FROM documents),
+occ AS (SELECT source, unnest(ws) AS word FROM ws_t),
+dwords AS (SELECT DISTINCT word FROM occ),
+{ctes},
+enc AS (
+  SELECT word, len(toks) AS n_bpe,
+         (('0x' || substring(md5(array_to_string(toks, '|')), 1, 15))::BIGINT
+          % 1000003) AS tok_h
+  FROM t{len(merges)})
+SELECT source, count(*) AS n_words,
+       CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+       CAST(sum(tok_h) AS BIGINT) AS tok_check
+FROM occ JOIN enc USING (word) GROUP BY source ORDER BY source"""
+
+
 # --- q25: quality scoring (C4/Gopher-style filter) ---------------------------
 
 
@@ -1161,6 +1246,7 @@ def catalog():
         "q83_substring_spans": q_substring_spans,
         "q84_dsir_select": q_dsir_select,
         "q86_perplexity_filter": q_perplexity_filter,
+        "q87_bpe_encode": q_bpe_encode,
     }
 
 
@@ -1178,6 +1264,7 @@ def oracles():
         "q83_substring_spans": q_substring_spans_oracle(),
         "q84_dsir_select": q_dsir_select_oracle(),
         "q86_perplexity_filter": q_perplexity_filter_oracle(),
+        "q87_bpe_encode": q_bpe_encode_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
