@@ -87,6 +87,14 @@ PROBE_QUERIES = [
     "q80_triangles",
     "q81_bloom_decontaminate",
     "q82_cms_heavy_hitters",
+    # round-5 session 3: exact-substring spans + perplexity filter
+    # (token table via orders), DSIR + BPE (documents), SemDeDup
+    # (embeddings)
+    "q83_substring_spans",
+    "q84_dsir_select",
+    "q85_semdedup",
+    "q86_perplexity_filter",
+    "q87_bpe_encode",
 ]
 
 
