@@ -1024,6 +1024,13 @@ def semdedup_removed(
         if centroids is not None
         else train_centroids(df, dim, cells or 16, id_col=id_col, vec_col=vec_col)
     )
+    # spread the assignment fold (k dots/vector, the expensive stage)
+    # across tasks — a single-file parquet scan would run it on a
+    # handful of partitions (measured 6.2-7.4s -> 2.7s at sf0.1; the
+    # ivf_dup_candidate_pairs lesson). Persisting mem instead measured
+    # NO further gain once spread (the double-compute is parallel
+    # codegen) and would hold vectors in executor memory at scale.
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
