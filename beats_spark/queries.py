@@ -2615,6 +2615,96 @@ SELECT query_id, neighbor_id, adc_score, rank FROM ranked
 WHERE rank <= 5 ORDER BY query_id, rank"""
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q88: IVF-PQ search (FAISS IndexIVFPQ) — q79's ADC scoring
+    restricted to q26's coarse cells: each query probes its 2 nearest
+    cells and scores only those cells' PQ codes, the memory-bound ANN
+    tier at full composition. cells = recommended_cells(n) (oracle
+    re-derives it from count(*)); deterministic mixer centroids +
+    codebooks make assignment, codes, ADC tables, and ranking all
+    SQL-reproducible."""
+    from beats_spark.training import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cells = similarity.recommended_cells(embs.count())
+    queries = embs.filter(F.col("vec_id") < 3)
+    return similarity.ivfpq_topk(
+        embs,
+        queries,
+        dim=64,
+        k=5,
+        m_sub=8,
+        k_codes=16,
+        cells=cells,
+        n_probe=2,
+    ).orderBy("query_id", "rank")
+
+
+def q_ivfpq_topk_oracle() -> str:
+    from beats_spark.training.similarity import _PQ_OFFSET, mix_sign_sql
+
+    dsub, m, kc = 8, 8, 16
+    sign = mix_sign_sql("1000003 + c * 64 + i - 1")
+    dot_cent = (
+        f"list_reduce(list_prepend(0.0, list_transform(range(1, 65), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * "
+        f"(CASE WHEN {sign} = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+    def fold(vec: str, s_expr: str, c_expr: str) -> str:
+        psign = mix_sign_sql(
+            f"{_PQ_OFFSET} + (({s_expr}) * {kc} + ({c_expr})) * {dsub} + i - 1"
+        )
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {dsub + 1}), "
+            f"i -> CAST({vec}[({s_expr}) * {dsub} + i] AS DOUBLE) * "
+            f"(CASE WHEN {psign} = 1 THEN CAST(1 AS DOUBLE) "
+            f"ELSE CAST(-1 AS DOUBLE) END))), (acc, x) -> acc + x)"
+        )
+
+    dots = f"list_transform(range(0, {kc}), c -> {fold('embedding', 's', 'c')})"
+    code = (
+        f"list_transform(range(0, {m}), s -> "
+        f"CAST(list_position({dots}, list_aggregate({dots}, 'max')) - 1 AS INT))"
+    )
+    adc = (
+        f"list_transform(range(0, {m * kc}), "
+        f"j -> {fold('embedding', f'j // {kc}', f'j % {kc}')})"
+    )
+    score = " + ".join(
+        f"q.adc[{s * kc} + x.pq_code[{s + 1}] + 1]" for s in range(m)
+    )
+    return f"""
+WITH k AS (SELECT greatest(16, CAST(count(*) // 128 AS BIGINT)) AS kc
+           FROM embeddings),
+cells AS (SELECT unnest(range(0, (SELECT kc FROM k))) AS c),
+ccd AS (
+  SELECT vec_id, embedding, c, {dot_cent} AS d
+  FROM embeddings CROSS JOIN cells),
+corpus_cell AS (
+  SELECT vec_id, embedding, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rk
+    FROM ccd) WHERE rk = 1),
+codes AS (SELECT vec_id, cell, {code} AS pq_code FROM corpus_cell),
+qcells AS (
+  SELECT vec_id AS query_id, embedding, c AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, c) AS rk
+    FROM ccd WHERE vec_id < 3) WHERE rk <= 2),
+q AS (SELECT query_id, cell, {adc} AS adc FROM qcells),
+scored AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id, round({score}, 4) AS adc_score
+  FROM q JOIN codes x USING (cell) WHERE x.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, adc_score, rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank"""
+
+
 # --- q82: count-min heavy hitters (mergeable frequency sketches) -------------
 
 
@@ -3901,6 +3991,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_media_decode": q_media_decode,
         "q41_ivf_dup_pairs": q_ivf_dup_pairs,
         "q85_semdedup": q_semdedup,
+        "q88_ivfpq_topk": q_ivfpq_topk,
         "q42_kv": q_kv,
         "q43_windowed_metrics": q_windowed_metrics,
         "q44_sessions": q_sessions,
@@ -3960,7 +4051,7 @@ _WITNESS_FIRST = [
     "q77_audio_decode", "q78_avi_decode", "q79_pq_topk", "q80_triangles",
     "q81_bloom_decontaminate", "q82_cms_heavy_hitters",
     "q83_substring_spans", "q84_dsir_select", "q85_semdedup",
-    "q86_perplexity_filter", "q87_bpe_encode",
+    "q86_perplexity_filter", "q87_bpe_encode", "q88_ivfpq_topk",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -4032,6 +4123,7 @@ def _base_oracles() -> dict[str, str]:
         "q40_media_decode": q_media_decode_oracle(),
         "q41_ivf_dup_pairs": q_ivf_dup_pairs_oracle(),
         "q85_semdedup": q_semdedup_oracle(),
+        "q88_ivfpq_topk": q_ivfpq_topk_oracle(),
         "q42_kv": q_kv_oracle(),
         "q43_windowed_metrics": q_windowed_metrics_oracle(),
         "q44_sessions": q_sessions_oracle(),

@@ -1151,6 +1151,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebooks: list[list[list[float]]] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Vector -> array<int> of m_sub codeword ids.  One scan-stage
     projection per vector (m_sub * k_codes short folds), no shuffle;
@@ -1162,6 +1163,7 @@ def pq_encode(
     vec = F.col(vec_col)
     return df.select(
         F.col(id_col),
+        *(F.col(c) for c in keep_cols),
         F.array(
             *[_pq_code_col(vec, s, dsub, books[s]) for s in range(m_sub)]
         ).alias("pq_code"),
@@ -1233,6 +1235,98 @@ def pq_topk(
     )
     return (
         codes.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(score, 4).alias("adc_score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    m_sub: int = 8,
+    k_codes: int = 16,
+    cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-PQ search — FAISS IndexIVFPQ (Jegou et al. TPAMI 2011 §V),
+    the composition of the two scale devices this module already
+    carries: the corpus is coarse-quantized into `cells` at ENCODE
+    time (the codes table carries its cell id), each query probes its
+    n_probe nearest cells, and ADC scoring touches ONLY the probed
+    cells' codes. vs pq_topk's full-corpus ADC scan, the per-query
+    corpus cost drops to ~n·n_probe/cells rows — with cells ∝ n
+    (recommended_cells) that is a CONSTANT per-query candidate volume,
+    the regime where a 10^12-vector corpus serves queries from
+    memory-resident code shards.
+
+    Plan shape: codes build = one scan-stage projection (cell
+    assignment + m_sub argmax folds, spread across tasks); queries
+    become (query_id, adc, cell) rows — n_probe per query — broadcast
+    into an equi-join on cell (never a cross join); per-query top-k
+    through the WindowGroupLimit rank filter. A neighbor reaches a
+    query through at most ONE cell (corpus rows hold a single cell;
+    a query's probed cells are distinct), so no candidate dedup pass
+    is needed. Deterministic ±1 mixer centroids/codebooks keep every
+    stage SQL-oracle-reproducible (q26/q41/q79 recipe); trained ones
+    swap in without changing the plan."""
+    from pyspark.sql.window import Window
+
+    cents = centroids if centroids is not None else ivf_centroids(dim, cells)
+    books = codebooks if codebooks is not None else pq_codebooks(dim, m_sub, k_codes)
+    dsub = dim // m_sub
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(_cell_assign(F.col(vec_col), cents, 1), 1).alias("cell"),
+    )
+    codes = pq_encode(
+        base,
+        dim,
+        m_sub,
+        k_codes,
+        id_col=id_col,
+        vec_col=vec_col,
+        codebooks=books,
+        keep_cols=("cell",),
+    )
+    adc = F.array(
+        *[
+            _pq_sub_dot(F.col(vec_col), s, dsub, books[s][c])
+            for s in range(m_sub)
+            for c in range(k_codes)
+        ]
+    )
+    queries = query_df.select(
+        F.col(id_col).alias("query_id"),
+        adc.alias("adc"),
+        F.explode(_cell_assign(F.col(vec_col), cents, n_probe)).alias("cell"),
+    )
+    score: Column | None = None
+    for s in range(m_sub):
+        term = F.element_at(
+            "adc",
+            (F.lit(s * k_codes) + F.element_at("pq_code", s + 1) + 1).cast("int"),
+        )
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_score"), F.col("neighbor_id")
+    )
+    return (
+        codes.join(F.broadcast(queries), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

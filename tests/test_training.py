@@ -1033,3 +1033,35 @@ def test_semdedup_keeps_the_outlier(spark):
     # trio: 1 and 2 removed (3 is farthest from centroid), 4 kept;
     # twins: 11 removed (tie -> min id keeps), 12 kept
     assert rem == {1: 0, 2: 0, 11: 1}
+
+
+def test_ivfpq_topk_plan_and_recall(spark, embs):
+    """ivfpq_topk (q88): the candidate stage must be an equi-join on
+    cell (BroadcastHashJoin — never the cross join pq_topk's
+    full-corpus ADC scan uses), and probing 2/16 cells must still
+    recover most of the full-ADC ranking for in-cell neighbors."""
+    corpus = embs.select("vec_id", "embedding")
+    queries = corpus.filter(F.col("vec_id") < 5)
+    got = similarity.ivfpq_topk(
+        corpus, queries, dim=64, k=5, cells=16, n_probe=2
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    # IVF recall contract: NEAR-DUP-grade neighbors deterministically
+    # share the query's cell (identical vectors take the identical
+    # assignment path), so a planted twin must be every query's rank-1
+    # hit with the maximal ADC score (= the query's own self-ADC).
+    # Moderate-similarity neighbors spread across cells — that's the
+    # ANN volume/recall trade n_probe buys back, not a correctness
+    # property to pin (measured ~0.2 vs full-ADC top-5 at 2/16 mixer
+    # cells on this corpus).
+    twins = queries.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    planted = similarity.ivfpq_topk(
+        corpus.unionByName(twins), queries, dim=64, k=5, cells=16, n_probe=2
+    ).collect()
+    rank1 = {r.query_id: r.neighbor_id for r in planted if r.rank == 1}
+    assert rank1 == {q: q + 1000000 for q in range(5)}
