@@ -1024,13 +1024,6 @@ def semdedup_removed(
         if centroids is not None
         else train_centroids(df, dim, cells or 16, id_col=id_col, vec_col=vec_col)
     )
-    # spread the assignment fold (k dots/vector, the expensive stage)
-    # across tasks — a single-file parquet scan would run it on a
-    # handful of partitions (measured 6.2-7.4s -> 2.7s at sf0.1; the
-    # ivf_dup_candidate_pairs lesson). Persisting mem instead measured
-    # NO further gain once spread (the double-compute is parallel
-    # codegen) and would hold vectors in executor memory at scale.
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     assigned = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -1048,6 +1041,16 @@ def semdedup_removed(
         "id",
         "vec",
         F.round(cosine(F.col("vec"), F.col("cent")), 6).alias("cent_sim"),
+    )
+    # MATERIALIZE mem behind a keyed exchange before fanning out the
+    # two join sides — the Catalyst re-inlining lesson (minhash/simhash,
+    # CLAUDE.md): without the barrier each side re-derives the
+    # assignment+cent_sim subtree from the scan (measured 7.2s -> 3.5s
+    # at sf0.1). Keying on cell co-partitions the self-join, so the
+    # pair stage adds only in-partition sorts (cells ∝ n via
+    # recommended_cells, so the layout stays balanced at scale).
+    mem = mem.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "cell"
     )
     a = mem.select(
         "cell",
