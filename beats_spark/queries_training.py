@@ -1247,6 +1247,7 @@ def catalog():
         "q84_dsir_select": q_dsir_select,
         "q86_perplexity_filter": q_perplexity_filter,
         "q87_bpe_encode": q_bpe_encode,
+        "q89_kcore": q_kcore,
     }
 
 
@@ -1265,6 +1266,7 @@ def oracles():
         "q84_dsir_select": q_dsir_select_oracle(),
         "q86_perplexity_filter": q_perplexity_filter_oracle(),
         "q87_bpe_encode": q_bpe_encode_oracle(),
+        "q89_kcore": q_kcore_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1478,3 +1480,102 @@ gm AS (
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
 FROM gm WHERE ok = 4
 GROUP BY doc_id ORDER BY doc_id"""
+
+
+# --- q89: k-core membership (iterative peeling, link-graph quality) -----------
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-core of a deterministic citation graph with degree SPREAD —
+    the global peeling signal next to q74 (propagation) and q80
+    (local triangles): doc i cites (i·7 + j·13 + 1) % n for
+    j = 0..(i % 9), so out-degree runs 1..9 and the undirected degree
+    distribution actually has a sub-6 tail for peeling to bite
+    (measured at the test scales: the 6-core keeps ~94% of n=500 and
+    ~88% of n=5000 — data-dependent, not all-or-nothing). Two planted
+    structures keep the gate non-vacuous in both directions at every
+    scale: a K12 clique on doc_id < 12 (degree ≥ 11 internally —
+    always survives) and a pendant path of 8 FRESH node ids n..n+7
+    hung off node 0 (max degree 2 — always peels, and peeling it is
+    the multi-round cascade that proves the loop iterates rather than
+    thresholding first-round degrees).
+
+    All set algebra on BIGINTs: the DuckDB twin replays the peel with
+    a fixed 8-round CTE chain (idempotent past the measured ≤4-round
+    convergence; Spark's loop raises past 8, so the two can never
+    silently disagree on depth)."""
+    from beats_spark.training import cluster
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    base = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("doc_id") % 9)
+        ).alias("j"),
+    ).select(
+        "src", ((F.col("src") * 7 + F.col("j") * 13 + 1) % n).alias("dst")
+    )
+    ids = spark.range(12).select(F.col("id"))
+    clique = (
+        ids.alias("l")
+        .join(ids.alias("r"), F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+    )
+    path = spark.range(8).select(
+        F.when(F.col("id") == 0, F.lit(0))
+        .otherwise(F.col("id") + n - 1)
+        .alias("src"),
+        (F.col("id") + n).alias("dst"),
+    )
+    edges = base.unionAll(clique).unionAll(path)
+    return (
+        cluster.kcore_members(edges, k=6, max_rounds=8)
+        .select(F.col("node").alias("doc_id"), "core_deg")
+        .orderBy("doc_id")
+    )
+
+
+def q_kcore_oracle() -> str:
+    rounds = []
+    for r in range(1, 9):
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # each round references the previous one ~5×, so an inlined
+        # 8-round chain expands to 5^8 copies of the base scan (it
+        # exhausts file handles before it exhausts CPU)
+        rounds.append(f"""
+d{r} AS MATERIALIZED (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT a AS node FROM e{r - 1} UNION ALL SELECT b AS node FROM e{r - 1})
+  GROUP BY node),
+k{r} AS (SELECT node FROM d{r} WHERE d >= 6),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b
+  FROM e{r - 1} e
+  JOIN k{r} ka ON ka.node = e.a
+  JOIN k{r} kb ON kb.node = e.b)""")
+    return (
+        """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+base AS (
+  SELECT id AS src, (id*7 + j*13 + 1) % n AS dst
+  FROM nodes, nn, UNNEST(range(0, (id % 9) + 1)) AS jj(j)),
+clique AS (
+  SELECT l.id AS src, r.id AS dst FROM nodes l JOIN nodes r ON l.id < r.id
+  WHERE l.id < 12 AND r.id < 12),
+path AS (
+  SELECT CASE WHEN t = 0 THEN 0 ELSE n + t - 1 END AS src, n + t AS dst
+  FROM nn, UNNEST(range(0, 8)) AS tt(t)),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (SELECT src, dst FROM base
+        UNION ALL SELECT src, dst FROM clique
+        UNION ALL SELECT src, dst FROM path)
+  WHERE src <> dst),"""
+        + ",".join(rounds)
+        + """
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT a AS node FROM e8 UNION ALL SELECT b AS node FROM e8)
+GROUP BY node ORDER BY doc_id"""
+    )

@@ -129,3 +129,84 @@ def test_triangle_counts_matches_bruteforce(spark):
     out = {r.node: r.n_tri for r in cluster.triangle_counts(e, nodes).collect()}
     assert out == expect
     spark.catalog.clearCache()
+
+
+# --- k-core peeling ------------------------------------------------------------
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> dict[int, int]:
+    """Brute-force peel: repeat degree-filter until fixpoint; returns
+    {node: degree-in-core} for the surviving subgraph."""
+    cur = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if len(nxt) == len(cur):
+            break
+        cur = nxt
+    out: dict[int, int] = {}
+    for a, b in cur:
+        out[a] = out.get(a, 0) + 1
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _kcore_spark(spark, edges, k, max_rounds=20):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = cluster.kcore_members(df, k=k, max_rounds=max_rounds).collect()
+    return {r["node"]: r["core_deg"] for r in got}
+
+
+def test_kcore_hand_graph(spark):
+    # K4 on 0-3 (3-core) + a pendant path 3-10-11-12 that must peel at
+    # k=2 one node per round (the cascade case), + an isolated 2-cycle
+    # duplicate/reversed edges
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    path = [(3, 10), (10, 11), (11, 12)]
+    noise = [(20, 21), (21, 20), (20, 21)]
+    edges = k4 + path + noise
+    assert _kcore_spark(spark, edges, 3) == {0: 3, 1: 3, 2: 3, 3: 3}
+    got2 = _kcore_spark(spark, edges, 2)
+    assert got2 == _py_kcore(edges, 2)
+    assert 12 not in got2 and 20 not in got2
+
+
+def test_kcore_matches_bruteforce_random(spark):
+    rng = random.Random(89)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(80, 180))
+        ]
+        for k in (2, 3, 4):
+            assert _kcore_spark(spark, edges, k) == _py_kcore(edges, k), (
+                trial,
+                k,
+            )
+
+
+def test_kcore_empty_core_and_validation(spark):
+    # a tree has no 2-core: result must be empty, not an error
+    tree = [(0, 1), (0, 2), (1, 3), (1, 4)]
+    assert _kcore_spark(spark, tree, 2) == {}
+    with pytest.raises(ValueError, match="k must be"):
+        _kcore_spark(spark, tree, 0)
+
+
+def test_kcore_nonconvergence_raises(spark):
+    # pendant path of length 6 needs 6 peel rounds at k=2; max_rounds=2
+    # must raise rather than return a half-peeled set
+    path = [(i, i + 1) for i in range(6)] + [
+        (a, b) for a in range(100, 104) for b in range(100, 104) if a < b
+    ]
+    path += [(0, 100)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _kcore_spark(spark, path, 2, max_rounds=2)
+    # and with head-room it converges to the K4 core plus nothing else
+    got = _kcore_spark(spark, path, 3, max_rounds=20)
+    assert set(got) == {100, 101, 102, 103}
