@@ -1248,6 +1248,7 @@ def catalog():
         "q86_perplexity_filter": q_perplexity_filter,
         "q87_bpe_encode": q_bpe_encode,
         "q89_kcore": q_kcore,
+        "q90_normalize": q_normalize,
     }
 
 
@@ -1267,6 +1268,7 @@ def oracles():
         "q86_perplexity_filter": q_perplexity_filter_oracle(),
         "q87_bpe_encode": q_bpe_encode_oracle(),
         "q89_kcore": q_kcore_oracle(),
+        "q90_normalize": q_normalize_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1579,3 +1581,71 @@ SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_deg
 FROM (SELECT a AS node FROM e8 UNION ALL SELECT b AS node FROM e8)
 GROUP BY node ORDER BY doc_id"""
     )
+
+
+# --- q90: Unicode normalization / text cleanup ---------------------------------
+
+
+def q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide text normalization (the C4/CCNet pre-tokenization
+    stage): every document is dirtied with a deterministic suffix —
+    leading whitespace, a BEL control, a tab run, and a doc_id-rotated
+    Unicode tail (combining acute that composes, combining ring that
+    composes, a precomposed é that NFC must leave alone, and the
+    compositionless q+U+0301 that must STAY decomposed) — then pushed
+    through text.normalize_text (control strip → whitespace collapse →
+    trim → NFC). The rotation makes every NFC branch (compose,
+    identity, no-composition) load-bearing at every scale, and the
+    planting arithmetic is replayed verbatim by the DuckDB twin
+    (chr() builds on both sides), whose utf8proc NFC must agree
+    byte-for-byte with Python's unicodedata.
+
+    Plan shape: the JVM regex chain is one codegen span over the scan;
+    the only Python is the Arrow-batched NFC kernel with a C-speed
+    isascii fast path — at 100 TB the overwhelmingly-ASCII rows never
+    enter unicodedata."""
+    from beats_spark.training import text as T
+
+    docs = _docs(spark, sf_dir)
+    # explicit escapes, never typed glyphs: branches 0/1/3 must enter
+    # DECOMPOSED (base + combining mark) for NFC to have work to do,
+    # and an editor normalizing the source file would silently flip
+    # typed glyphs to precomposed
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" e\u0301"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" A\u030a"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" \u00e9"))
+        .otherwise(F.lit(" q\u0301"))
+    )
+    dirty = F.concat(
+        F.lit("  "), F.col("text"), F.lit("\x07\t\t"), tail, F.lit(" \x1f ")
+    )
+    return docs.select(
+        "doc_id",
+        T.normalize_text(dirty).alias("norm_text"),
+    ).select(
+        "doc_id",
+        "norm_text",
+        F.length("norm_text").cast("long").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+def q_normalize_oracle() -> str:
+    return r"""
+WITH d AS (
+  SELECT doc_id,
+         '  ' || text || chr(7) || chr(9) || chr(9) ||
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN ' e' || chr(769)
+           WHEN 1 THEN ' A' || chr(778)
+           WHEN 2 THEN ' ' || chr(233)
+           ELSE ' q' || chr(769) END || ' ' || chr(31) || ' ' AS t
+  FROM documents),
+n AS (
+  SELECT doc_id,
+         nfc_normalize(trim(regexp_replace(regexp_replace(
+           t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g'))) AS norm_text
+  FROM d)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+FROM n ORDER BY doc_id"""

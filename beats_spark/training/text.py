@@ -338,3 +338,65 @@ def cooccurrence_pairs(
     return exploded.groupBy("w_a", "w_b").agg(
         F.count(F.lit(1)).alias("n_pair")
     )
+
+
+# --- Unicode normalization / text cleanup --------------------------------------
+#
+# The preprocessing stage every web-scale text pipeline runs before
+# tokenization (C4, CCNet, RefinedWeb all normalize before anything
+# hashes or dedups): strip non-printing control bytes, collapse
+# whitespace runs, trim, then Unicode canonical composition (NFC,
+# UAX #15) so "e + COMBINING ACUTE" and precomposed "é" stop being
+# distinct tokens/shingle families. Everything except NFC itself is a
+# JVM regexp chain inside whole-stage codegen; NFC has no Spark
+# builtin, so it is an Arrow-batched pandas UDF with a C-speed
+# str.isascii() fast path (web corpora are mostly ASCII; those rows
+# never enter unicodedata).
+
+# C0 controls except \t \n \r, plus DEL — the bytes that survive in
+# real crawl text but carry no content (form feeds from PDFs, BELs
+# from terminal logs). ASCII-only ranges, so Java regex and RE2 read
+# the class identically.
+CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def nfc_udf() -> "F.udf":
+    """Arrow-batched NFC normalizer (string → string). ASCII rows —
+    the overwhelming majority of a web corpus — short-circuit on
+    str.isascii() (a C-level flag check) and never touch unicodedata.
+    Python's unicodedata and DuckDB's utf8proc both implement UAX #15
+    canonical composition, so oracle twins agree byte-for-byte on
+    assigned codepoints (probed: combining acute/ring compose, the
+    compositionless q+U+0301 stays decomposed, in both engines)."""
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+
+    @F.pandas_udf("string")
+    def nfc(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda t: t
+            if t is None or t.isascii()
+            else unicodedata.normalize("NFC", t)
+        )
+
+    return nfc
+
+
+def normalize_text(col: Column, nfc: bool = True) -> Column:
+    """control-strip → whitespace-run collapse → trim → NFC.
+
+    Stage order matters only in that the collapse must see the text
+    after control removal (a control byte between two spaces would
+    otherwise shield the run); NFC commutes with all three (it never
+    creates or destroys ASCII whitespace/controls) and runs LAST so
+    the JVM stages stay one codegen span with the single
+    ArrowEvalPython on top. DuckDB twin:
+    nfc_normalize(trim(regexp_replace(regexp_replace(t, ctl, '', 'g'),
+    '\\s+', ' ', 'g'))) — RE2 needs the 'g' flag (DuckDB replaces
+    first-match by default; Spark replaces all)."""
+    c = F.regexp_replace(col, CONTROL_CLASS, "")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return nfc_udf()(c) if nfc else c

@@ -1065,3 +1065,50 @@ def test_ivfpq_topk_plan_and_recall(spark, embs):
     ).collect()
     rank1 = {r.query_id: r.neighbor_id for r in planted if r.rank == 1}
     assert rank1 == {q: q + 1000000 for q in range(5)}
+
+
+def test_normalize_text_unicode_and_controls(spark):
+    from beats_spark.training import text as T
+
+    rows = [
+        # decomposed -> composed; precomposed untouched; no-composition stays
+        (0, "caf\x65́"),          # cafe + combining acute -> café
+        (1, "café"),              # already NFC
+        (2, "q́x"),               # no composition exists: stays 2 cps
+        # control byte BETWEEN two spaces must not shield the run
+        (3, "a \x07 b"),
+        (4, "\t\t  mixed \x1f runs \r\n here \x7f"),
+        (5, ""),
+        (6, " \t "),                   # whitespace-only -> empty
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", T.normalize_text(F.col("t")).alias("n")
+        ).collect()
+    }
+    import unicodedata
+
+    assert got[0] == "caf" + unicodedata.normalize("NFC", "é")
+    assert got[0] == got[1] == "café"
+    assert got[2] == "q́x" and len(got[2]) == 3
+    assert got[3] == "a b"
+    assert got[4] == "mixed runs here"
+    assert got[5] == "" and got[6] == ""
+    assert got[7] is None
+
+
+def test_normalize_text_plan_shape(spark):
+    from beats_spark.training import text as T
+
+    df = spark.createDataFrame([("x",)], "t string")
+    with_nfc = df.select(T.normalize_text(F.col("t")).alias("n"))
+    plan = with_nfc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    jvm_only = df.select(
+        T.normalize_text(F.col("t"), nfc=False).alias("n")
+    )
+    plan2 = jvm_only._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
