@@ -1249,6 +1249,7 @@ def catalog():
         "q87_bpe_encode": q_bpe_encode,
         "q89_kcore": q_kcore,
         "q90_normalize": q_normalize,
+        "q91_lpa_communities": q_lpa,
     }
 
 
@@ -1269,6 +1270,7 @@ def oracles():
         "q87_bpe_encode": q_bpe_encode_oracle(),
         "q89_kcore": q_kcore_oracle(),
         "q90_normalize": q_normalize_oracle(),
+        "q91_lpa_communities": q_lpa_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1649,3 +1651,105 @@ n AS (
   FROM d)
 SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
 FROM n ORDER BY doc_id"""
+
+
+# --- q91: label-propagation communities (synchronous LPA) ----------------------
+
+
+def q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over a deterministic link graph — the
+    granularity between q30's connected components (pure
+    reachability) and q80's triangles (purely local): LPA marks
+    *template families* (mirror sites, boilerplate clusters) even
+    when a stray bridge edge would fuse them into one CC.
+
+    Graph: a ring i—(i+1)%n plus sparse chords i—(i·7+13)%n for
+    i%5==0 (background), two planted K10 cliques on FRESH ids
+    n..n+9 and n+10..n+19, a clique-to-clique bridge (n+9)—(n+10)
+    and a clique-to-background bridge 0—(n). After 4 synchronous
+    rounds the two cliques are provably labelled by their own
+    minima (n and n+10) — 9 internal votes beat every bridge vote
+    from round 2 on — while staying DISTINCT communities despite
+    the bridge (one CC, two LPA labels: the non-vacuity both ways),
+    and pytest pins that closed form. The DuckDB twin replays the
+    full 4-round argmax cascade bit-for-bit (all-integer labels,
+    count-desc/label-asc total tie order)."""
+    from beats_spark.training import cluster
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    ring = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 1) % n).alias("dst"),
+    )
+    chords = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 13) % n).alias("dst"),
+    )
+    ids = spark.range(20).select(F.col("id"))
+    cliques = (
+        ids.alias("l")
+        .join(
+            ids.alias("r"),
+            (F.col("l.id") < F.col("r.id"))
+            & (F.floor(F.col("l.id") / 10) == F.floor(F.col("r.id") / 10)),
+        )
+        .select(
+            (F.col("l.id") + n).alias("src"), (F.col("r.id") + n).alias("dst")
+        )
+    )
+    bridges = spark.createDataFrame(
+        [(0, n), (n + 9, n + 10)], "src long, dst long"
+    )
+    edges = ring.unionAll(chords).unionAll(cliques).unionAll(bridges)
+    return (
+        cluster.label_propagation(edges, rounds=4)
+        .select(
+            F.col("node").alias("doc_id"), F.col("label").cast("long").alias("label")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_lpa_oracle() -> str:
+    rounds = []
+    for r in range(1, 5):
+        rounds.append(f"""
+l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT nb.node, p.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY nb.node
+                              ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+    FROM nbrs nb JOIN l{r - 1} p ON p.node = nb.nbr
+    GROUP BY nb.node, p.label)
+  WHERE rn = 1)""")
+    return (
+        """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+ring AS (SELECT id AS src, (id + 1) % n AS dst FROM nodes, nn),
+chords AS (
+  SELECT id AS src, (id*7 + 13) % n AS dst FROM nodes, nn WHERE id % 5 = 0),
+cliques AS (
+  SELECT n + ll.l AS src, n + rr.r AS dst
+  FROM nn, UNNEST(range(0, 20)) AS ll(l), UNNEST(range(0, 20)) AS rr(r)
+  WHERE ll.l < rr.r AND ll.l // 10 = rr.r // 10),
+bridges AS (
+  SELECT 0 AS src, n AS dst FROM nn
+  UNION ALL SELECT n + 9, n + 10 FROM nn),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (SELECT src, dst FROM ring
+        UNION ALL SELECT src, dst FROM chords
+        UNION ALL SELECT src, dst FROM cliques
+        UNION ALL SELECT src, dst FROM bridges)
+  WHERE src <> dst),
+nbrs AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM e0
+  UNION ALL SELECT b AS node, a AS nbr FROM e0),
+l0 AS (SELECT DISTINCT node, node AS label FROM nbrs),"""
+        + ",".join(rounds)
+        + """
+SELECT node AS doc_id, CAST(label AS BIGINT) AS label
+FROM l4 ORDER BY doc_id"""
+    )

@@ -404,3 +404,88 @@ def kcore_members(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(node, label) after `rounds` SYNCHRONOUS label-propagation
+    iterations (Raghavan, Albert & Kumara 2007, the community-
+    detection primitive GraphFrames ships as `labelPropagation`) —
+    the fourth iterative graph class next to connected_components
+    (contraction), pagerank_scaled (propagation) and kcore_members
+    (peeling): LPA finds *dense communities*, not mere reachability —
+    a bridge edge joins two components into one CC but LPA keeps the
+    two communities distinct, which is exactly the granularity
+    boilerplate/mirror-site families have in a web corpus (the
+    curation use: mark entire template families, not just pairwise
+    near-dups).
+
+    Determinism (the oracle contract): every node starts labelled
+    with itself; each round every node adopts the label that is most
+    frequent among its NEIGHBORS' previous-round labels, ties broken
+    by the SMALLEST label. Synchronous updates + total tie order make
+    the result a pure function of (edge set, rounds) — no randomness,
+    no floats — so a fixed-depth SQL twin replays it bit-for-bit.
+    (Asynchronous LPA converges faster but is schedule-dependent —
+    unreproducible across engines by construction; fixed-round
+    synchronous is the distributed-determinism tradeoff, and
+    oscillation on bipartite-ish structures is bounded by `rounds`
+    rather than looping forever.)
+
+    SCALE SHAPE: the neighbor table (2m rows) is built ONCE and
+    persisted partitioned on `nbr`; each round ships only the skinny
+    (node, label) table into that layout (one exchange), then the
+    message stream is repartitioned on `node` where BOTH the
+    (node, label) count and the argmax window ride the same exchange
+    by subset-key clustering (HashPartitioning(node) satisfies the
+    groupBy's ClusteredDistribution((node, label)) — the q62 trick).
+    Per-node state is one label; a 10^8-degree hub is a groupBy key
+    with map-side partial aggregation, never an adjacency list.
+    Lineage is cut per round with localCheckpoint (swap for
+    .checkpoint() on a lossy cluster).
+
+    Nodes without edges are absent from the result (same contract as
+    kcore_members); reference analog: Beats has no graph surface —
+    this belongs to the training-data curation battery.
+    """
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds must be >= 1, got {rounds}")
+    sc_parallelism = edges.sparkSession.sparkContext.defaultParallelism
+    canon = (
+        edges.filter(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .distinct()
+    )
+    nbrs = (
+        canon.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionAll(canon.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .repartition(sc_parallelism, "nbr")
+        .localCheckpoint(eager=True)
+    )
+    labels = nbrs.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(rounds):
+        msgs = nbrs.join(
+            labels.withColumnRenamed("node", "nbr"), "nbr"
+        ).select("node", "label")
+        labels = (
+            msgs.repartition(sc_parallelism, "node")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

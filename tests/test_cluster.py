@@ -210,3 +210,68 @@ def test_kcore_nonconvergence_raises(spark):
     # and with head-room it converges to the K4 core plus nothing else
     got = _kcore_spark(spark, path, 3, max_rounds=20)
     assert set(got) == {100, 101, 102, 103}
+
+
+# --- label propagation (synchronous LPA, Raghavan et al. 2007) ---------------
+
+
+def _py_lpa(edges, rounds):
+    """Pure-Python synchronous LPA twin: most-frequent neighbor label,
+    ties to the smallest label."""
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {v: v for v in nbrs}
+    for _ in range(rounds):
+        nxt = {}
+        for v, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for u in ns:
+                counts[labels[u]] = counts.get(labels[u], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+def _lpa_spark(spark, edges, rounds):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = cluster.label_propagation(df, rounds=rounds)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_lpa_matches_bruteforce_random(spark):
+    rng = random.Random(91)
+    for trial in range(3):
+        n = 50
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(rng.randrange(60, 140))
+        ]
+        for rounds in (1, 3):
+            assert _lpa_spark(spark, edges, rounds) == _py_lpa(edges, rounds), (
+                trial,
+                rounds,
+            )
+
+
+def test_lpa_planted_cliques_stay_distinct(spark):
+    # two K6 cliques joined by ONE bridge: a single CC, but LPA keeps
+    # two communities labelled by their minima — the granularity CC
+    # can't express
+    c1 = [(a, b) for a in range(6) for b in range(6) if a < b]
+    c2 = [(a, b) for a in range(10, 16) for b in range(10, 16) if a < b]
+    got = _lpa_spark(spark, c1 + c2 + [(5, 10)], rounds=4)
+    assert {got[v] for v in range(6)} == {0}
+    assert {got[v] for v in range(10, 16)} == {10}
+    assert got == _py_lpa(c1 + c2 + [(5, 10)], 4)
+
+
+def test_lpa_validation_and_isolated_nodes(spark):
+    with pytest.raises(ValueError, match="rounds must be"):
+        _lpa_spark(spark, [(0, 1)], 0)
+    # self-loop-only node is absent (no edges survive canonicalization)
+    got = _lpa_spark(spark, [(0, 1), (7, 7)], rounds=2)
+    assert 7 not in got and set(got) == {0, 1}
