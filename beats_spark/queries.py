@@ -3972,6 +3972,63 @@ SELECT event_type,
 FROM t GROUP BY 1 ORDER BY 1"""
 
 
+# --- q92: z-order layout clustering (Morton keys + rectangle proof) -----------
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-key arithmetic gate for the z-order layout writer
+    (layout.py, the Delta/Iceberg OPTIMIZE ZORDER analog): events
+    rank-bucketed on (user_id, epoch-µs ts) at 12 bits/dim, bits
+    interleaved into a 24-bit key, then the 256 coarse z-ranges
+    (key >> 16) aggregated with per-range counts, BIGINT key sums,
+    and per-dim bucket rectangles. Any single-bit error in the
+    bucket div or the interleave scrambles every range's membership,
+    so the hash match IS the Morton-math proof; the physical
+    pruning property (footer stats + rectangle predicate reading
+    fewer files than a 1-D sort) is pinned by tests/test_layout.py
+    on real written files. All-integer: bucket = (v-lo)*2^bits div
+    span, identical in Spark `div` and DuckDB `//` for these
+    non-negative operands."""
+    from beats_spark import layout
+
+    t = _events(spark, sf_dir).select(
+        F.col("user_id").alias("u"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("us"),
+    )
+    keyed = layout.zorder_key(t, ["u", "us"], bits=12, keep_buckets=True)
+    return (
+        keyed.groupBy(F.shiftright(F.col("__zkey__"), 16).alias("z_range"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("__zkey__").cast("long").alias("sum_z"),
+            F.min("__zb_u__").alias("min_bu"),
+            F.max("__zb_u__").alias("max_bu"),
+            F.min("__zb_us__").alias("min_bt"),
+            F.max("__zb_us__").alias("max_bt"),
+        )
+        .orderBy("z_range")
+    )
+
+
+def q_zorder_oracle() -> str:
+    from beats_spark import layout
+
+    z = layout.zvalue_sql(["bu", "bt"], 12)
+    return f"""
+WITH t AS (SELECT user_id AS u, epoch_us(ts) AS us FROM events),
+s AS (SELECT MIN(u) AS lou, MAX(u) AS hiu, MIN(us) AS lot, MAX(us) AS hit FROM t),
+b AS (SELECT ((u - lou) * 4096) // (hiu - lou + 1) AS bu,
+             ((us - lot) * 4096) // (hit - lot + 1) AS bt
+      FROM t, s),
+z AS (SELECT bu, bt, {z} AS zkey FROM b)
+SELECT zkey >> 16 AS z_range,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(zkey) AS BIGINT) AS sum_z,
+       MIN(bu) AS min_bu, MAX(bu) AS max_bu,
+       MIN(bt) AS min_bt, MAX(bt) AS max_bt
+FROM z GROUP BY 1 ORDER BY 1"""
+
+
 def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from beats_spark import queries_training
 
@@ -4027,6 +4084,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q78_avi_decode": q_avi_decode,
         "q79_pq_topk": q_pq_topk,
         "q82_cms_heavy_hitters": q_cms_heavy_hitters,
+        "q92_zorder_layout": q_zorder,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -4053,6 +4111,7 @@ _WITNESS_FIRST = [
     "q83_substring_spans", "q84_dsir_select", "q85_semdedup",
     "q86_perplexity_filter", "q87_bpe_encode", "q88_ivfpq_topk",
     "q89_kcore", "q90_normalize", "q91_lpa_communities",
+    "q92_zorder_layout",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -4160,4 +4219,5 @@ def _base_oracles() -> dict[str, str]:
         "q78_avi_decode": q_avi_decode_oracle(),
         "q79_pq_topk": q_pq_topk_oracle(),
         "q82_cms_heavy_hitters": q_cms_heavy_hitters_oracle(),
+        "q92_zorder_layout": q_zorder_oracle(),
     }
