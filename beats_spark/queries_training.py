@@ -6,7 +6,7 @@ the testdata views, identical column names/rounding on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from beats_spark.training import dedup, similarity, text
@@ -1250,6 +1250,7 @@ def catalog():
         "q89_kcore": q_kcore,
         "q90_normalize": q_normalize,
         "q91_lpa_communities": q_lpa,
+        "q93_rrf_fusion": q_rrf,
     }
 
 
@@ -1271,6 +1272,7 @@ def oracles():
         "q89_kcore": q_kcore_oracle(),
         "q90_normalize": q_normalize_oracle(),
         "q91_lpa_communities": q_lpa_oracle(),
+        "q93_rrf_fusion": q_rrf_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1753,3 +1755,106 @@ l0 AS (SELECT DISTINCT node, node AS label FROM nbrs),"""
 SELECT node AS doc_id, CAST(label AS BIGINT) AS label
 FROM l4 ORDER BY doc_id"""
     )
+
+
+# --- q93: reciprocal-rank-fusion hybrid retrieval ------------------------------
+
+
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: a VECTOR ranking (brute-force cosine top-20
+    per query over embeddings, the q13 ranker) fused with a LEXICAL
+    ranking (distinct-word overlap top-20 between the query documents
+    and the corpus — the posting-list join shape BM25 uses) through
+    reciprocal-rank fusion (relevance.rrf_fuse) — the Elasticsearch
+    `rrf` retriever device. Queries are docs/vecs 0-2 (aligned ids
+    across both tables), k_rrf=60, fused top-10 per query.
+
+    Determinism chain: the cosine ranks reuse the 4dp-rounded q13
+    recipe; the overlap ranks are pure integers; fusion contributions
+    are floor(10^12/(60+rank)) BIGINTs — so every fused score and the
+    final order replay exactly in DuckDB. The lexical candidate join
+    is word-bucketed (only docs SHARING a word meet), the fusion input
+    is rankers × queries × 20 rows — the corpus is scanned once per
+    ranker and never shuffled."""
+    from beats_spark import relevance
+    from beats_spark.training import similarity, text as T
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = (
+        similarity.brute_force_topk(
+            embs, embs.filter(F.col("vec_id") < 3), k=20, round_to=4
+        )
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    docs = _docs(spark, sf_dir)
+    qw = (
+        docs.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(T.words(F.col("text")))).alias("w"),
+        )
+    )
+    cw = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.words(F.col("text")))).alias("w")
+    )
+    ov = (
+        cw.join(F.broadcast(qw), "w")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("ovl"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("ovl"), F.col("doc_id"))
+    lex = (
+        ov.withColumn("rank", F.row_number().over(wl))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    return (
+        relevance.rrf_fuse([vec, lex], k_rrf=60, topk=10)
+        .select("query_id", "doc_id", "n_lists", "score_scaled", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_rrf_oracle() -> str:
+    return f"""
+WITH vq AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3),
+vscored AS (
+  SELECT vq.query_id, e.vec_id AS doc_id,
+         round(list_cosine_similarity(vq.qv, e.embedding), 4) AS cs
+  FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> vq.query_id),
+v20 AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rank
+    FROM vscored) WHERE rank <= 20),
+qw AS (
+  SELECT DISTINCT doc_id AS query_id, unnest({_WS_SQL}) AS w
+  FROM documents WHERE doc_id < 3),
+cw AS (
+  SELECT DISTINCT doc_id, unnest({_WS_SQL}) AS w FROM documents),
+ov AS (
+  SELECT q.query_id, c.doc_id, COUNT(*) AS ovl
+  FROM cw c JOIN qw q USING (w)
+  WHERE c.doc_id <> q.query_id
+  GROUP BY 1, 2),
+l20 AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+      PARTITION BY query_id ORDER BY ovl DESC, doc_id) AS rank
+    FROM ov) WHERE rank <= 20),
+uni AS (
+  SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM v20
+  UNION ALL
+  SELECT query_id, doc_id, 1000000000000 // (60 + rank) AS c FROM l20),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lists,
+         CAST(SUM(c) AS BIGINT) AS score_scaled
+  FROM uni GROUP BY 1, 2)
+SELECT query_id, doc_id, n_lists, score_scaled, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
+  FROM fused) WHERE rank <= 10
+ORDER BY query_id, rank"""

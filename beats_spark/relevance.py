@@ -119,3 +119,58 @@ def bm25_topk(
     )
     w = Window.orderBy(F.desc("score4"), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k_rrf: int = 60,
+    topk: int = 10,
+    scale: int = 10**12,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09)
+    — the hybrid-retrieval combiner Elasticsearch ships as the `rrf`
+    retriever: fused(q, d) = Σ_r 1/(k + rank_r(q, d)) over every
+    ranking r that retrieved d for q. Rank-based fusion needs no
+    score calibration between a lexical ranker (BM25) and a vector
+    ranker (cosine ANN) — exactly why it is the default hybrid-search
+    device.
+
+    Determinism: contributions are the scaled integers
+    floor(scale / (k + rank)) summed as BIGINTs — an IEEE 1/(k+r)
+    float sum is fold-order-dependent and engine-unreproducible,
+    while the integer form is exact in any engine and preserves the
+    fused ORDER for every practical depth (distinct rational sums
+    stay distinct at scale=10^12 for rank depths << 10^6). Final
+    order: (score desc, doc id asc).
+
+    SCALE SHAPE: one union of the (already small) per-ranker top-N
+    tables, one map-side-combined groupBy on (query, doc), and the
+    per-query top-k as the row_number()<=k WindowGroupLimit rewrite —
+    input volume is rankers × queries × N rows, never corpus-sized;
+    the heavy lifting stays in the rankers themselves.
+
+    Each input needs columns (query_col, id_col, rank_col); rank is
+    1-based. Output: (query_col, id_col, n_lists, score_scaled, rank).
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    if k_rrf < 0 or topk < 1:
+        raise ValueError(f"rrf_fuse: bad k_rrf={k_rrf} / topk={topk}")
+    contrib = F.expr(f"{scale} div ({k_rrf} + {rank_col})")
+    uni = None
+    for r in rankings:
+        part = r.select(query_col, id_col, contrib.alias("c"))
+        uni = part if uni is None else uni.unionAll(part)
+    fused = uni.groupBy(query_col, id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+        F.sum("c").cast("long").alias("score_scaled"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.desc("score_scaled"), F.col(id_col)
+    )
+    return fused.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )
