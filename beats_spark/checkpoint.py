@@ -491,11 +491,25 @@ class CheckpointedRunner:
         self._commit(self._entries() + [entry])
         return chunk
 
-    def compact(self) -> int:
+    def compact(
+        self,
+        zorder_cols: "Sequence[str] | None" = None,
+        zorder_bits: int = 12,
+        zorder_files: int = 16,
+    ) -> int:
         """Rewrite this run's committed chunks into ONE compacted data
         set and publish it as a new snapshot (Iceberg rewrite-files /
         compaction analog — many small per-chunk files become one
         partitioned set, readers never see an intermediate state).
+
+        `zorder_cols` additionally clusters the rewrite on the Morton
+        curve of those (non-negative BIGINT) columns — the
+        Delta/Iceberg `OPTIMIZE ZORDER BY` analog: each compacted
+        file's footer min/max then covers a small rectangle in every
+        listed dimension, so `result(col_bounds=...)` (which consults
+        the same per-file stats this commit records via `stat_cols`)
+        prunes on ANY of them, not just the chunk's doc_id range.
+        Layout only — row set and every read path are unchanged.
 
         Same commit protocol as chunks: data first to a fresh attempt
         dir nobody resolves, then one atomic pointer swap replacing the
@@ -526,6 +540,15 @@ class CheckpointedRunner:
                 1 for d in os.listdir(comp_root) if d.startswith("try-")
             )
         attempt_dir = os.path.join(comp_root, f"try-{attempt}")
+        if zorder_cols:
+            from beats_spark import layout
+
+            out = (
+                layout.zorder_key(out, zorder_cols, bits=zorder_bits)
+                .repartitionByRange(zorder_files, F.col("__zkey__"))
+                .sortWithinPartitions("__zkey__")
+                .drop("__zkey__")
+            )
         out.write.partitionBy(SINK_COL).mode("overwrite").parquet(attempt_dir)
         lo = min(e["min_doc_id"] for e in mine)
         hi = max(e["max_doc_id"] for e in mine)

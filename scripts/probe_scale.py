@@ -95,6 +95,14 @@ PROBE_QUERIES = [
     "q85_semdedup",
     "q86_perplexity_filter",
     "q87_bpe_encode",
+    # round-5 session 4: iterative graph peeling/communities
+    # (documents), normalization (documents text), z-order layout
+    # (events), RRF hybrid retrieval (documents + embeddings)
+    "q89_kcore",
+    "q90_normalize",
+    "q91_lpa_communities",
+    "q92_zorder_layout",
+    "q93_rrf_fusion",
 ]
 
 

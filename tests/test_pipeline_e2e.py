@@ -868,3 +868,56 @@ def test_partition_spec_evolution_and_multi_column_stats(spark, tmp_path):
     assert {x.doc_id for x in fr.filter("lang = 'fr'").collect()} == {4}
     # chunk-0 files (sink= spec, no lang segment) are kept — safe superset
     assert {x.doc_id for x in fr.collect()} >= {4}
+
+
+def test_compact_zorder_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER analog: compact(zorder_cols=...) rewrites the
+    run clustered on the Morton curve of the listed dims, so the
+    compacted files' footer stats (the same stat_cols -> col_bounds
+    machinery) prune on EITHER dimension; row set, resume, and time
+    travel are untouched — it is a layout-only rewrite."""
+    out = str(tmp_path / "zcomp")
+    r = CheckpointedRunner(
+        spark, out, n_chunks=4, run_id="z", stat_cols=("u", "t")
+    )
+    base = spark.range(4000).selectExpr(
+        "id AS doc_id",
+        "'es' AS sink",
+        "id % 97 AS u",
+        "id * 37 % 50021 AS t",
+    )
+    for i in range(4):
+        r.commit_chunk(base.filter(F.col("doc_id") % 4 == i), i)
+    before = {x.doc_id for x in r.result().collect()}
+    v_before = r.versions()[-1]
+
+    assert r.compact(zorder_cols=("u", "t"), zorder_files=8) == 4
+    assert {x.doc_id for x in r.result().collect()} == before
+    assert {x.doc_id for x in r.result(version=v_before).collect()} == before
+
+    entry = [e for e in r._entries() if e["chunk_id"] == -1][0]
+    files = entry["files"]
+    assert len(files) == 8
+
+    def overlapping(col, lo, hi):
+        return sum(
+            1
+            for f in files
+            if f["cols"][col]["min"] is None
+            or (f["cols"][col]["min"] <= hi and f["cols"][col]["max"] >= lo)
+        )
+
+    # a 1/8 slice of either dimension must skip files — rectangles,
+    # not stripes (the pre-compaction chunk layout keeps full-domain
+    # bounds in EVERY file: 8/8). <=5 not <=4: repartitionByRange
+    # samples its boundaries, so the marginal file jitters by run.
+    assert overlapping("t", 0, 50021 // 8) <= 5
+    assert overlapping("u", 0, 97 // 8) <= 5
+    # and the col_bounds read path consumes those stats unchanged
+    got = {
+        x.doc_id
+        for x in r.result(col_bounds={"t": (0, 50021 // 8)})
+        .filter(F.col("t") <= 50021 // 8)
+        .collect()
+    }
+    assert got == {d for d in before if d * 37 % 50021 <= 50021 // 8}
