@@ -4111,7 +4111,7 @@ _WITNESS_FIRST = [
     "q83_substring_spans", "q84_dsir_select", "q85_semdedup",
     "q86_perplexity_filter", "q87_bpe_encode", "q88_ivfpq_topk",
     "q89_kcore", "q90_normalize", "q91_lpa_communities",
-    "q92_zorder_layout", "q93_rrf_fusion",
+    "q92_zorder_layout", "q93_rrf_fusion", "q94_significant_terms",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",

@@ -1251,6 +1251,7 @@ def catalog():
         "q90_normalize": q_normalize,
         "q91_lpa_communities": q_lpa,
         "q93_rrf_fusion": q_rrf,
+        "q94_significant_terms": q_significant_terms,
     }
 
 
@@ -1273,6 +1274,7 @@ def oracles():
         "q90_normalize": q_normalize_oracle(),
         "q91_lpa_communities": q_lpa_oracle(),
         "q93_rrf_fusion": q_rrf_oracle(),
+        "q94_significant_terms": q_significant_terms_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1858,3 +1860,61 @@ SELECT query_id, doc_id, n_lists, score_scaled, rank FROM (
     PARTITION BY query_id ORDER BY score_scaled DESC, doc_id) AS rank
   FROM fused) WHERE rank <= 10
 ORDER BY query_id, rank"""
+
+
+# --- q94: significant terms (ES aggregation, JLH heuristic) --------------------
+
+
+def q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `significant_terms` over a planted slice: ten foreground
+    docs (doc_id < 10, re-keyed +200000, source 'plant') carry the
+    original text plus the tokens 'quokka zebra' — vocabulary that
+    exists NOWHERE in the background — so the JLH ranking must put
+    exactly those two terms at ranks 1-2 (tie broken alphabetically)
+    at every scale, while ordinary corpus words score near zero.
+    The DuckDB twin replays the planting concat and the scaled-integer
+    JLH arithmetic bit-for-bit."""
+    from beats_spark import relevance
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    planted = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" quokka zebra")).alias("text"),
+        F.lit("plant").alias("source"),
+    )
+    corpus = docs.unionByName(planted)
+    return (
+        relevance.significant_terms(corpus, F.col("source") == "plant", k=20)
+        .select("term", "fg_docs", "bg_docs", "score_scaled", "rank")
+        .orderBy("rank")
+    )
+
+
+def q_significant_terms_oracle() -> str:
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text || ' quokka zebra' AS text
+  FROM documents WHERE doc_id < 10),
+tot AS (
+  SELECT CAST(SUM(CASE WHEN doc_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS F,
+         CAST(COUNT(*) AS BIGINT) AS B
+  FROM corpus),
+w AS (
+  SELECT DISTINCT doc_id, unnest({_WS_SQL}) AS term FROM corpus),
+counts AS (
+  SELECT term,
+         CAST(SUM(CASE WHEN doc_id >= 200000 THEN 1 ELSE 0 END) AS BIGINT) AS fg_docs,
+         CAST(COUNT(*) AS BIGINT) AS bg_docs
+  FROM w GROUP BY term),
+scored AS (
+  SELECT term, fg_docs, bg_docs,
+         (1000000 * fg_docs * ((fg_docs * B) - (bg_docs * F)))
+           // (F * F * bg_docs) AS score_scaled
+  FROM counts, tot
+  WHERE fg_docs >= 2 AND (fg_docs * B) - (bg_docs * F) > 0)
+SELECT term, fg_docs, bg_docs, score_scaled,
+       row_number() OVER (ORDER BY score_scaled DESC, term) AS rank
+FROM scored
+ORDER BY score_scaled DESC, term LIMIT 20"""

@@ -174,3 +174,66 @@ def rrf_fuse(
     return fused.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= topk
     )
+
+
+def significant_terms(
+    docs: DataFrame,
+    fg: Column,
+    k: int = 20,
+    scale: int = 10**6,
+    min_fg_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The Elasticsearch `significant_terms` aggregation (reference
+    ecosystem parity: the "what is DISTINCTIVE about this slice"
+    query ES runs over Beats-shipped logs), scored with ES's default
+    JLH heuristic: (fgPct - bgPct) * (fgPct / bgPct), doc-frequency
+    based, background = the WHOLE corpus (superset semantics, like
+    ES). Curation twin: domain-distinctive vocabulary of a source.
+
+    Exactness: JLH is the rational fg·B·(fg·B - bg·F) / (F²·B·bg);
+    emitted as the scaled integer (scale·fg·(fg·B - bg·F)) div
+    (F²·bg) — pure BIGINT, so DuckDB replays every score bit-for-bit.
+    Only positively-associated terms are kept (fg·B - bg·F > 0),
+    which both matches ES's behavior and keeps the integer div out
+    of trunc-vs-floor territory on negatives (Spark `div` truncates,
+    DuckDB `//` floors). Intermediates stay < 2^63 for corpora up to
+    ~10^5 fg docs × 10^7 bg docs at scale=10^6 — ANSI mode raises
+    loudly rather than wrapping past that (swap scale down or scores
+    to DOUBLE for truly huge slices; ranking is what matters there).
+
+    SCALE SHAPE: one exploded-distinct-term scan feeding ONE
+    map-side-combined groupBy(term) with a conditional count for the
+    foreground — never two corpus scans; F/B are a 1-row aggregate
+    collected driver-side (two scalars). Global top-k plans as
+    TakeOrderedAndProject (orderBy().limit(k)), never a
+    single-partition window.
+    """
+    w = docs.select(
+        fg.cast("boolean").alias("__fg__"),
+        F.explode(F.array_distinct(text.words(F.col(text_col)))).alias("term"),
+    )
+    tot = docs.agg(
+        F.count_if(fg).alias("F"), F.count(F.lit(1)).alias("B")
+    ).collect()[0]
+    f_docs, b_docs = int(tot["F"]), int(tot["B"])
+    if f_docs == 0 or b_docs == 0:
+        raise ValueError("significant_terms: empty foreground or corpus")
+    counts = w.groupBy("term").agg(
+        F.count_if(F.col("__fg__")).alias("fg_docs"),
+        F.count(F.lit(1)).alias("bg_docs"),
+    )
+    lift = (F.col("fg_docs") * b_docs) - (F.col("bg_docs") * f_docs)
+    score = F.expr(
+        f"({scale} * fg_docs * ((fg_docs * {b_docs}) - (bg_docs * {f_docs}))) "
+        f"div ({f_docs} * {f_docs} * bg_docs)"
+    )
+    top = (
+        counts.filter((F.col("fg_docs") >= min_fg_docs) & (lift > 0))
+        .select("term", "fg_docs", "bg_docs", score.alias("score_scaled"))
+        .orderBy(F.desc("score_scaled"), F.col("term"))
+        .limit(int(k))
+    )
+    rw = Window.orderBy(F.desc("score_scaled"), F.col("term"))
+    return top.withColumn("rank", F.row_number().over(rw))
