@@ -449,3 +449,96 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min("cms_c").alias("est_n"))
     )
+
+
+def date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    interval_us: int,
+    value_col: str | None = None,
+    min_doc_count: int = 0,
+) -> DataFrame:
+    """ES `date_histogram` aggregation analog (the bucket source every
+    Kibana time-series panel and every pipeline aggregation consumes;
+    Beats delegates this rollup to the store — metricbeat docs name
+    date_histogram as the visualization path for its metrics).
+
+    Buckets are exact integer floor(epoch_µs / interval) — the
+    pmod-subtraction floor, so pre-1970 timestamps bucket identically
+    in Spark and DuckDB (`//` truncates toward zero there). With
+    ``min_doc_count=0`` empty buckets between the first and last
+    populated one are emitted with n=0 (the ES gap-filling contract
+    that makes derivatives/moving windows see calendar gaps).
+
+    Scale shape: ONE map-side-combined groupBy over the facts; the
+    bucket table is bounded by time-range/interval (thousands of rows
+    for years of days), NOT by row count, so the gap-filling spine
+    (bounds crossJoin + sequence explode) and everything downstream is
+    dimension-sized. 100 TB of facts still reduce to the same spine.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    d = F.lit(int(interval_us))
+    bucket = ((us - F.pmod(us, d)) / d).cast("long").alias("bucket_idx")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(F.col(value_col)).alias("sum_v"))
+    b = df.select(bucket, *([value_col] if value_col else [])).groupBy(
+        "bucket_idx"
+    ).agg(*aggs)
+    if min_doc_count > 0:
+        return b.filter(F.col("n") >= min_doc_count)
+    bounds = b.agg(F.min("bucket_idx").alias("lo"), F.max("bucket_idx").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("bucket_idx")
+    )
+    filled = [F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n")]
+    if value_col is not None:
+        filled.append(
+            F.coalesce(F.col("sum_v"), F.lit(0)).cast("long").alias("sum_v")
+        )
+    return spine.join(b, "bucket_idx", "left").select("bucket_idx", *filled)
+
+
+def pipeline_aggs(
+    buckets: DataFrame,
+    order_col: str,
+    metric_cols: Sequence[str],
+    window: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """ES *pipeline aggregations* over a bucket series: for each metric
+    m adds `cum_{m}` (cumulative_sum), `deriv_{m}` (derivative — NULL
+    for the first bucket, exactly ES's "no value for the first"), and
+    `mavg_{m}_scaled` (moving_fn avg over the trailing `window` buckets
+    INCLUDING current, head-shrunk like moving_fn's partial windows;
+    emitted as floor(scale·sum/count) so the value is an exact BIGINT
+    both engines reproduce bit-for-bit — metrics must be non-negative,
+    which every count/sum-of-milli here is, making trunc == floor).
+
+    The window is intentionally GLOBAL and unpartitioned: pipeline
+    aggs are defined over the reduced bucket list (ES runs them on the
+    coordinating node after the shard reduce), and `date_histogram`
+    bounds that list by time-range/interval, not by fact rows — a
+    single sorted run of thousands of rows at any corpus size. Facts
+    were reduced one stage earlier; nothing row-proportional enters
+    this window.
+    """
+    w_ord = Window.orderBy(order_col)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w_ord.rowsBetween(-(window - 1), Window.currentRow)
+    out = buckets
+    for m in metric_cols:
+        scaled = F.lit(int(scale)) * F.sum(m).over(w_mov)
+        mcnt = F.count(F.lit(1)).over(w_mov)
+        # exact integer floor division of two BIGINTs (both
+        # non-negative): subtract the pmod first so the / is an exact
+        # integer — never a rounded double (CLAUDE.md oracle rule)
+        mavg = ((scaled - F.pmod(scaled, mcnt)) / mcnt).cast("long")
+        out = (
+            out.withColumn(f"cum_{m}", F.sum(m).over(w_cum).cast("long"))
+            .withColumn(
+                f"deriv_{m}", (F.col(m) - F.lag(m, 1).over(w_ord)).cast("long")
+            )
+            .withColumn(f"mavg_{m}_scaled", mavg)
+        )
+    return out

@@ -3695,6 +3695,88 @@ SELECT * FROM (
 ORDER BY level, k"""
 
 
+# --- q95: date histogram + pipeline aggregations (metrics.py) ----------------
+
+
+def q_pipeline_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES pipeline-aggregation family (cumulative_sum / derivative /
+    moving_fn avg) over a gap-filled daily date_histogram — the rollup
+    stack under every Kibana time-series panel. Every third calendar
+    day is filtered OUT of the facts before bucketing, so
+    min_doc_count=0 gap filling is load-bearing at every scale (~10
+    empty days resurface as n=0 buckets; the derivative crosses them,
+    the 3-day moving average shrinks at the head exactly like ES
+    moving_fn's partial windows). All emitted values are exact
+    BIGINTs: counts, milli-value sums, and floor(10⁶·sum/count) moving
+    averages — the DuckDB twin replays the identical pmod-floor and
+    integer-division arithmetic.
+
+    Scale shape: one map-side-combined fact groupBy reduces 100 TB to
+    a time-bounded bucket list (30 rows here, thousands for years);
+    the gap spine and the unpartitioned pipeline window run on THAT —
+    ES semantics (pipeline aggs execute on the reduced buckets at the
+    coordinator), Spark execution."""
+    from beats_spark.metrics import date_histogram, pipeline_aggs
+
+    us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    d = F.lit(86_400_000_000)
+    day_idx = ((us - F.pmod(us, d)) / d).cast("long")
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            "ts",
+            day_idx.alias("day_idx"),
+            F.floor(F.col("value") * 1000).cast("long").alias("milli"),
+        )
+        .filter(F.pmod(F.col("day_idx"), F.lit(3)) != 1)
+    )
+    buckets = date_histogram(ev, "ts", 86_400_000_000, value_col="milli")
+    return (
+        pipeline_aggs(buckets, "bucket_idx", ["n", "sum_v"], window=3)
+        .select(
+            F.col("bucket_idx").alias("day_idx"),
+            "n",
+            F.col("sum_v").alias("sum_milli"),
+            "cum_n",
+            "deriv_n",
+            "mavg_n_scaled",
+            F.col("cum_sum_v").alias("cum_milli"),
+            F.col("mavg_sum_v_scaled").alias("mavg_milli_scaled"),
+        )
+        .orderBy("day_idx")
+    )
+
+
+def q_pipeline_aggs_oracle() -> str:
+    return """
+WITH e AS (
+  SELECT CAST((epoch_us(ts)
+               - ((epoch_us(ts) % 86400000000) + 86400000000) % 86400000000)
+              // 86400000000 AS BIGINT) AS day_idx,
+         CAST(floor(value * 1000) AS BIGINT) AS milli
+  FROM events),
+f AS (SELECT * FROM e WHERE ((day_idx % 3) + 3) % 3 <> 1),
+b AS (SELECT day_idx, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(milli) AS BIGINT) AS sum_milli
+      FROM f GROUP BY day_idx),
+bounds AS (SELECT min(day_idx) AS lo, max(day_idx) AS hi FROM b),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM bounds),
+g AS (SELECT s.day_idx, COALESCE(n, 0) AS n, COALESCE(sum_milli, 0) AS sum_milli
+      FROM spine s LEFT JOIN b USING (day_idx))
+SELECT day_idx, n, sum_milli,
+       CAST(sum(n) OVER cum AS BIGINT) AS cum_n,
+       CAST(n - lag(n) OVER (ORDER BY day_idx) AS BIGINT) AS deriv_n,
+       CAST((1000000 * CAST(sum(n) OVER mov AS BIGINT))
+            // CAST(count(*) OVER mov AS BIGINT) AS BIGINT) AS mavg_n_scaled,
+       CAST(sum(sum_milli) OVER cum AS BIGINT) AS cum_milli,
+       CAST((1000000 * CAST(sum(sum_milli) OVER mov AS BIGINT))
+            // CAST(count(*) OVER mov AS BIGINT) AS BIGINT) AS mavg_milli_scaled
+FROM g
+WINDOW cum AS (ORDER BY day_idx ROWS UNBOUNDED PRECEDING),
+       mov AS (ORDER BY day_idx ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY day_idx"""
+
+
 # --- q58: multi-level rollup (grouping sets) ------------------------------------
 
 
@@ -4085,6 +4167,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_pq_topk": q_pq_topk,
         "q82_cms_heavy_hitters": q_cms_heavy_hitters,
         "q92_zorder_layout": q_zorder,
+        "q95_pipeline_aggs": q_pipeline_aggs,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -4112,6 +4195,7 @@ _WITNESS_FIRST = [
     "q86_perplexity_filter", "q87_bpe_encode", "q88_ivfpq_topk",
     "q89_kcore", "q90_normalize", "q91_lpa_communities",
     "q92_zorder_layout", "q93_rrf_fusion", "q94_significant_terms",
+    "q95_pipeline_aggs", "q96_neighborhood",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -4220,4 +4304,5 @@ def _base_oracles() -> dict[str, str]:
         "q79_pq_topk": q_pq_topk_oracle(),
         "q82_cms_heavy_hitters": q_cms_heavy_hitters_oracle(),
         "q92_zorder_layout": q_zorder_oracle(),
+        "q95_pipeline_aggs": q_pipeline_aggs_oracle(),
     }

@@ -1252,6 +1252,7 @@ def catalog():
         "q91_lpa_communities": q_lpa,
         "q93_rrf_fusion": q_rrf,
         "q94_significant_terms": q_significant_terms,
+        "q96_neighborhood": q_neighborhood,
     }
 
 
@@ -1275,6 +1276,7 @@ def oracles():
         "q91_lpa_communities": q_lpa_oracle(),
         "q93_rrf_fusion": q_rrf_oracle(),
         "q94_significant_terms": q_significant_terms_oracle(),
+        "q96_neighborhood": q_neighborhood_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1918,3 +1920,60 @@ SELECT term, fg_docs, bg_docs, score_scaled,
        row_number() OVER (ORDER BY score_scaled DESC, term) AS rank
 FROM scored
 ORDER BY score_scaled DESC, term LIMIT 20"""
+
+
+# --- q96: neighborhood function (HyperBall, sketch-based graph profile) --------
+
+
+def q_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N(t) for t=0..3 over the q74 citation family (out-degree <= 3
+    after dedup, so every 3-hop ball holds <= 40 nodes — far inside
+    the lg_k=14 coupon-exact window, making the sketch sums
+    bit-reproducible). The DuckDB twin IS the pair-explosion HyperBall
+    replaces: four fixed-depth distinct-(v,u) CTEs — the exact
+    semantics at test scale, the quadratic blowup the sketch version
+    avoids at corpus scale."""
+    from beats_spark.training import cluster
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    n = docs.count()
+    targets = F.array(
+        (F.col("doc_id") * 7 + 1) % n,
+        (F.col("doc_id") * 13 + 5) % n,
+        (F.col("doc_id") * 29 + 11) % n,
+    )
+    edges = (
+        docs.select(F.col("doc_id").alias("src"), F.explode(targets).alias("dst"))
+        .distinct()
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return cluster.neighborhood_function(edges, nodes, rounds=3).orderBy("t")
+
+
+def q_neighborhood_oracle() -> str:
+    return """
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+edges AS (
+  SELECT DISTINCT id AS src, dst
+  FROM nodes, nn,
+       UNNEST([(id*7 + 1) % n, (id*13 + 5) % n, (id*29 + 11) % n]) AS t(dst)),
+r0 AS (SELECT id AS v, id AS u FROM nodes),
+r1 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM r0
+  UNION ALL
+  SELECT e.src AS v, r.u FROM edges e JOIN r0 r ON r.v = e.dst)),
+r2 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM r1
+  UNION ALL
+  SELECT e.src AS v, r.u FROM edges e JOIN r1 r ON r.v = e.dst)),
+r3 AS (SELECT DISTINCT v, u FROM (
+  SELECT v, u FROM r2
+  UNION ALL
+  SELECT e.src AS v, r.u FROM edges e JOIN r2 r ON r.v = e.dst))
+SELECT * FROM (
+  SELECT CAST(0 AS INT) AS t, CAST(COUNT(*) AS BIGINT) AS nf FROM r0
+  UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT) FROM r1
+  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM r2
+  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM r3)
+ORDER BY t"""

@@ -489,3 +489,74 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    nodes: DataFrame,
+    rounds: int = 3,
+    lg_k: int = 14,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, WWW 2013): the neighborhood function
+    N(t) = |{(v,u) : dist(v,u) <= t}| of a directed graph, computed
+    with PER-NODE MERGEABLE HLL SKETCHES instead of per-node reachable
+    SETS — the marriage of the iterative-graph family (pagerank/
+    kcore/LPA above) and the mergeable-sketch family (q63 HLL / q65
+    KLL / q82 CMS). N(t) is the standard curation-scale connectivity
+    profile: effective diameter, spid, and "how much of the link graph
+    is within t hops of the crawl frontier" all read off it.
+
+    Recurrence: B_0(v) = {v};  B_{t+1}(v) = B_t(v) ∪ ⋃_{v→w} B_t(w).
+    The EXACT version keeps per-node sets whose total size is
+    Σ_v |B_t(v)| — quadratic on dense graphs (that pair-explosion IS
+    the oracle twin, viable only at test scale). HyperBall replaces
+    each set with a 2^lg_k-bounded HLL: per-node state is CONSTANT, a
+    round is one equi-join of the sketch table into the once-persisted
+    dst-partitioned edge layout plus one map-side-combined
+    hll_union_agg groupBy — shuffle ∝ nodes·sketch_size regardless of
+    ball volume. Driver loop over a constant round count; per-round
+    totals come off the round's persisted sketch table (dimension-
+    sized aggregates, never collected per node).
+
+    EXACTNESS WINDOW (the q63 oracle recipe): DataSketches HLL stays
+    in exact coupon mode below ~3/4·2^(lg_k-2) distincts (~3072 at
+    lg_k=14), and unions of coupon sketches whose result stays below
+    the bound remain exact — test graphs keep every ball ≤ 40
+    members, so hll_sketch_estimate is EXACT and the summed N(t)
+    hash-matches the pair-explosion SQL twin bit-for-bit. Beyond the
+    window the estimate carries the usual ~1.6%/sqrt(2^lg_k) HLL
+    error (the published HyperBall trade).
+    """
+    if not 0 <= rounds <= 16:
+        raise ValueError(f"rounds out of range: {rounds}")
+    e = (
+        edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+        .repartition(F.col("__dst"))
+        .persist()
+    )
+    n = nodes.select(F.col(node_col).alias("__node"))
+    sk = n.groupBy("__node").agg(
+        F.hll_sketch_agg("__node", F.lit(lg_k)).alias("__sk")
+    ).persist()
+
+    def total(t: int, sk_df: DataFrame) -> DataFrame:
+        return sk_df.agg(
+            F.sum(F.hll_sketch_estimate("__sk")).cast("long").alias("nf")
+        ).select(F.lit(t).cast("int").alias("t"), "nf")
+
+    out = total(0, sk)
+    for t in range(1, rounds + 1):
+        nbr = e.join(sk, e.__dst == sk.__node).select(
+            F.col("__src").alias("__node"), "__sk"
+        )
+        sk = (
+            nbr.unionByName(sk.select("__node", "__sk"))
+            .groupBy("__node")
+            .agg(F.hll_union_agg("__sk").alias("__sk"))
+            .persist()
+        )
+        out = out.unionByName(total(t, sk))
+    return out

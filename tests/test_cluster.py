@@ -275,3 +275,50 @@ def test_lpa_validation_and_isolated_nodes(spark):
     # self-loop-only node is absent (no edges survive canonicalization)
     got = _lpa_spark(spark, [(0, 1), (7, 7)], rounds=2)
     assert 7 not in got and set(got) == {0, 1}
+
+
+# --- neighborhood function (HyperBall) ----------------------------------------
+
+
+def _bfs_nf(edges: list[tuple[int, int]], nodes: list[int], rounds: int) -> list[int]:
+    """Exact N(t) by per-node forward BFS ball expansion."""
+    adj: dict[int, list[int]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    balls = {v: {v} for v in nodes}
+    out = [sum(len(b) for b in balls.values())]
+    for _ in range(rounds):
+        balls = {
+            v: b | set().union(*(balls[w] for w in adj.get(v, []) if w in balls))
+            for v, b in balls.items()
+        }
+        out.append(sum(len(b) for b in balls.values()))
+    return out
+
+
+def test_neighborhood_function_matches_bfs_random(spark):
+    rng = random.Random(96)
+    nodes = list(range(60))
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(120)})
+    e = spark.createDataFrame(edges, "src INT, dst INT")
+    n = spark.createDataFrame([(v,) for v in nodes], "node INT")
+    got = {
+        r["t"]: r["nf"]
+        for r in cluster.neighborhood_function(e, n, rounds=4).collect()
+    }
+    want = _bfs_nf(edges, nodes, 4)
+    assert [got[t] for t in range(5)] == want
+    # N(t) is monotone non-decreasing by construction
+    assert all(got[t] <= got[t + 1] for t in range(4))
+    spark.catalog.clearCache()
+
+
+def test_neighborhood_function_validation_and_isolated(spark):
+    e = spark.createDataFrame([(0, 1)], "src INT, dst INT")
+    n = spark.createDataFrame([(0,), (1,), (2,)], "node INT")
+    rows = {r["t"]: r["nf"] for r in cluster.neighborhood_function(e, n, rounds=2).collect()}
+    # isolated node 2 contributes exactly its singleton ball at every t
+    assert rows == {0: 3, 1: 4, 2: 4}
+    with pytest.raises(ValueError):
+        cluster.neighborhood_function(e, n, rounds=17)
+    spark.catalog.clearCache()

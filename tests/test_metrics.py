@@ -404,3 +404,51 @@ def test_cms_merge_equals_single_pass_and_python_twin(spark):
     assert all(est[u] >= exact[u] for u in exact)
     # the tiny width really collided (the estimate-vs-exact gap exists)
     assert any(est[u] > exact[u] for u in exact)
+
+
+# --- date_histogram + pipeline aggs (q95 family) ------------------------------
+
+
+def test_date_histogram_gap_fill_and_pipeline_aggs(spark):
+    from beats_spark.metrics import date_histogram, pipeline_aggs
+
+    # days 0, 1, 4 populated -> gap days 2, 3 must surface as n=0
+    rows = [
+        ("2024-01-01 00:00:01", 10),
+        ("2024-01-01 12:00:00", 20),
+        ("2024-01-02 05:00:00", 5),
+        ("2024-01-05 23:59:59", 7),
+    ]
+    df = spark.createDataFrame(rows, "ts STRING, v LONG").select(
+        F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+    b = date_histogram(df, "ts", 86_400_000_000, value_col="v")
+    out = {
+        r["bucket_idx"]: r
+        for r in pipeline_aggs(b, "bucket_idx", ["n", "sum_v"], window=3).collect()
+    }
+    base = 19723  # 2024-01-01 in days since epoch
+    assert sorted(out) == [base + i for i in range(5)]
+    assert [out[base + i]["n"] for i in range(5)] == [2, 1, 0, 0, 1]
+    assert [out[base + i]["sum_v"] for i in range(5)] == [30, 5, 0, 0, 7]
+    # cumulative sum
+    assert [out[base + i]["cum_n"] for i in range(5)] == [2, 3, 3, 3, 4]
+    # derivative: NULL for the first bucket (ES contract)
+    assert out[base]["deriv_n"] is None
+    assert [out[base + i]["deriv_n"] for i in range(1, 5)] == [-1, -1, 0, 1]
+    # moving avg: head-shrunk windows, floor(1e6*sum/cnt)
+    exp_n = [2, 1, 0, 0, 1]
+    for i in range(5):
+        w = exp_n[max(0, i - 2): i + 1]
+        assert out[base + i]["mavg_n_scaled"] == (10**6 * sum(w)) // len(w)
+
+
+def test_date_histogram_min_doc_count_filters(spark):
+    from beats_spark.metrics import date_histogram
+
+    rows = [("2024-01-01 00:00:01",), ("2024-01-01 02:00:00",), ("2024-01-03 00:00:01",)]
+    df = spark.createDataFrame(rows, "ts STRING").select(
+        F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = date_histogram(df, "ts", 86_400_000_000, min_doc_count=2).collect()
+    assert len(got) == 1 and got[0]["n"] == 2
