@@ -542,3 +542,64 @@ def pipeline_aggs(
             .withColumn(f"mavg_{m}_scaled", mavg)
         )
     return out
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    num: int = 1,
+    den: int = 8,
+) -> DataFrame:
+    """Per-series exponentially-weighted moving average with a RATIONAL
+    smoothing factor α = num/den (Roberts 1959 control chart; the ES
+    `moving_fn` ewma / Metricbeat load-average smoothing analog), kept
+    in exact integers:
+
+        s_1 = x_1;   s_t = (num·x_t + (den−num)·s_{t−1}) // den
+
+    Floating EWMA is engine-unreproducible (every step rounds), so the
+    recurrence floors at each step and is DEFINED that way — a DuckDB
+    recursive CTE replays it bit-for-bit (values must be non-negative
+    for that twin: DuckDB `//` truncates toward zero, Python floors).
+
+    EWMA is non-associative — no window/aggregate expresses it — so
+    this is the documented Arrow-batched escape hatch: groupBy(keys)
+    → applyInPandas, each series sorted by (ts, tiebreak) and folded
+    sequentially in one Python pass. Scale shape: ONE keyed exchange;
+    per-task memory is the largest single series (a series too long
+    for one task should be restarted per time-window upstream — the
+    recurrence itself forgets at rate (1−α)^t, so windowed restarts
+    are the standard practice, not a workaround). Returns
+    (keys..., rn, value, ewma) with rn the 1-based position in the
+    series — emitted so twins can join row-for-row.
+    """
+    if not (0 < num < den):
+        raise ValueError(f"need 0 < num < den, got {num}/{den}")
+    out_fields = ", ".join(
+        f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    schema = f"{out_fields}, rn long, value long, ewma long"
+    knames, nn, dd = list(keys), int(num), int(den)
+    ts_name, tb_name, v_name = ts_col, tiebreak_col, value_col
+
+    def fold(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values([ts_name, tb_name], kind="mergesort")
+        xs = [int(v) for v in pdf[v_name]]
+        s: list[int] = []
+        cur: int | None = None
+        for x in xs:
+            cur = x if cur is None else (nn * x + (dd - nn) * cur) // dd
+            s.append(cur)
+        # group columns are constant within an applyInPandas group
+        out = {k: [pdf[k].iloc[0]] * len(xs) for k in knames}
+        out["rn"] = list(range(1, len(xs) + 1))
+        out["value"] = xs
+        out["ewma"] = s
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(fold, schema=schema)

@@ -3777,6 +3777,52 @@ WINDOW cum AS (ORDER BY day_idx ROWS UNBOUNDED PRECEDING),
 ORDER BY day_idx"""
 
 
+# --- q98: per-series integer EWMA smoothing (metrics.py) ---------------------
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of sampled event values (α = 1/8): the
+    one catalog op whose semantics NO window/aggregate expresses —
+    EWMA is non-associative, so this exercises the documented
+    Arrow-batched applyInPandas escape hatch with an EXACT integer
+    recurrence (s_t = (x_t + 7·s_{t−1}) // 8 on non-negative
+    milli-values). The DuckDB twin is a RECURSIVE CTE stepping rn →
+    rn+1 per series — recursion depth is the longest sampled series
+    (~40 at sf0.1 under the 1/11 event sample), and every step is the
+    identical floor arithmetic, so the twin is bit-exact."""
+    from beats_spark.metrics import ewma_smooth
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.pmod(F.col("event_id"), F.lit(11)) == 0)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 1000).cast("long").alias("milli"),
+        )
+    )
+    return ewma_smooth(ev, ["user_id"], "ts", "milli", "event_id").orderBy(
+        "user_id", "rn"
+    )
+
+
+def q_ewma_oracle() -> str:
+    return """
+WITH RECURSIVE ord AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events WHERE event_id % 11 = 0),
+r AS (
+  SELECT user_id, rn, v, v AS s FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.v, (o.v + 7 * r.s) // 8 AS s
+  FROM ord o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT user_id, CAST(rn AS BIGINT) AS rn, v AS value, CAST(s AS BIGINT) AS ewma
+FROM r ORDER BY user_id, rn"""
+
+
 # --- q58: multi-level rollup (grouping sets) ------------------------------------
 
 
@@ -4168,6 +4214,7 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_cms_heavy_hitters": q_cms_heavy_hitters,
         "q92_zorder_layout": q_zorder,
         "q95_pipeline_aggs": q_pipeline_aggs,
+        "q98_ewma": q_ewma,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -4195,7 +4242,7 @@ _WITNESS_FIRST = [
     "q86_perplexity_filter", "q87_bpe_encode", "q88_ivfpq_topk",
     "q89_kcore", "q90_normalize", "q91_lpa_communities",
     "q92_zorder_layout", "q93_rrf_fusion", "q94_significant_terms",
-    "q95_pipeline_aggs", "q96_neighborhood",
+    "q95_pipeline_aggs", "q96_neighborhood", "q97_line_dedup", "q98_ewma",
     # driver-unwitnessed as of r04 (verified only judge-side)
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
@@ -4305,4 +4352,5 @@ def _base_oracles() -> dict[str, str]:
         "q82_cms_heavy_hitters": q_cms_heavy_hitters_oracle(),
         "q92_zorder_layout": q_zorder_oracle(),
         "q95_pipeline_aggs": q_pipeline_aggs_oracle(),
+        "q98_ewma": q_ewma_oracle(),
     }

@@ -1253,6 +1253,7 @@ def catalog():
         "q93_rrf_fusion": q_rrf,
         "q94_significant_terms": q_significant_terms,
         "q96_neighborhood": q_neighborhood,
+        "q97_line_dedup": q_line_dedup,
     }
 
 
@@ -1277,6 +1278,7 @@ def oracles():
         "q93_rrf_fusion": q_rrf_oracle(),
         "q94_significant_terms": q_significant_terms_oracle(),
         "q96_neighborhood": q_neighborhood_oracle(),
+        "q97_line_dedup": q_line_dedup_oracle(),
         "q61_stratified_sample": q_stratified_sample_oracle(),
         "q64_weighted_sample": q_weighted_sample_oracle(),
         "q24_token_window_dups": q_token_window_dups_oracle(),
@@ -1977,3 +1979,70 @@ SELECT * FROM (
   UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM r2
   UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM r3)
 ORDER BY t"""
+
+
+# --- q97: line-level boilerplate dedup (RefinedWeb/MassiveText) ----------------
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-wise corpus cleanup: documents are given deterministic
+    line structure (every 4 corpus words = one line) and docs with
+    even ids gain a planted boilerplate footer — the footer's global
+    frequency is n/2 >> max_freq at every scale, so the removal path
+    is always exercised, on top of whatever 4-word lines the natural
+    vocabulary repeats. Output is per-doc kept/dropped counts plus an
+    md5 of the reassembled text, so the oracle pins the
+    reconstruction order, not just the counts."""
+    from beats_spark.training import dedup, text
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = text.words(F.col("text"))
+    seq = F.sequence(
+        F.lit(0), F.floor((F.size(ws) - 1) / 4).cast("int")
+    )
+    lines_arr = F.transform(
+        seq, lambda i: F.array_join(F.slice(ws, i * 4 + 1, 4), " ")
+    )
+    with_footer = F.when(
+        F.pmod(F.col("doc_id"), F.lit(2)) == 0,
+        F.concat(lines_arr, F.array(F.lit("data engine footer boilerplate"))),
+    ).otherwise(lines_arr)
+    lined = docs.select(
+        "doc_id", F.array_join(with_footer, "\n").alias("text")
+    )
+    out = dedup.line_frequency_dedup(lined, max_freq=1)
+    return out.select(
+        "doc_id",
+        "n_kept",
+        "n_dropped",
+        F.md5(F.col("text_clean").cast("binary")).alias("cksum"),
+    ).orderBy("doc_id")
+
+
+def q_line_dedup_oracle() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_WS_SQL} AS ws FROM documents),
+lined AS (
+  SELECT doc_id,
+         list_transform(range((len(ws) + 3) // 4),
+                        i -> array_to_string(ws[i*4+1:i*4+4], ' ')) AS ls
+  FROM w),
+pl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN list_append(ls, 'data engine footer boilerplate')
+              ELSE ls END AS ls
+  FROM lined),
+lines AS (
+  SELECT doc_id, i AS line_no, ls[CAST(i + 1 AS BIGINT)] AS line
+  FROM pl, UNNEST(range(len(ls))) AS t(i)),
+freq AS (SELECT line, count(*) AS n FROM lines GROUP BY line),
+fl AS (
+  SELECT l.doc_id, l.line_no, l.line, f.n > 1 AS dup
+  FROM lines l JOIN freq f USING (line))
+SELECT doc_id,
+       CAST(count(*) FILTER (WHERE NOT dup) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dropped,
+       md5(coalesce(string_agg(line, chr(10) ORDER BY line_no)
+                      FILTER (WHERE NOT dup), '')) AS cksum
+FROM fl GROUP BY doc_id ORDER BY doc_id"""

@@ -702,3 +702,67 @@ def incremental_dedup(
         return transform(out) if transform is not None else out
 
     return wrapped
+
+
+def line_frequency_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_freq: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-wise boilerplate removal (RefinedWeb, Penedo et al. 2023;
+    MassiveText, Rae et al. 2021): split every document into lines,
+    count each line's EXACT frequency across the whole corpus, drop
+    every occurrence of lines seen more than ``max_freq`` times
+    (navigation bars, cookie banners, footers — the content that
+    repeats across a crawl without being a document-level duplicate),
+    and reassemble the surviving lines in document order.
+
+    Returns (id_col, n_kept, n_dropped, text_clean) — one row per
+    input document, including documents whose every line was dropped
+    (text_clean = '').
+
+    Scale shape: the frequency table is a map-side-combined groupBy on
+    the 16-byte ``content_key`` of the line (hot boilerplate lines —
+    the entire point of the operator — collapse to partial counts
+    before the shuffle; grouping by the raw string would move the
+    corpus). The flag join is an equi-join on that key; a pathological
+    key (one line in 10^9 docs) is exactly the AQE skew-join split
+    case. Reassembly is one groupBy(id) whose per-group state is
+    bounded by the document's own line count. Nothing row-proportional
+    is collected; lines move at most twice.
+
+    Exactness: dropping on a 128-bit key instead of the string admits
+    the same <1e-14 expected-collision budget as exact_dedup; the
+    DuckDB twins group by the line string itself and hash-match.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__line_no", "__line"),
+    )
+    h1, h2 = content_key(F.col("__line"))
+    keyed = lines.select(
+        id_col, "__line_no", "__line", h1.alias("__h1"), h2.alias("__h2")
+    )
+    freq = keyed.groupBy("__h1", "__h2").agg(F.count(F.lit(1)).alias("__n"))
+    flagged = keyed.join(freq, ["__h1", "__h2"]).select(
+        id_col,
+        "__line_no",
+        "__line",
+        (F.col("__n") > max_freq).alias("__dup"),
+    )
+    kept_struct = F.when(
+        ~F.col("__dup"), F.struct(F.col("__line_no"), F.col("__line"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.when(F.col("__dup"), 0).otherwise(1)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0)).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["__line"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )

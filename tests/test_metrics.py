@@ -452,3 +452,56 @@ def test_date_histogram_min_doc_count_filters(spark):
     )
     got = date_histogram(df, "ts", 86_400_000_000, min_doc_count=2).collect()
     assert len(got) == 1 and got[0]["n"] == 2
+
+
+# --- ewma_smooth (q98 family) --------------------------------------------------
+
+
+def test_ewma_smooth_matches_python_fold(spark):
+    from beats_spark.metrics import ewma_smooth
+    import random
+
+    rng = random.Random(98)
+    rows = []
+    for key in ("a", "b"):
+        for i in range(25):
+            rows.append((key, f"2024-01-01 00:{i:02d}:00", i, rng.randrange(0, 5000)))
+    df = spark.createDataFrame(
+        rows, "k STRING, ts STRING, tb LONG, v LONG"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tb", "v")
+    got = {
+        (r["k"], r["rn"]): (r["value"], r["ewma"])
+        for r in ewma_smooth(df, ["k"], "ts", "v", "tb").collect()
+    }
+    by_key: dict[str, list[int]] = {}
+    for k, _, _, v in rows:
+        by_key.setdefault(k, []).append(v)
+    for k, xs in by_key.items():
+        s = None
+        for i, x in enumerate(xs):
+            s = x if s is None else (x + 7 * s) // 8
+            assert got[(k, i + 1)] == (x, s)
+    # ewma converges toward a constant series' value
+    const = spark.createDataFrame(
+        [("c", f"2024-01-01 00:{i:02d}:00", i, 800) for i in range(40)],
+        "k STRING, ts STRING, tb LONG, v LONG",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tb", "v")
+    last = (
+        ewma_smooth(const, ["k"], "ts", "v", "tb")
+        .orderBy(F.desc("rn")).limit(1).collect()[0]
+    )
+    assert last["ewma"] == 800
+
+
+def test_ewma_smooth_validates_alpha(spark):
+    from beats_spark.metrics import ewma_smooth
+    import pytest as _pytest
+
+    df = spark.range(1).select(
+        F.lit("k").alias("k"),
+        F.current_timestamp().alias("ts"),
+        F.lit(0).alias("tb"),
+        F.lit(1).alias("v"),
+    )
+    with _pytest.raises(ValueError):
+        ewma_smooth(df, ["k"], "ts", "v", "tb", num=8, den=8)

@@ -1112,3 +1112,32 @@ def test_normalize_text_plan_shape(spark):
     )
     plan2 = jvm_only._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
+
+# --- line_frequency_dedup (q97 family) -----------------------------------------
+
+
+def test_line_frequency_dedup_hand_corpus(spark):
+    from beats_spark.training.dedup import line_frequency_dedup
+
+    docs = [
+        (1, "unique alpha\ncommon footer\nunique beta"),
+        (2, "common footer\nunique gamma"),
+        (3, "common footer"),          # every line boilerplate -> empty doc
+        (4, "solo line stays\nrepeat inside\nrepeat inside"),  # intra-doc repeat
+    ]
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    out = {r["doc_id"]: r for r in line_frequency_dedup(df, max_freq=1).collect()}
+    assert len(out) == 4  # all docs survive as rows, even fully-dropped ones
+    assert (out[1]["n_kept"], out[1]["n_dropped"]) == (2, 1)
+    assert out[1]["text_clean"] == "unique alpha\nunique beta"
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (1, 1)
+    assert out[2]["text_clean"] == "unique gamma"
+    assert (out[3]["n_kept"], out[3]["n_dropped"]) == (0, 1)
+    assert out[3]["text_clean"] == ""
+    # intra-doc repeats count toward global frequency too
+    assert (out[4]["n_kept"], out[4]["n_dropped"]) == (1, 2)
+    assert out[4]["text_clean"] == "solo line stays"
+    # max_freq=2 keeps pairs, still drops the 3x footer
+    out2 = {r["doc_id"]: r for r in line_frequency_dedup(df, max_freq=2).collect()}
+    assert out2[3]["n_kept"] == 0 and out2[4]["n_dropped"] == 0
