@@ -608,3 +608,74 @@ def streaming_funnel_depth(
     return df.groupBy(F.col(user_col)).applyInPandasWithState(
         update, _FN_OUT, _FN_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# --- stateful EWMA smoothing (continuous twin of metrics.ewma_smooth) --------
+
+_EW_OUT = "key string, rn long, value long, ewma long"
+_EW_STATE = "last_s long, n_seen long"
+
+
+def streaming_ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    num: int = 1,
+    den: int = 8,
+    tiebreak_col: str | None = None,
+):
+    """Continuous twin of `metrics.ewma_smooth`: the per-series
+    integer recurrence s_t = (num·x_t + (den−num)·s_{t−1}) // den with
+    the previous smoothed value AND the series position carried across
+    micro-batches in GroupState (last_s, n_seen) — a restart from
+    checkpoint resumes mid-series, so smoothed values at micro-batch
+    boundaries equal the batch engine's (stream == batch pinned in
+    tests with a boundary placed mid-series).
+
+    Same in-order-per-key arrival contract as streaming_multiline /
+    streaming_counter_rate (file-ordered sources); within a batch rows
+    sort by (ts_us, tiebreak). Exact Python-int floor arithmetic —
+    identical to the batch applyInPandas fold, which is what makes the
+    equivalence testable by value. rn is the 1-based position in the
+    WHOLE series, not the batch."""
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+    if not (0 < num < den):
+        raise ValueError(f"need 0 < num < den, got {num}/{den}")
+    nn, dd = int(num), int(den)
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        last_s, n_seen = state.get if state.exists else (None, 0)
+        out_rn: list = []
+        out_v: list = []
+        out_s: list = []
+        pdf = _merged_chunks(pdfs)
+        if pdf is not None:
+            order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(order)
+            for v in pdf[value_col].astype("int64").tolist():
+                x = int(v)
+                last_s = x if last_s is None else (nn * x + (dd - nn) * int(last_s)) // dd
+                n_seen += 1
+                out_rn.append(n_seen)
+                out_v.append(x)
+                out_s.append(last_s)
+        state.update((last_s, n_seen))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(out_rn),
+                "rn": out_rn,
+                "value": out_v,
+                "ewma": out_s,
+            }
+        )
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update, _EW_OUT, _EW_STATE, "update", GroupStateTimeout.NoTimeout
+    )

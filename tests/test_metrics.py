@@ -505,3 +505,51 @@ def test_ewma_smooth_validates_alpha(spark):
     )
     with _pytest.raises(ValueError):
         ewma_smooth(df, ["k"], "ts", "v", "tb", num=8, den=8)
+
+
+def test_streaming_ewma_matches_batch_across_microbatches(spark, tmp_path):
+    """GroupState carry makes the continuous EWMA emit EXACTLY the
+    batch fold: micro-batch files split each series mid-stream, so the
+    recurrence must resume from carried (last_s, n_seen), not restart."""
+    import os
+
+    from beats_spark.metrics import ewma_smooth
+    from beats_spark.streaming import streaming_ewma
+
+    rows = []
+    for k in ("h1", "h2"):
+        base = 100 if k == "h1" else 4000
+        for i in range(9):
+            rows.append((k, 1_700_000_000_000_000 + i * 1_000_000, i, base + i * 37))
+    df = spark.createDataFrame(rows, "k string, ts_us long, tb long, v long")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = df.toPandas().sort_values(["k", "tb"])
+    # three files -> three micro-batches, each splitting both series
+    for i, part in enumerate([pdf.iloc[:5], pdf.iloc[5:12], pdf.iloc[12:]]):
+        part.to_json(f"{src}/f{i}.json", orient="records", lines=True)
+    stream = (
+        spark.readStream.format("json")
+        .schema("k string, ts_us long, tb long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = streaming_ewma(
+        stream, key_col="k", ts_us_col="ts_us", value_col="v", tiebreak_col="tb"
+    )
+    got_rows = []
+    q = (
+        out.writeStream.foreachBatch(lambda d, _: got_rows.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    batch = ewma_smooth(
+        df.select("k", F.timestamp_micros("ts_us").alias("ts"), "tb", "v"),
+        ["k"], "ts", "v", "tb",
+    )
+    want = {(r["k"], r["rn"]): (r["value"], r["ewma"]) for r in batch.collect()}
+    got = {(r["key"], r["rn"]): (r["value"], r["ewma"]) for r in got_rows}
+    assert got == want and len(got) == 18
