@@ -3783,8 +3783,9 @@ ORDER BY day_idx"""
 def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA smoothing of sampled event values (α = 1/8): the
     one catalog op whose semantics NO window/aggregate expresses —
-    EWMA is non-associative, so this exercises the documented
-    Arrow-batched applyInPandas escape hatch with an EXACT integer
+    EWMA is non-associative, so this exercises the Arrow-batched
+    escape hatch in its scalable form (series assembled JVM-side, one
+    pandas UDF folding whole BATCHES of series) with an EXACT integer
     recurrence (s_t = (x_t + 7·s_{t−1}) // 8 on non-negative
     milli-values). The DuckDB twin is a RECURSIVE CTE stepping rn →
     rn+1 per series — recursion depth is the longest sampled series

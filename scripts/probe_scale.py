@@ -103,6 +103,13 @@ PROBE_QUERIES = [
     "q91_lpa_communities",
     "q92_zorder_layout",
     "q93_rrf_fusion",
+    # round-5 session 4: significant terms + line dedup (documents),
+    # pipeline aggs + EWMA (events), HyperBall (documents graph)
+    "q94_significant_terms",
+    "q95_pipeline_aggs",
+    "q96_neighborhood",
+    "q97_line_dedup",
+    "q98_ewma",
 ]
 
 
