@@ -588,21 +588,7 @@ def ewma_smooth(
     if not (0 < num < den):
         raise ValueError(f"need 0 < num < den, got {num}/{den}")
     nn, dd = int(num), int(den)
-    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
-    ser = df.groupBy(*keys).agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        us.alias("u"),
-                        F.col(tiebreak_col).alias("tb"),
-                        F.col(value_col).cast("long").alias("v"),
-                    )
-                )
-            ),
-            lambda x: x["v"],
-        ).alias("__vals")
-    )
+    ser = _assemble_series(df, keys, ts_col, value_col, tiebreak_col)
 
     def _fold(vals):
         out = []
@@ -632,3 +618,153 @@ def ewma_smooth(
             F.col("__z.__ewma").alias("ewma"),
         )
     )
+
+
+def _assemble_series(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """The JVM-side half of the batched series fold shared by
+    ewma_smooth / holt_smooth: one keyed exchange assembles each
+    series into a single time-ordered long array
+    (array_sort(collect_list(struct)) — struct compare is
+    field-order lexicographic, so (ts, tiebreak) ordering is exact)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    return df.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        us.alias("u"),
+                        F.col(tiebreak_col).alias("tb"),
+                        F.col(value_col).cast("long").alias("v"),
+                    )
+                )
+            ),
+            lambda x: x["v"],
+        ).alias("__vals")
+    )
+
+
+def holt_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    alpha: tuple[int, int] = (1, 4),
+    beta: tuple[int, int] = (1, 8),
+) -> DataFrame:
+    """Per-series Holt linear (double exponential) smoothing with
+    rational factors — the ES `moving_fn` holt() / Metricbeat trend
+    model — kept in exact integers:
+
+        l_1 = x_1
+        b_1 = x_2 − x_1   (0 for a length-1 series)
+        l_t = ⌊(na·x_t + (da−na)·(l_{t−1} + b_{t−1})) / da⌋
+        b_t = ⌊(nb·(l_t − l_{t−1}) + (db−nb)·b_{t−1}) / db⌋
+
+    Each step FLOORS (Python `//`; trends go negative, so the DuckDB
+    recursive-CTE twin must spell the floor out — engine `//`/`div`
+    truncate toward zero). Same scale shape as ewma_smooth: series
+    assembled JVM-side (one keyed exchange), ONE scalar pandas UDF
+    folds whole Arrow batches of series, posexplode rebuilds rows.
+    Returns (keys..., rn, value, level, trend, forecast) with
+    forecast = level + trend, the 1-step-ahead prediction."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    na, da = map(int, alpha)
+    nb, db = map(int, beta)
+    if not (0 < na < da and 0 < nb < db):
+        raise ValueError(f"need proper fractions, got {alpha}, {beta}")
+    ser = _assemble_series(df, keys, ts_col, value_col, tiebreak_col)
+
+    def _fold(vals):
+        out = []
+        for arr in vals:
+            xs = [int(x) for x in arr]  # numpy int64 would overflow
+            if not xs:
+                out.append([])
+                continue
+            lv = xs[0]
+            tr = xs[1] - xs[0] if len(xs) > 1 else 0
+            lb = [[lv, tr]]
+            for x in xs[1:]:
+                prev = lv
+                lv = (na * x + (da - na) * (lv + tr)) // da
+                tr = (nb * (lv - prev) + (db - nb) * tr) // db
+                lb.append([lv, tr])
+            out.append(lb)
+        return pd.Series(out)
+
+    _fold.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    fold = pandas_udf(_fold, "array<array<long>>")
+
+    z = F.posexplode(F.arrays_zip(F.col("__vals"), F.col("__lb")))
+    lvl = F.element_at("__z.__lb", 1)
+    trd = F.element_at("__z.__lb", 2)
+    return (
+        ser.withColumn("__lb", fold("__vals"))
+        .select(*keys, z.alias("__pos", "__z"))
+        .select(
+            *keys,
+            (F.col("__pos") + 1).cast("long").alias("rn"),
+            F.col("__z.__vals").alias("value"),
+            lvl.alias("level"),
+            trd.alias("trend"),
+            (lvl + trd).alias("forecast"),
+        )
+    )
+
+
+# ES auto_date_histogram's fixed-interval ladder (the sub-calendar
+# prefix of the published rounding table; month/year rounding is
+# calendar arithmetic and out of scope — spans that would need it get
+# the 7d ceiling, documented)
+AUTO_HISTOGRAM_INTERVALS_US: tuple[int, ...] = tuple(
+    s * 1_000_000
+    for s in (
+        1, 5, 10, 30,  # seconds
+        60, 300, 600, 1_800,  # minutes
+        3_600, 10_800, 43_200,  # hours: 1h 3h 12h
+        86_400, 604_800,  # 1d 7d
+    )
+)
+
+
+def auto_date_histogram(
+    df: DataFrame,
+    ts_col: str,
+    target_buckets: int,
+    value_col: str | None = None,
+) -> tuple[DataFrame, int]:
+    """ES `auto_date_histogram`: pick the SMALLEST interval from the
+    rounding ladder whose gap-filled bucket count stays ≤
+    target_buckets, then run the ordinary date_histogram at it.
+    Interval choice needs only the (min, max) epoch-µs pair — one
+    2-scalar aggregate collected driver-side (the bounded n=count()
+    pattern), after which the plan is exactly date_histogram's. Bucket
+    count per candidate is floor(max/iv) − floor(min/iv) + 1 with
+    Python's flooring `//` — an oracle replays the same rule in SQL
+    (explicit floor for negative epochs). Returns (buckets DataFrame,
+    chosen interval_us); the interval rides along as a constant column
+    so result consumers (and oracles) see the choice."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    lo, hi = df.select(
+        F.min(us).alias("lo"), F.max(us).alias("hi")
+    ).collect()[0]
+    if lo is None:
+        raise ValueError("auto_date_histogram: empty input")
+    iv = AUTO_HISTOGRAM_INTERVALS_US[-1]
+    for cand in AUTO_HISTOGRAM_INTERVALS_US:
+        if int(hi) // cand - int(lo) // cand + 1 <= target_buckets:
+            iv = cand
+            break
+    out = date_histogram(df, ts_col, iv, value_col=value_col).withColumn(
+        "interval_us", F.lit(iv).cast("long")
+    )
+    return out, iv

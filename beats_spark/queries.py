@@ -4002,6 +4002,193 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM e GROUP BY event_type ORDER BY event_type"""
 
 
+# --- q102: Holt linear (double exponential) smoothing ---------------------------
+
+
+def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt LINEAR smoothing (level + trend; ES moving_fn
+    holt(), the trend-forecast sibling of q98's EWMA) with exact
+    integer recurrences at α = 1/4, β = 1/8. Trends go NEGATIVE, so
+    this is the catalog's one signed-floor recurrence — the DuckDB
+    recursive CTE spells the floor out ((a − ((a%d)+d)%d) / d) instead
+    of leaning on `//`, which truncates toward zero (the q63 lesson,
+    now on a recurrence). Same scale shape as q98: one keyed exchange
+    assembles each series JVM-side; one scalar pandas UDF folds whole
+    Arrow batches of series."""
+    from beats_spark.metrics import holt_smooth
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.pmod(F.col("event_id"), F.lit(13)) == 0)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.floor(F.col("value") * 1000).cast("long").alias("milli"),
+        )
+    )
+    return holt_smooth(
+        ev, ["user_id"], "ts", "milli", "event_id", alpha=(1, 4), beta=(1, 8)
+    ).orderBy("user_id", "rn")
+
+
+def q_holt_oracle() -> str:
+    def fd(a: str, d: int) -> str:
+        return f"(({a}) - (((({a}) % {d}) + {d}) % {d})) // {d}"
+
+    lnew = fd("o.v + 3 * (r.l + r.b)", 4)
+    bnew = fd(f"(({lnew}) - r.l) + 7 * r.b", 8)
+    return f"""
+WITH RECURSIVE ord AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         CAST(floor(value * 1000) AS BIGINT) AS v,
+         lead(CAST(floor(value * 1000) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events WHERE event_id % 13 = 0),
+r AS (
+  SELECT user_id, rn, v, v AS l, COALESCE(nxt - v, 0) AS b
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.rn, o.v, {lnew} AS l, {bnew} AS b
+  FROM ord o JOIN r ON o.user_id = r.user_id AND o.rn = r.rn + 1)
+SELECT user_id, CAST(rn AS BIGINT) AS rn, v AS value,
+       CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+       CAST(l + b AS BIGINT) AS forecast
+FROM r ORDER BY user_id, rn"""
+
+
+# --- q103: auto_date_histogram ---------------------------------------------------
+
+
+def q_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `auto_date_histogram` targeting 20 buckets: the engine picks
+    the smallest ladder interval whose gap-filled bucket count fits
+    (one 2-scalar min/max aggregate decides; the plan is then exactly
+    date_histogram's ONE map-side-combined groupBy + spine). The
+    chosen interval is emitted as a column, and the oracle re-derives
+    it from the same ladder with the same first-adequate rule — a
+    divergent choice shifts every bucket and fails loudly."""
+    from beats_spark.metrics import auto_date_histogram
+
+    ev = _events(spark, sf_dir).select(
+        "ts", F.floor(F.col("value") * 1000).cast("long").alias("milli")
+    )
+    out, _iv = auto_date_histogram(ev, "ts", target_buckets=20, value_col="milli")
+    return out.select(
+        "bucket_idx",
+        "n",
+        F.col("sum_v").alias("sum_milli"),
+        "interval_us",
+    ).orderBy("bucket_idx")
+
+
+def q_auto_histogram_oracle() -> str:
+    from beats_spark.metrics import AUTO_HISTOGRAM_INTERVALS_US
+
+    lad = ", ".join(
+        f"({i}, {iv})" for i, iv in enumerate(AUTO_HISTOGRAM_INTERVALS_US)
+    )
+
+    def fd(a: str, d: str) -> str:
+        return f"(({a}) - (((({a}) % ({d})) + ({d})) % ({d}))) // ({d})"
+
+    return f"""
+WITH e AS (SELECT epoch_us(ts) AS us,
+                  CAST(floor(value * 1000) AS BIGINT) AS milli FROM events),
+bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM e),
+lad(idx, iv) AS (VALUES {lad}),
+pick AS (
+  SELECT COALESCE(
+    (SELECT iv FROM lad, bounds
+     WHERE {fd("hi", "iv")} - {fd("lo", "iv")} + 1 <= 20
+     ORDER BY idx LIMIT 1),
+    {AUTO_HISTOGRAM_INTERVALS_US[-1]}) AS iv),
+b AS (
+  SELECT {fd("us", "iv")} AS bucket_idx,
+         CAST(count(*) AS BIGINT) AS n, CAST(sum(milli) AS BIGINT) AS sum_milli
+  FROM e, pick GROUP BY 1),
+bb AS (SELECT min(bucket_idx) AS blo, max(bucket_idx) AS bhi FROM b),
+spine AS (SELECT unnest(generate_series(blo, bhi)) AS bucket_idx FROM bb)
+SELECT s.bucket_idx, COALESCE(n, 0) AS n,
+       COALESCE(sum_milli, 0) AS sum_milli,
+       CAST((SELECT iv FROM pick) AS BIGINT) AS interval_us
+FROM spine s LEFT JOIN b USING (bucket_idx) ORDER BY bucket_idx"""
+
+
+# --- q104: rare terms (long-tail n-grams) ----------------------------------------
+
+
+def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `rare_terms` put to its real use — junk detection: word
+    3-grams appearing in ≤ 2 documents are 'rare', and each document
+    reports how much of it is rare. (The corpus vocabulary is tiny, so
+    unigram rare_terms would be vacuous — 3-grams give a live long
+    tail at every scale; ES itself approximates this agg with a
+    CuckooFilter because the exact tail is corpus-sized, which is also
+    why the per-TERM listing stays internal and the emitted result is
+    doc-bounded.) Plan discipline: grams repartitioned ONCE on term —
+    the (term, doc) collapse AND the per-term doc-count window both
+    ride that single exchange via subset-key clustering (the q62
+    trick); the only other exchange is the final doc-level rollup."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    ws = F.split(F.regexp_replace("text", r"^\s+|\s+$", ""), r"\s+")
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size(ws) - 3),
+        lambda j: F.concat_ws(
+            " ",
+            F.element_at(ws, j + 1),
+            F.element_at(ws, j + 2),
+            F.element_at(ws, j + 3),
+        ),
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(ws) >= 3, gram).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("term"),
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        grams.repartition("term")  # spark.sql.shuffle.partitions many
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    dc = F.count("*").over(Window.partitionBy("term"))
+    flagged = pairs.withColumn("__rare", (dc <= F.lit(2)).cast("long"))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_grams"),
+            F.sum(F.col("__rare") * F.col("tf")).alias("n_rare"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_rare_terms_oracle() -> str:
+    return """
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                            '\\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+           AS term
+  FROM w WHERE len(ws) >= 3),
+p AS (SELECT term, doc_id, count(*) AS tf FROM g GROUP BY 1, 2),
+d AS (SELECT *, count(*) OVER (PARTITION BY term) AS dc FROM p)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN dc <= 2 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
+FROM d GROUP BY doc_id ORDER BY doc_id"""
+
+
 # --- q58: multi-level rollup (grouping sets) ------------------------------------
 
 
@@ -4397,6 +4584,9 @@ def catalog() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_geohash_grid": q_geohash_grid,
         "q100_composite_page": q_composite_page,
         "q101_percentile_ranks": q_percentile_ranks,
+        "q102_holt": q_holt,
+        "q103_auto_histogram": q_auto_histogram,
+        "q104_rare_terms": q_rare_terms,
     }
     full = {**_base_catalog(), **queries_training.catalog(), **extra}
     return _witness_order(full)
@@ -4426,6 +4616,7 @@ _WITNESS_FIRST = [
     "q92_zorder_layout", "q93_rrf_fusion", "q94_significant_terms",
     "q95_pipeline_aggs", "q96_neighborhood", "q97_line_dedup", "q98_ewma",
     "q99_geohash_grid", "q100_composite_page", "q101_percentile_ranks",
+    "q102_holt", "q103_auto_histogram", "q104_rare_terms",
     # driver-unwitnessed as of r04 (verified only judge-side; the last
     # three fall past the 50-entry prefix now — all were judge-verified
     # green at driver scale in r04 and keep their pytest 3-scale sweeps)
@@ -4541,4 +4732,7 @@ def _base_oracles() -> dict[str, str]:
         "q99_geohash_grid": q_geohash_grid_oracle(),
         "q100_composite_page": q_composite_page_oracle(),
         "q101_percentile_ranks": q_percentile_ranks_oracle(),
+        "q102_holt": q_holt_oracle(),
+        "q103_auto_histogram": q_auto_histogram_oracle(),
+        "q104_rare_terms": q_rare_terms_oracle(),
     }

@@ -553,3 +553,68 @@ def test_streaming_ewma_matches_batch_across_microbatches(spark, tmp_path):
     want = {(r["k"], r["rn"]): (r["value"], r["ewma"]) for r in batch.collect()}
     got = {(r["key"], r["rn"]): (r["value"], r["ewma"]) for r in got_rows}
     assert got == want and len(got) == 18
+
+
+def test_holt_smooth_matches_python_fold_with_negative_trends(spark):
+    from beats_spark.metrics import holt_smooth
+    import random
+
+    rng = random.Random(102)
+    rows = []
+    for key in ("up", "down", "noisy"):
+        base, step = (0, 40) if key == "up" else (9000, -37)
+        for i in range(30):
+            v = base + step * i + (rng.randrange(-50, 50) if key == "noisy" else 0)
+            rows.append((key, f"2024-01-01 01:{i:02d}:00", i, v))
+    rows.append(("solo", "2024-01-01 02:00:00", 0, 123))  # length-1 series
+    df = spark.createDataFrame(
+        rows, "k STRING, ts STRING, tb LONG, v LONG"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "tb", "v")
+    got = {
+        (r["k"], r["rn"]): (r["value"], r["level"], r["trend"], r["forecast"])
+        for r in holt_smooth(
+            df, ["k"], "ts", "v", "tb", alpha=(1, 4), beta=(1, 8)
+        ).collect()
+    }
+    by_key: dict[str, list[int]] = {}
+    for k, _, _, v in rows:
+        by_key.setdefault(k, []).append(v)
+    n_checked = 0
+    for k, xs in by_key.items():
+        lv = xs[0]
+        tr = xs[1] - xs[0] if len(xs) > 1 else 0
+        assert got[(k, 1)] == (xs[0], lv, tr, lv + tr)
+        for i, x in enumerate(xs[1:], start=2):
+            prev = lv
+            lv = (1 * x + 3 * (lv + tr)) // 4  # python // floors: exact twin
+            tr = (1 * (lv - prev) + 7 * tr) // 8
+            assert got[(k, i)] == (x, lv, tr, lv + tr)
+            n_checked += 1
+    assert n_checked == 87
+    # the 'down' series must actually exercise negative trend values
+    assert any(got[("down", i)][2] < 0 for i in range(1, 31))
+
+
+def test_auto_date_histogram_interval_pick(spark):
+    from beats_spark.metrics import (
+        AUTO_HISTOGRAM_INTERVALS_US,
+        auto_date_histogram,
+    )
+
+    # 90 seconds of data, target 20 buckets: 1s -> 91 buckets (no),
+    # 5s -> 19 buckets (yes) — first-adequate rule picks 5s
+    rows = [(i, i * 1_000_000) for i in range(0, 91, 1)]
+    df = spark.createDataFrame(rows, "i long, us long").select(
+        "i", F.timestamp_micros("us").alias("ts")
+    )
+    out, iv = auto_date_histogram(df, "ts", target_buckets=20, value_col="i")
+    assert iv == 5_000_000
+    buckets = {r.bucket_idx: (r.n, r.sum_v) for r in out.collect()}
+    assert len(buckets) == 19 and buckets[0] == (5, 0 + 1 + 2 + 3 + 4)
+    assert all(r == 5_000_000 for r in [x.interval_us for x in out.collect()])
+    # a span that exhausts the ladder clamps to the 7d ceiling
+    wide = spark.createDataFrame(
+        [(i, i * 604_800_000_000 * 3) for i in range(25)], "i long, us long"
+    ).select("i", F.timestamp_micros("us").alias("ts"))
+    _, iv2 = auto_date_histogram(wide, "ts", target_buckets=20)
+    assert iv2 == AUTO_HISTOGRAM_INTERVALS_US[-1]
