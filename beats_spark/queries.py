@@ -4133,21 +4133,29 @@ def q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick); the only other exchange is the final doc-level rollup."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
     ws = F.split(F.regexp_replace("text", r"^\s+|\s+$", ""), r"\s+")
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size(ws) - 3),
-        lambda j: F.concat_ws(
-            " ",
-            F.element_at(ws, j + 1),
-            F.element_at(ws, j + 2),
-            F.element_at(ws, j + 3),
-        ),
+    # 3-grams via zip_with over three shifted slices — NOT a
+    # transform(sequence, j -> ws[j+1] …) lambda: Catalyst inlines the
+    # collapsed `ws` projection into every element_at site, so that
+    # form re-runs the regex split 3× PER GRAM (measured 15.5 s cold at
+    # sf0.1 vs 0.9 s for this one — the CLAUDE.md minhash re-inline
+    # gotcha, caught again by the steady-state timing pass). zip_with
+    # lambdas touch only their own variables, so `ws` is evaluated
+    # O(1) times per row.
+    n = F.size(ws)
+    g2 = F.zip_with(
+        F.slice(ws, 1, n - 2),
+        F.slice(ws, 2, n - 2),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    gram = F.zip_with(
+        g2,
+        F.slice(ws, 3, n - 2),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     grams = docs.select(
         "doc_id",
         F.explode(
-            F.when(F.size(ws) >= 3, gram).otherwise(
-                F.array().cast("array<string>")
-            )
+            F.when(n >= 3, gram).otherwise(F.array().cast("array<string>"))
         ).alias("term"),
     )
     from pyspark.sql import Window

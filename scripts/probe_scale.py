@@ -110,6 +110,14 @@ PROBE_QUERIES = [
     "q96_neighborhood",
     "q97_line_dedup",
     "q98_ewma",
+    # round-5 session 5: geo grid + composite paging + percentile
+    # ranks + Holt + auto histogram (events), rare 3-grams (documents)
+    "q99_geohash_grid",
+    "q100_composite_page",
+    "q101_percentile_ranks",
+    "q102_holt",
+    "q103_auto_histogram",
+    "q104_rare_terms",
 ]
 
 
