@@ -679,3 +679,91 @@ def streaming_ewma(
     return df.groupBy(F.col(key_col)).applyInPandasWithState(
         update, _EW_OUT, _EW_STATE, "update", GroupStateTimeout.NoTimeout
     )
+
+
+_HOLT_OUT = (
+    "key string, rn long, value long, level long, trend long, forecast long"
+)
+_HOLT_STATE = "pend_x long, last_l long, last_b long, n_seen long"
+
+
+def streaming_holt(
+    df: DataFrame,
+    key_col: str,
+    ts_us_col: str,
+    value_col: str,
+    alpha: tuple[int, int] = (1, 4),
+    beta: tuple[int, int] = (1, 8),
+    tiebreak_col: str | None = None,
+):
+    """Continuous twin of `metrics.holt_smooth` (exact integer level +
+    trend recurrences, Python-floor semantics). The textbook init
+    b₁ = x₂ − x₁ is NON-CAUSAL — row 1's trend needs the SECOND
+    observation — so the stream holds each series' first value in
+    GroupState (`pend_x`) and emits rows 1 and 2 together when the
+    second arrives; from then on every row emits immediately with
+    (last_l, last_b, n_seen) carried across micro-batches, and a
+    checkpoint restart resumes mid-series. A series that never gets a
+    second point stays pending — the right call for a continuous
+    stream, where 'series of one' only means 'so far' (batch jobs on
+    closed data should use holt_smooth, which emits trend 0 for them).
+    Same in-order-per-key arrival contract as streaming_ewma."""
+    import pandas as pd
+
+    from beats_spark._pickle import ensure_udf_portable
+
+    ensure_udf_portable()
+    na, da = map(int, alpha)
+    nb, db = map(int, beta)
+    if not (0 < na < da and 0 < nb < db):
+        raise ValueError(f"need proper fractions, got {alpha}, {beta}")
+
+    def update(
+        key: tuple, pdfs: Iterator["pd.DataFrame"], state: GroupState
+    ) -> Iterator["pd.DataFrame"]:
+        pend, lv, tr, n = (
+            state.get if state.exists else (None, None, None, 0)
+        )
+        rows: list[tuple] = []
+
+        def emit(x: int, l_: int, b_: int) -> None:
+            nonlocal n
+            n += 1
+            rows.append((n, x, l_, b_, l_ + b_))
+
+        pdf = _merged_chunks(pdfs)
+        if pdf is not None:
+            order = [ts_us_col] + ([tiebreak_col] if tiebreak_col else [])
+            pdf = pdf.sort_values(order)
+            for v in pdf[value_col].astype("int64").tolist():
+                x = int(v)
+                if lv is None and pend is None:
+                    pend = x  # first point: trend needs the next one
+                elif lv is None:
+                    lv, tr = int(pend), x - int(pend)
+                    emit(int(pend), lv, tr)  # rn 1, deferred
+                    prev = lv
+                    lv = (na * x + (da - na) * (lv + tr)) // da
+                    tr = (nb * (lv - prev) + (db - nb) * tr) // db
+                    emit(x, lv, tr)  # rn 2
+                    pend = None
+                else:
+                    prev = int(lv)
+                    lv = (na * x + (da - na) * (int(lv) + int(tr))) // da
+                    tr = (nb * (lv - prev) + (db - nb) * int(tr)) // db
+                    emit(x, lv, tr)
+        state.update((pend, lv, tr, n))
+        yield pd.DataFrame(
+            {
+                "key": [str(key[0])] * len(rows),
+                "rn": [r[0] for r in rows],
+                "value": [r[1] for r in rows],
+                "level": [r[2] for r in rows],
+                "trend": [r[3] for r in rows],
+                "forecast": [r[4] for r in rows],
+            }
+        )
+
+    return df.groupBy(F.col(key_col)).applyInPandasWithState(
+        update, _HOLT_OUT, _HOLT_STATE, "update", GroupStateTimeout.NoTimeout
+    )

@@ -618,3 +618,66 @@ def test_auto_date_histogram_interval_pick(spark):
     ).select("i", F.timestamp_micros("us").alias("ts"))
     _, iv2 = auto_date_histogram(wide, "ts", target_buckets=20)
     assert iv2 == AUTO_HISTOGRAM_INTERVALS_US[-1]
+
+
+def test_streaming_holt_matches_batch_across_microbatches(spark, tmp_path):
+    """streaming_holt == holt_smooth, with micro-batch boundaries that
+    hit BOTH interesting spots: one right after a series' FIRST value
+    (the deferred rn-1 emit must cross the boundary via pend_x) and
+    one mid-recurrence (level/trend carry). A series whose second
+    point never arrives stays pending — asserted absent."""
+    import os
+
+    from beats_spark.metrics import holt_smooth
+    from beats_spark.streaming import streaming_holt
+
+    rows = []
+    for k in ("h1", "h2"):
+        base, step = (100, 37) if k == "h1" else (9000, -61)
+        for i in range(9):
+            rows.append(
+                (k, 1_700_000_000_000_000 + i * 1_000_000, i, base + i * step)
+            )
+    rows.append(("solo", 1_700_000_000_000_000, 0, 555))
+    df = spark.createDataFrame(rows, "k string, ts_us long, tb long, v long")
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    pdf = df.toPandas().sort_values(["k", "tb"])
+    # file 0 carries only h1's FIRST value (+ solo); the rn-1 emit for
+    # h1 must happen in micro-batch 1 via the carried pend_x
+    for i, part in enumerate([pdf.iloc[:1], pdf.iloc[1:6], pdf.iloc[6:13], pdf.iloc[13:]]):
+        part.to_json(f"{src}/f{i}.json", orient="records", lines=True)
+    stream = (
+        spark.readStream.format("json")
+        .schema("k string, ts_us long, tb long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    out = streaming_holt(
+        stream, key_col="k", ts_us_col="ts_us", value_col="v", tiebreak_col="tb"
+    )
+    got_rows = []
+    q = (
+        out.writeStream.foreachBatch(lambda d, _: got_rows.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    batch = holt_smooth(
+        df.filter(F.col("k") != "solo").select(
+            "k", F.timestamp_micros("ts_us").alias("ts"), "tb", "v"
+        ),
+        ["k"], "ts", "v", "tb",
+    )
+    want = {
+        (r["k"], r["rn"]): (r["value"], r["level"], r["trend"], r["forecast"])
+        for r in batch.collect()
+    }
+    got = {
+        (r["key"], r["rn"]): (r["value"], r["level"], r["trend"], r["forecast"])
+        for r in got_rows
+    }
+    assert got == want and len(got) == 18
+    assert not any(k == "solo" for k, _ in got)  # still pending, by contract
