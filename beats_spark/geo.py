@@ -72,10 +72,15 @@ def _quant(expr: str, offset: int, span: int, b: int, dialect: str) -> str:
     """Quantize a udeg expression to b bits: (v + offset) * 2^b div
     span, clamped to 2^b - 1 (the +90/+180 pole/antimeridian edge maps
     into the last cell, as the canonical bisection does). Rendered for
-    either engine — `div` vs `//` agree here (non-negative operands)."""
+    either engine — `div` vs `//` agree here (non-negative operands).
+    The input is widened to BIGINT first: microdegrees FIT int32, so
+    INT-typed geo columns are natural, and without the cast the
+    * 2^b product overflows 32-bit arithmetic for every precision
+    (ANSI Spark throws, DuckDB traps)."""
     d = "div" if dialect == "spark" else "//"
     return (
-        f"least(((({expr}) + {offset}) * {1 << b}) {d} {span}, {(1 << b) - 1})"
+        f"least(((CAST({expr} AS BIGINT) + {offset}) * {1 << b})"
+        f" {d} {span}, {(1 << b) - 1})"
     )
 
 

@@ -4625,9 +4625,12 @@ _WITNESS_FIRST = [
     "q95_pipeline_aggs", "q96_neighborhood", "q97_line_dedup", "q98_ewma",
     "q99_geohash_grid", "q100_composite_page", "q101_percentile_ranks",
     "q102_holt", "q103_auto_histogram", "q104_rare_terms",
-    # driver-unwitnessed as of r04 (verified only judge-side; the last
-    # three fall past the 50-entry prefix now — all were judge-verified
-    # green at driver scale in r04 and keep their pytest 3-scale sweeps)
+    # driver-unwitnessed as of r04 (verified only judge-side). With 40
+    # round-5 queries ahead of them, the last SIX of this block (q56,
+    # q57, q58, q59, q62, q63) now fall past the 50-entry prefix —
+    # deliberate: all six were judge-verified green at driver scale in
+    # r04 and keep their pytest 3-scale oracle sweeps, while the new
+    # queries have never been witnessed by anyone but this build.
     "q48_percentiles", "q49_interval_join", "q50_counter_rate",
     "q51_histogram", "q52_log_templates", "q53_zscore_anomalies",
     "q54_funnel", "q55_topk_per_group", "q56_pivot_matrix",

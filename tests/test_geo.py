@@ -24,6 +24,31 @@ def test_published_vector():
     assert geohash_encode_py(57_649_110, 10_407_440, 4) == "u4pr"
 
 
+def test_quantize_morton_equals_bisection_brute_force():
+    """The load-bearing equivalence, pure Python (no Spark): the
+    quantize + Morton-interleave construction == the textbook
+    alternating-bisection algorithm on 20k random points at random
+    precisions 1..12 (the same arithmetic geohash_udeg/`_sql` render
+    into both engines)."""
+    rng = random.Random(7)
+    for _ in range(20_000):
+        lat = rng.randint(-90_000_000, 90_000_000)
+        lon = rng.randint(-180_000_000, 180_000_000)
+        p = rng.randint(1, 12)
+        pe = p + (p % 2)
+        b = 5 * pe // 2
+        latq = min(((lat + 90_000_000) << b) // 180_000_000, (1 << b) - 1)
+        lonq = min(((lon + 180_000_000) << b) // 360_000_000, (1 << b) - 1)
+        h = 0
+        for i in range(b):
+            h += ((latq >> i) & 1) << (2 * i)
+            h += ((lonq >> i) & 1) << (2 * i + 1)
+        got = "".join(
+            GEOHASH32[(h >> (5 * (pe - 1 - c))) & 31] for c in range(p)
+        )
+        assert got == geohash_encode_py(lat, lon, p), (lat, lon, p)
+
+
 def _rand_points(n, seed):
     rng = random.Random(seed)
     return [
