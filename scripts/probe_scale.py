@@ -118,6 +118,11 @@ PROBE_QUERIES = [
     "q102_holt",
     "q103_auto_histogram",
     "q104_rare_terms",
+    # round-5 session 5b: adjacency matrix + serial diff + top metrics
+    # (events)
+    "q105_adjacency_matrix",
+    "q106_serial_diff",
+    "q107_top_metrics",
 ]
 
 
