@@ -4208,9 +4208,13 @@ _Q105_FILTERS = (
     ("big", "CAST(floor(value * 1000) AS BIGINT) >= 50000"),
     (
         "weekend",
-        "(CAST(epoch_us_col // 86400000000 AS BIGINT) % 7) IN (2, 3)",
+        "(CAST(epoch_us_col {IDIV} 86400000000 AS BIGINT) % 7) IN (2, 3)",
     ),
 )
+# integer-div spelled per dialect through an explicit placeholder (the
+# geo._quant pattern) — never blanket string surgery, which would
+# corrupt a future predicate whose text legitimately contains '//'
+_IDIV = {"spark": "div", "duckdb": "//"}
 
 
 def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4228,10 +4232,10 @@ def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", us.alias("epoch_us_col")
     )
     flags = [
-        (name, F.expr(pred.replace("//", "div")).cast("long"))
+        (name, F.expr(pred.format(IDIV=_IDIV["spark"])).cast("long"))
         for name, pred in _Q105_FILTERS
     ]
-    cells = [(n, c) for n, c in flags]
+    cells = list(flags)
     for i in range(len(flags)):
         for j in range(i + 1, len(flags)):
             cells.append(
@@ -4256,7 +4260,8 @@ def q_adjacency_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_adjacency_matrix_oracle() -> str:
     names = [n for n, _ in _Q105_FILTERS]
     flag_cols = ",\n         ".join(
-        f"CASE WHEN {pred} THEN 1 ELSE 0 END AS f_{n}"
+        f"CASE WHEN {pred.format(IDIV=_IDIV['duckdb'])} THEN 1 ELSE 0 END"
+        f" AS f_{n}"
         for n, pred in _Q105_FILTERS
     )
     cells = [(n, f"f_{n}") for n in names]
@@ -4334,23 +4339,23 @@ FROM g WINDOW w AS (ORDER BY day_idx) ORDER BY day_idx"""
 
 def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ES `top_metrics` per event_type: the metric row at the maximum
-    sort key — implemented as max(struct(sort_key, metrics...)), which
-    aggregates with map-side partials in ONE pass (no window, no sort,
-    no shuffle beyond |groups| rows; the q55 row_number form costs a
-    full sort for k=1). The sort key embeds the tiebreak
-    (milli·2³² + event_id, both bounded) so the argmax is a total
-    order and both engines pick the identical row."""
+    sort key — implemented as max(struct(sort_key, tiebreak,
+    metrics...)), which aggregates with map-side partials in ONE pass
+    (no window, no sort, no shuffle beyond |groups| rows; the q55
+    row_number form costs a full sort for k=1). Struct comparison is
+    lexicographic field-by-field in BOTH engines, so (milli, event_id)
+    is a total order with NO packed-integer arithmetic — a
+    milli·2³²+event_id key would silently wrap past 2³² events,
+    exactly the 100 TB regime (code-review catch)."""
     ev = _events(spark, sf_dir).select(
         "event_type",
         "event_id",
         "user_id",
         F.floor(F.col("value") * 1000).cast("long").alias("milli"),
     )
-    key = F.shiftleft(F.col("milli"), 32) + F.col("event_id")
     top = ev.groupBy("event_type").agg(
         F.max(
             F.struct(
-                key.alias("k"),
                 F.col("milli").alias("m"),
                 F.col("event_id").alias("e"),
                 F.col("user_id").alias("u"),
@@ -4368,16 +4373,20 @@ def q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_top_metrics_oracle() -> str:
+    # DuckDB struct max is the same lexicographic field-order compare
+    # as Spark's — the twin carries no packed key either
     return """
 WITH e AS (
   SELECT event_type, event_id, user_id,
          CAST(floor(value * 1000) AS BIGINT) AS milli
-  FROM events)
-SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-       arg_max(milli, (milli << 32) + event_id) AS top_milli,
-       arg_max(event_id, (milli << 32) + event_id) AS top_event_id,
-       arg_max(user_id, (milli << 32) + event_id) AS top_user_id
-FROM e GROUP BY event_type ORDER BY event_type"""
+  FROM events),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         max({'m': milli, 'e': event_id, 'u': user_id}) AS t
+  FROM e GROUP BY event_type)
+SELECT event_type, n, t.m AS top_milli, t.e AS top_event_id,
+       t.u AS top_user_id
+FROM g ORDER BY event_type"""
 
 
 # --- q58: multi-level rollup (grouping sets) ------------------------------------
