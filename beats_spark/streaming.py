@@ -123,6 +123,43 @@ def run_stream_dedup(
     return writer.start()
 
 
+def streaming_dedup_within_watermark(
+    stream_df: DataFrame,
+    key_cols: "list[str]",
+    ts_col: str,
+    delay: str,
+) -> DataFrame:
+    """Native bounded-state streaming dedup —
+    `withWatermark(ts, delay).dropDuplicatesWithinWatermark(keys)`
+    (Spark 4 API). The complement of `run_stream_dedup`:
+
+    - run_stream_dedup = EXACTLY-ONCE FOREVER against the committed
+      corpus (manifest anti-join; state = the manifest, durable and
+      unbounded-by-design) — corpus identity.
+    - this = duplicates suppressed only while they can still arrive
+      within the watermark delay; the state store holds ≈ delay ×
+      arrival-rate keys and EVICTS — the shape that runs indefinitely
+      on a 1000-executor cluster, for at-least-once upstreams
+      (kafka redeliveries, filebeat resends) where a key re-appearing
+      days later is legitimately a new event.
+
+    Contract pinned by test: a duplicate landing within `delay` of the
+    first sighting is dropped even across micro-batch boundaries; once
+    the watermark passes an entry it is evicted, and the same key CAN
+    emit again (that re-emission is the price of bounded state — plain
+    dropDuplicates never re-emits but its state grows without bound).
+    Eviction timing (measured, Spark 4.1): state cleanup runs at the
+    END of a batch against the batch-START watermark — a key arriving
+    in the same batch its entry expires is still dropped; re-emission
+    needs one further micro-batch (the same one-batch-lag family as
+    the filtering watermark and the availableNow final no-data batch).
+    Reference analog: libbeat's dedup guidance for at-least-once
+    outputs; registrar offsets provide the durable variant."""
+    return stream_df.withWatermark(
+        ts_col, delay
+    ).dropDuplicatesWithinWatermark(list(key_cols))
+
+
 def _merged_chunks(pdfs: Iterator["Any"]):
     """All of a key's rows for one micro-batch as ONE frame (or None if
     empty): the `pdfs` iterator yields Arrow chunks of

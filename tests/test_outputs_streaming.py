@@ -782,3 +782,69 @@ def test_streaming_sliding_window_approx_distinct(spark, tmp_path):
     assert rows[m(30)] == (1, 2000, 1)
     # every data event fell in exactly 4 windows; sentinel windows open
     assert len(rows) == 6, rows
+
+
+def test_dedup_within_watermark_drops_in_window_and_evicts(spark, tmp_path):
+    """Pins the streaming_dedup_within_watermark contract: a duplicate
+    key within the delay is dropped ACROSS micro-batches; once the
+    watermark passes an entry it is evicted and the key emits again
+    (bounded state — the availableNow final no-data batch lesson says
+    the watermark lags one micro-batch, so eviction is driven by f2's
+    10:30 event)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from beats_spark.streaming import streaming_dedup_within_watermark
+
+    base = 1_700_000_000_000_000  # anchor, µs
+    files = [
+        [("k1", base), ("k2", base + 5_000_000)],
+        [("k1", base + 30_000_000), ("k3", base + 60_000_000)],  # dup k1
+        [("k4", base + 1_800_000_000)],  # +30 min: watermark -> +28 min
+        # state cleanup runs at END of batch with the batch-START
+        # watermark (measured: a dup arriving in the same batch the
+        # entry expires is still dropped — the one-batch-lag family),
+        # so one more batch must pass before k1 can re-emit:
+        [("k5", base + 1_860_000_000)],  # +31 min: evicts k1's entry
+        [("k1", base + 1_920_000_000)],  # +32 min: k1 again, post-evict
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    import json as _json
+
+    for i, rows in enumerate(files):
+        with open(f"{src}/f{i}.json", "w") as fh:
+            for k, us in rows:
+                fh.write(_json.dumps({"k": k, "ts_us": us}) + "\n")
+        # FileStreamSource orders by MODIFICATION TIME, not path; writes
+        # land in the same ms and tie-break nondeterministically, which
+        # silently reorders micro-batches (measured: f4 before f3) —
+        # pin strictly increasing mtimes
+        os.utime(f"{src}/f{i}.json", (1_700_000_000 + i, 1_700_000_000 + i))
+    stream = (
+        spark.readStream.format("json")
+        .schema("k string, ts_us long")
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+        .select("k", F.timestamp_micros("ts_us").alias("ts"))
+    )
+    out = streaming_dedup_within_watermark(stream, ["k"], "ts", "2 minutes")
+    got = []
+    q = (
+        out.writeStream.foreachBatch(lambda d, _: got.extend(d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    seen = sorted((r.k, r.ts.timestamp()) for r in got)
+    want = sorted(
+        (k, us / 1_000_000)
+        for k, us in [
+            ("k1", base), ("k2", base + 5_000_000),
+            ("k3", base + 60_000_000), ("k4", base + 1_800_000_000),
+            ("k5", base + 1_860_000_000),
+            ("k1", base + 1_920_000_000),  # re-emitted after eviction
+        ]
+    )
+    assert seen == want  # the in-window k1 duplicate is the ONLY drop
