@@ -110,3 +110,16 @@ def compare(spark, sf_dir: str, name: str, fn, sql: str,
     # table) must not leak cache entries into later timings/compares —
     # same hygiene as bench.py's per-query clearCache
     spark.catalog.clearCache()
+
+
+def pin_file_order(src_dir: str) -> None:
+    """FileStreamSource orders files by MODIFICATION TIME, not path:
+    files written in the same millisecond get a nondeterministic
+    micro-batch order (measured: f4 scheduled before f3), which breaks
+    any order-sensitive stateful-streaming test. Pin mtimes strictly
+    increasing in sorted-name order after writing."""
+    import os
+
+    for i, name in enumerate(sorted(os.listdir(src_dir))):
+        t = 1_700_000_000 + i
+        os.utime(os.path.join(src_dir, name), (t, t))

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.harness import pin_file_order
+
 from beats_spark.funnel import funnel_counts, funnel_depth
 
 STAGES = ("view", "click", "purchase")
@@ -197,6 +199,7 @@ def test_streaming_funnel_matches_batch_across_microbatches(spark, tmp_path):
     )
     for i, part in enumerate([pdf.iloc[:4], pdf.iloc[4:7], pdf.iloc[7:]]):
         part.to_json(f"{src}/f{i}.json", orient="records", lines=True)
+    pin_file_order(src)
 
     stream = (
         spark.readStream.format("json")

@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.harness import pin_file_order
+
 from beats_spark.joins import asof_join, range_join
 
 
@@ -241,6 +243,8 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     for i, part in enumerate([bp.iloc[:2], bp.iloc[2:]]):
         part.to_json(f"{bsrc}/f{i}.json", orient="records", lines=True,
                      date_format="iso")
+    pin_file_order(csrc)
+    pin_file_order(bsrc)
 
     def stream(path, schema, ts_col):
         return (

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from beats_spark.metrics import counter_rate, value_histogram
+from tests.harness import pin_file_order
 
 
 def _samples(spark):
@@ -137,6 +138,7 @@ def test_streaming_counter_rate_matches_batch_across_microbatches(spark, tmp_pat
     # file 1 ends with h1 at ctr=300; file 2 opens with the reset to 40
     for i, part in enumerate([pdf.iloc[:2], pdf.iloc[2:5], pdf.iloc[5:]]):
         part.to_json(f"{src}/f{i}.json", orient="records", lines=True)
+    pin_file_order(src)
 
     stream = (
         spark.readStream.format("json")
@@ -529,6 +531,7 @@ def test_streaming_ewma_matches_batch_across_microbatches(spark, tmp_path):
     # three files -> three micro-batches, each splitting both series
     for i, part in enumerate([pdf.iloc[:5], pdf.iloc[5:12], pdf.iloc[12:]]):
         part.to_json(f"{src}/f{i}.json", orient="records", lines=True)
+    pin_file_order(src)
     stream = (
         spark.readStream.format("json")
         .schema("k string, ts_us long, tb long, v long")
@@ -648,6 +651,7 @@ def test_streaming_holt_matches_batch_across_microbatches(spark, tmp_path):
     # h1 must happen in micro-batch 1 via the carried pend_x
     for i, part in enumerate([pdf.iloc[:1], pdf.iloc[1:6], pdf.iloc[6:13], pdf.iloc[13:]]):
         part.to_json(f"{src}/f{i}.json", orient="records", lines=True)
+    pin_file_order(src)
     stream = (
         spark.readStream.format("json")
         .schema("k string, ts_us long, tb long, v long")

@@ -10,6 +10,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from tests.harness import pin_file_order
+
 from beats_spark.checkpoint import CheckpointedRunner
 from beats_spark.datagen import load_token_events
 from beats_spark.flagship import flagship_config, routed_frame
@@ -504,6 +506,7 @@ def test_streaming_incremental_dedup_exactly_once_kill_restart(spark, tmp_path):
             ),
             str(src / f"f{i:02d}.parquet"),
         )
+    pin_file_order(str(src))
     schema = "doc_id long, text string"
     sink = lambda d: d.withColumn("sink", F.lit("corpus"))  # noqa: E731
 
